@@ -1,13 +1,187 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.oracle.DuckSql
+import graft.ops.RowOps
+import graft.rules.FileRules
+import graft.synth.FilesTable
+import graft.validate._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB oracle in [[oracleSql]] computing the
+  * same result from the same parquet tables. Column names and types are
+  * aligned on both sides (the driver hash-compares after sorting columns
+  * by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val profiledCols =
+    Seq("repo", "path", "commit", "lang", "content", "content_sha256")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full verdict grid of the validation engine on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Verdicts.compute(spark,
+      FilesTable.files(spark, "/root/testdata/sf0.001"), FileRules.rowRules)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // ---- validation core (north rule) over the derived files table ----
+    "v_violations" -> ((s, d) =>
+      Violations.extract(FilesTable.files(s, d), FileRules.rowRules)),
+    "v_verdicts" -> ((s, d) =>
+      Verdicts.compute(s, FilesTable.files(s, d), FileRules.rowRules)),
+    "v_unique_dups" -> ((s, d) =>
+      Uniqueness.duplicates(FilesTable.files(s, d), FileRules.unique.columns)),
+    "v_ref_orphans" -> ((s, d) =>
+      Referential.orphans(FilesTable.files(s, d), FilesTable.repoManifest(s, d),
+        "repo", "repo")),
+    "v_profile" -> ((s, d) =>
+      Profile.columns(FilesTable.files(s, d), profiledCols, exact = true)),
+    "v_drift_ks" -> ((s, d) => {
+      val f = FilesTable.files(s, d)
+      DriftCheck.ks(f, length(col("content")), col("doc_id") % 2 === 0,
+        FileRules.drift.bucketWidth)
+    }),
+
+    // ---- sifter operator inventory (SURVEY.md §2.2-2.4) ----
+    "q_project" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val p = RowOps.project(n,
+        "label" -> concat(lit("nation:"), col("n_name")),
+        "descr" -> format_string("key=%d region=%d", col("n_nationkey"), col("n_regionkey")))
+      RowOps.rename(p, "n_nationkey" -> "id").select("id", "label", "descr")
+    }),
+    "q_filter" -> ((s, d) =>
+      RowOps.keep(t(s, d, "events"),
+        col("event_type") === "purchase" && RowOps.hasValue(col("props")) &&
+          col("user_id") =!= 0)
+        .select("event_id", "user_id", "event_type")),
+    "q_clean" -> ((s, d) =>
+      RowOps.clean(t(s, d, "events"), Seq("event_id", "event_type", "props"),
+        removeEmpty = true)),
+    "q_field_type" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .withColumn("k_num", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1))
+        .withColumn("bad_cast", col("event_type"))
+      RowOps.fieldType(e, "k_num" -> LongType, "bad_cast" -> LongType)
+        .select("event_id", "k_num", "bad_cast")
+    }),
+    "q_field_parse" -> ((s, d) => {
+      val e = t(s, d, "events").withColumn("kv",
+        concat(lit("type="), col("event_type"), lit(";user="), col("user_id").cast("string")))
+      RowOps.fieldParse(e, "kv", "kvmap")
+        .select(col("event_id"),
+          element_at(col("kvmap"), "user").as("user_str"),
+          element_at(col("kvmap"), "type").as("type_str"))
+    }),
+    "q_split" -> ((s, d) => {
+      val doc = RowOps.splitField(t(s, d, "documents").withColumn("toks", col("text")), "toks", " ")
+      doc.select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"))
+    }),
+    "q_regex_replace" -> ((s, d) =>
+      RowOps.regexReplace(t(s, d, "documents"), "text", "data", "DATA", Some("rep"))
+        .select(col("doc_id"), substring(col("rep"), 1, 80).as("head"))),
+    "q_hash" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      RowOps.hashField(
+        RowOps.hashField(doc, "md5_hex", col("text"), "md5"),
+        "sha256_hex", col("text"), "sha256")
+        .select("doc_id", "md5_hex", "sha256_hex")
+    }),
+    "q_lookup_copy" -> ((s, d) =>
+      RowOps.lookupCopy(t(s, d, "nation"), t(s, d, "region"),
+        col("n_regionkey"), col("r_regionkey"), "region_name" -> "r_name")
+        .select("n_nationkey", "n_name", "n_regionkey", "region_name")),
+    "q_lookup_replace" -> ((s, d) => {
+      val lk = s.createDataFrame(Seq(("purchase", "BUY"), ("signup", "NEW")))
+        .toDF("k", "v")
+      RowOps.lookupReplace(t(s, d, "events"), lk, "event_type", "k", "v")
+        .select("event_id", "event_type")
+    }),
+    "q_interval" -> ((s, d) => {
+      val ref = t(s, d, "region").select(
+        col("r_regionkey").cast(LongType).as("rk"),
+        (col("r_regionkey") * lit(100.0)).as("lo"),
+        (col("r_regionkey") * lit(100.0) + lit(150.0)).as("hi"))
+      val ev = t(s, d, "events")
+        .select(col("event_id"), (col("user_id") % 5).as("mk"), col("value"))
+      RowOps.intervalIntersect(ev, ref, "mk", "value", "value", "rk", "lo", "hi")
+        .select("event_id", "rk")
+    }),
+    "q_agg_reduce" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))),
+    "q_accumulate" -> ((s, d) =>
+      t(s, d, "documents").groupBy(col("lang")).agg(
+        expr("array_join(transform(sort_array(collect_list(doc_id)), x -> cast(x as string)), ',')")
+          .as("doc_ids_csv"),
+        count(lit(1)).as("n_rows"))),
+    "q_distinct" -> ((s, d) =>
+      RowOps.distinctBy(t(s, d, "events").select("user_id", "event_type"),
+        Seq("user_id", "event_type"))))
+
+  def oracleSql: Map[String, String] = Map(
+    "v_violations" -> DuckSql.vViolations,
+    "v_verdicts" -> DuckSql.vVerdicts,
+    "v_unique_dups" -> DuckSql.vUniqueDups,
+    "v_ref_orphans" -> DuckSql.vRefOrphans,
+    "v_profile" -> DuckSql.vProfile(profiledCols),
+    "v_drift_ks" -> DuckSql.vDriftKs,
+    "q_project" ->
+      """SELECT n_nationkey AS id, 'nation:' || n_name AS label,
+        |printf('key=%d region=%d', n_nationkey, n_regionkey) AS descr FROM nation""".stripMargin,
+    "q_filter" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type = 'purchase' AND props IS NOT NULL AND LENGTH(props) > 0 AND user_id <> 0""".stripMargin,
+    "q_clean" ->
+      """SELECT event_id, event_type,
+        |CASE WHEN LENGTH(props) = 0 THEN NULL ELSE props END AS props FROM events""".stripMargin,
+    "q_field_type" ->
+      """SELECT event_id,
+        |TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_num,
+        |TRY_CAST(event_type AS BIGINT) AS bad_cast FROM events""".stripMargin,
+    "q_field_parse" ->
+      "SELECT event_id, CAST(user_id AS VARCHAR) AS user_str, event_type AS type_str FROM events",
+    "q_split" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+        |SELECT doc_id, CAST(len(s) AS BIGINT) AS n_tokens, s[1] AS first_tok, s[len(s)] AS last_tok FROM tk""".stripMargin,
+    "q_regex_replace" ->
+      "SELECT doc_id, substr(regexp_replace(text, 'data', 'DATA', 'g'), 1, 80) AS head FROM documents",
+    "q_hash" ->
+      "SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex FROM documents",
+    "q_lookup_copy" ->
+      """SELECT n_nationkey, n_name, n_regionkey, r_name AS region_name
+        |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q_lookup_replace" ->
+      """SELECT event_id,
+        |CASE WHEN event_type = 'purchase' THEN 'BUY' WHEN event_type = 'signup' THEN 'NEW'
+        |ELSE event_type END AS event_type FROM events""".stripMargin,
+    "q_interval" ->
+      """WITH ref AS (SELECT CAST(r_regionkey AS BIGINT) AS rk,
+        |  r_regionkey * CAST(100 AS DOUBLE) AS lo,
+        |  r_regionkey * CAST(100 AS DOUBLE) + 150 AS hi FROM region)
+        |SELECT e.event_id, r.rk FROM events e
+        |JOIN ref r ON (e.user_id % 5) = r.rk AND e.value <= r.hi AND e.value >= r.lo""".stripMargin,
+    "q_agg_reduce" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_rows FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_accumulate" ->
+      """SELECT lang, array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv,
+        |COUNT(*) AS n_rows FROM documents GROUP BY 1""".stripMargin,
+    "q_distinct" -> "SELECT DISTINCT user_id, event_type FROM events")
 }

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Sifter's row-transform inventory (SURVEY.md §2.2-§2.4) re-expressed as
+  * thin DataFrame combinators over codegen'd built-in functions — no
+  * UDFs, so predicate pushdown / column pruning / whole-stage codegen all
+  * apply. Each op cites the reference behavior it mirrors.
+  */
+object RowOps {
+
+  /** `project:` — add/overwrite computed fields (reference:
+    * transform/project.go:57-106; handlebars templates become Column
+    * expressions — params are resolved at plan-build time). */
+  def project(df: DataFrame, fields: (String, Column)*): DataFrame =
+    fields.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+
+  /** `project.rename` (transform/project.go:99-104). */
+  def rename(df: DataFrame, renames: (String, String)*): DataFrame =
+    renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+  /** `filter:` — keep rows matching; sifter's match / exists / hasValue /
+    * not checks (transform/filter.go:58-111) compose as Column predicates:
+    * match = `col === lit`, exists = `isNotNull`, hasValue =
+    * `isNotNull && length > 0`, not = `=!=`. */
+  def keep(df: DataFrame, pred: Column): DataFrame = df.filter(pred)
+
+  def hasValue(c: Column): Column = c.isNotNull && length(c) > 0
+
+  /** `clean:` — keep-list of fields, optionally dropping empty strings to
+    * null (transform/clean.go:28-56 `removeEmpty`). */
+  def clean(df: DataFrame, fields: Seq[String], removeEmpty: Boolean = false): DataFrame = {
+    val kept = df.select(fields.map(col): _*)
+    if (!removeEmpty) kept
+    else fields.foldLeft(kept) { (d, f) =>
+      d.schema(f).dataType.typeName match {
+        case "string" => d.withColumn(f, when(length(col(f)) === 0, lit(null)).otherwise(col(f)))
+        case _ => d
+      }
+    }
+  }
+
+  /** `fieldType:` — cast with fail→null, exactly sifter's parse semantics
+    * (transform/field_type.go:26-46: unparseable string → nil). Uses
+    * try_cast so the behavior is explicit under ANSI mode. */
+  def fieldType(df: DataFrame, casts: (String, DataType)*): DataFrame =
+    casts.foldLeft(df) { case (d, (f, t)) =>
+      d.withColumn(f, expr(s"try_cast($f as ${t.sql})"))
+    }
+
+  /** `fieldType: list` — promote scalar to single-element array
+    * (transform/field_type.go:47-57). */
+  def promoteToList(df: DataFrame, field: String): DataFrame =
+    df.withColumn(field, array(col(field)))
+
+  /** `fieldParse:` — parse `k1=v1;k2=v2` string into a map
+    * (transform/field_parse.go:24-55). */
+  def fieldParse(df: DataFrame, field: String, dst: String,
+      sep: String = ";", assign: String = "="): DataFrame =
+    df.withColumn(dst, str_to_map(col(field), lit(sep), lit(assign)))
+
+  /** `split:` — split string field on separator into array, in place
+    * (transform/split.go:19-31). */
+  def splitField(df: DataFrame, field: String, sep: String): DataFrame =
+    df.withColumn(field, split(col(field), java.util.regex.Pattern.quote(sep)))
+
+  /** `regexReplace:` — global regex replace, optional distinct dst
+    * (transform/regex.go:37-54). */
+  def regexReplace(df: DataFrame, field: String, rx: String, repl: String,
+      dst: Option[String] = None): DataFrame =
+    df.withColumn(dst.getOrElse(field), regexp_replace(col(field), rx, repl))
+
+  /** `hash:` — md5 / sha1 / sha256 hex digest of a value into a field
+    * (transform/hash.go:27-46; the reference shares one hash.Hash across
+    * a worker pool — a latent race — while these are pure columnar fns). */
+  def hashField(df: DataFrame, dst: String, value: Column, method: String): DataFrame = {
+    val h = method match {
+      case "md5" => md5(value)
+      case "sha1" => sha1(value)
+      case "sha256" => sha2(value, 256)
+      case other => sys.error(s"unknown hash method: $other")
+    }
+    df.withColumn(dst, h)
+  }
+
+  /** `fieldProcess:` — explode an array field into one row per element,
+    * carrying chosen parent fields alongside
+    * (transform/field_process.go:26-71). */
+  def fieldProcess(df: DataFrame, arrayField: String, parentFields: Seq[String],
+      elementAs: String): DataFrame =
+    df.select(parentFields.map(col) :+ explode(col(arrayField)).as(elementAs): _*)
+
+  /** `distinct:` — first-wins dedup on a key expression (reference keeps
+    * the first row per rendered key via a badger KV,
+    * transform/distinct.go:24-62). Spark's shuffle-backed dropDuplicates
+    * replaces the out-of-core KV; "first" is arbitrary-per-group in both
+    * engines (the reference's order is channel arrival order). */
+  def distinctBy(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** `accumulate:` — gather all rows of a key into one row
+    * (transform/accumulate.go:18-32). Caller picks the aggregations;
+    * convenience for the common collect-a-column shape, sorted for
+    * deterministic output (the reference's gather order is
+    * nondeterministic channel order — we strengthen it). */
+  def accumulate(df: DataFrame, key: String, gather: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(sort_array(collect_list(col(gather))).as(s"${gather}s"),
+        count(lit(1)).as("n_rows"))
+
+  /** `lookup:` with `copy:` — enrich rows from a small reference table via
+    * broadcast left join (transform/lookup.go:81-214 builds the whole
+    * file into an in-memory map; broadcast is the cluster analog). */
+  def lookupCopy(df: DataFrame, lookup: DataFrame, leftKey: Column,
+      rightKey: Column, copies: (String, String)*): DataFrame = {
+    val joined = df.join(broadcast(lookup), leftKey === rightKey, "left")
+    copies.foldLeft(joined) { case (d, (dst, src)) => d.withColumn(dst, col(src)) }
+      .drop(lookup.columns.filterNot(c => copies.exists(_._1 == c)): _*)
+  }
+
+  /** `lookup:` with `replace:` — map a field through the table, keeping
+    * the original when there is no entry (transform/lookup.go:154-189
+    * replace path: hit → mapped value, miss → unchanged). */
+  def lookupReplace(df: DataFrame, lookup: DataFrame, field: String,
+      rightKey: String, rightValue: String): DataFrame = {
+    val lk = lookup.select(col(rightKey).as("__lk_key"), col(rightValue).as("__lk_val"))
+    df.join(broadcast(lk), df(field) === col("__lk_key"), "left")
+      .withColumn(field, coalesce(col("__lk_val"), col(field)))
+      .drop("__lk_key", "__lk_val")
+  }
+
+  /** `intervalIntersect:` — attach every reference interval overlapping
+    * the row's [start,end] on the same match key
+    * (transform/lookup_interval.go:110-205: per-chromosome interval
+    * trees). Expressed as an equi-join on the match key (hash
+    * partitionable — the interval tree's chromosome index) plus a range
+    * predicate Catalyst evaluates post-probe. */
+  def intervalIntersect(df: DataFrame, ref: DataFrame,
+      matchKey: String, start: String, end: String,
+      refMatch: String, refStart: String, refEnd: String): DataFrame =
+    df.join(ref,
+      df(matchKey) === ref(refMatch) &&
+        df(start) <= ref(refEnd) && df(end) >= ref(refStart),
+      "inner")
+}

@@ -1,0 +1,171 @@
+package graft.validate
+
+import graft.rules._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+/** The validation core: re-expresses sifter's `objectValidate` per-row
+  * check (transform/object_validate.go:31-87) and `graphcheck`'s
+  * referential check (graphcheck/graphCheck.go:15-72) as declarative
+  * DataFrame plans that Catalyst can optimize end-to-end.
+  *
+  * Scale notes (the 100 TB design, tested at sf0.x):
+  *  - [[Violations.extract]] is a single narrow projection + explode —
+  *    one scan, zero shuffles, stays inside whole-stage codegen; N rules
+  *    do NOT cost N passes (the reference re-validates per row in one Go
+  *    worker; we keep that single-pass shape but columnar).
+  *  - [[Uniqueness]] shuffles once on the full composite key (high
+  *    cardinality ⇒ well distributed); the *low-cardinality skewed*
+  *    aggregations (per-org verdicts, a 30%-hot org) go through
+  *    [[SaltedAgg]] two-phase salting.
+  *  - [[Referential.orphans]] picks broadcast vs shuffle join from the
+  *    dimension's size, mirroring the north rule's "broadcast or
+  *    sort-merge chosen by cardinality stats".
+  */
+object Violations {
+
+  /** All row-rule violations in ONE pass: per row, build an array of
+    * structs for the rules that fail, drop nulls, explode. Rows that pass
+    * every rule contribute nothing (explode of empty array).
+    */
+  def extract(files: DataFrame, rules: Seq[RowRule]): DataFrame = {
+    val checks = array(rules.map { r =>
+      when(!r.pass, struct(
+        lit(r.id).as("rule_id"),
+        lit(r.column).as("col_name"),
+        r.observed.as("observed")))
+    }: _*)
+    files
+      .select(col("repo"), col("path"), col("commit"),
+        explode(filter(checks, c => c.isNotNull)).as("v"))
+      .select(col("v.rule_id").as("rule_id"), col("v.col_name").as("col_name"),
+        col("repo"), col("path"), col("commit"), col("v.observed").as("observed"))
+  }
+}
+
+/** Two-phase salted aggregation for skewed low-cardinality group keys.
+  * Phase 1 pre-aggregates on (key, salt) spreading a hot key over
+  * `salts` reducers; phase 2 merges per key. Spark's partial (map-side)
+  * aggregation already bounds skew for simple counts; the explicit salt
+  * guards high-cardinality-per-group aggregates (e.g. distinct-ish
+  * payloads) where partial agg buffers blow up on the hot reducer.
+  */
+object SaltedAgg {
+  def countByKey(df: DataFrame, keys: Seq[String], salts: Int = 32): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)))
+    salted
+      .groupBy((keys.map(col) :+ col("_salt")): _*).agg(count(lit(1)).as("_partial"))
+      .groupBy(keys.map(col): _*).agg(sum(col("_partial")).cast(LongType).as("n_rows"))
+  }
+}
+
+/** Uniqueness on a composite key: groups with >1 row are violations.
+  * Single shuffle on the composite key (map-side partial count first).
+  * The reference's analog is first-wins `distinct` over a badger KV
+  * (transform/distinct.go:24-62); we report the duplicates instead of
+  * silently keeping one.
+  */
+object Uniqueness {
+  def duplicates(files: DataFrame, keys: Seq[String]): DataFrame =
+    files.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast(LongType).as("n_rows"))
+      .filter(col("n_rows") > 1)
+}
+
+/** Referential integrity: every `column` value must exist in the
+  * reference table (graphcheck's edge-endpoint→vertex check as an
+  * anti-join). Join strategy chosen by dimension cardinality, not left
+  * to the broadcast threshold alone.
+  */
+object Referential {
+  val BroadcastMaxRows = 50L * 1000 * 1000 / 64 // ~50MB of short strings
+
+  def orphans(files: DataFrame, manifest: DataFrame,
+      column: String, refKey: String): DataFrame = {
+    val dim = manifest.select(col(refKey)).distinct()
+    val dimRows = dim.count() // one tiny job over the dimension only
+    val right = if (dimRows <= BroadcastMaxRows) broadcast(dim) else dim
+    files.join(right, files(column) === dim(refKey), "left_anti")
+      .groupBy(col(column))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"))
+  }
+}
+
+/** Single-pass per-column profile: null counts, exact distinct (oracle
+  * mode) or HLL++ (scale mode), length min/max. One Aggregate node over
+  * one scan; `exact=false` swaps COUNT(DISTINCT) for
+  * approx_count_distinct so the plan needs no Expand at 100 TB.
+  */
+object Profile {
+  def columns(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c), 0.01))
+          .as(s"${c}__nd"),
+        min(length(col(c))).cast(LongType).as(s"${c}__minl"),
+        max(length(col(c))).cast(LongType).as(s"${c}__maxl"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nn, ${c}__nd, ${c}__minl, ${c}__maxl").mkString(", ")
+    row.select(col("__n"),
+        expr(s"stack(${cols.size}, $stackArgs) as (col_name, nn, nd, minl, maxl)"))
+      .select(
+        col("col_name"),
+        col("__n").cast(LongType).as("n_rows"),
+        (col("__n") - col("nn")).cast(LongType).as("n_null"),
+        col("nd").cast(LongType).as("n_distinct"),
+        col("minl").as("min_len"),
+        col("maxl").as("max_len"))
+  }
+}
+
+/** Two-sample Kolmogorov–Smirnov distance over a bucketed numeric
+  * derivation, computed from one aggregation pass: histogram per side →
+  * CDFs → max |ΔCDF|. The post-aggregation windows run over the tiny
+  * histogram (≤ a few hundred buckets), so the single-partition window
+  * is deliberate, not a scale bug.
+  */
+object DriftCheck {
+  def ks(df: DataFrame, value: Column, baseline: Column, bucketWidth: Int): DataFrame = {
+    val hist = df
+      .select(floor(value / bucketWidth).cast(LongType).as("bucket"),
+        when(baseline, 1L).otherwise(0L).as("is_base"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("is_base")).as("c0"), sum(lit(1L) - col("is_base")).as("c1"))
+    val cum = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .select(
+        (sum(col("c0")).over(cum).cast(DoubleType) / sum(col("c0")).over(all)).as("cdf0"),
+        (sum(col("c1")).over(cum).cast(DoubleType) / sum(col("c1")).over(all)).as("cdf1"))
+      .agg(round(max(abs(col("cdf0") - col("cdf1"))), 9).as("ks_stat"))
+  }
+}
+
+/** Per-(org, rule) verdict grid: every logical partition × every rule,
+  * with violation counts and pass flags — including all-pass cells
+  * (cross join of the distinct orgs with the literal rule list, then a
+  * broadcast-able left join of the counted violations).
+  */
+object Verdicts {
+  def org(repoCol: Column): Column = element_at(split(repoCol, "/"), 1)
+
+  def compute(spark: SparkSession, files: DataFrame, rules: Seq[RowRule]): DataFrame = {
+    import spark.implicits._
+    val parts = files.select(org(col("repo")).as("part")).distinct()
+    val ruleDf = rules.map(_.id).toDF("rule_id")
+    val counts = Violations.extract(files, rules)
+      .select(org(col("repo")).as("part"), col("rule_id"))
+      .groupBy(col("part"), col("rule_id"))
+      .agg(count(lit(1)).as("n"))
+    parts.crossJoin(broadcast(ruleDf))
+      .join(counts, Seq("part", "rule_id"), "left")
+      .select(col("part"), col("rule_id"),
+        coalesce(col("n"), lit(0L)).cast(LongType).as("violation_count"),
+        (coalesce(col("n"), lit(0L)) === 0L).as("pass"))
+  }
+}

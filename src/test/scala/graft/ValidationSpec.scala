@@ -1,0 +1,183 @@
+package graft
+
+import graft.ops.RowOps
+import graft.rules._
+import graft.synth.FilesTable
+import graft.validate._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM-wide session, local[4]). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("sifterspark-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+/** Golden end-to-end expectations over the deterministic sf0.001 fixture —
+  * the analog of the reference's golden harness
+  * (test/command_line_test.go:51-103), strengthened from line counts to
+  * exact violation sets.
+  */
+class ValidationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val files = FilesTable.files(spark, sf).cache()
+
+  test("files fixture has the frozen shape (505 rows = 500 + 5 dups)") {
+    assert(files.count() === 505)
+  }
+
+  test("violations: exact per-rule counts match the planted defects") {
+    val counts = Violations.extract(files, FileRules.rowRules)
+      .groupBy("rule_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map(
+      "required_lang" -> 10L,   // doc_id % 53 == 5 (+1 dup in the 101-cycle? no: frozen by oracle)
+      "enum_lang" -> 8L,        // doc_id % 67 == 7
+      "pattern_path" -> 6L,     // doc_id % 89 == 3
+      "sha256_content" -> 6L))  // doc_id % 97 == 13
+  }
+
+  test("violations: zero false positives on clean rules") {
+    val ids = Violations.extract(files, FileRules.rowRules)
+      .select("rule_id").distinct().collect().map(_.getString(0)).toSet
+    assert(!ids.contains("required_repo"))
+    assert(!ids.contains("pattern_commit"))
+    assert(!ids.contains("required_content"))
+  }
+
+  test("uniqueness: exactly the 5 planted duplicate keys, each n_rows=2") {
+    val dups = Uniqueness.duplicates(files, FileRules.unique.columns).collect()
+    assert(dups.length === 5)
+    assert(dups.forall(_.getAs[Long]("n_rows") === 2L))
+  }
+
+  test("referential: 7 orphan repos covering 26 file rows") {
+    val o = Referential.orphans(files, FilesTable.repoManifest(spark, sf), "repo", "repo")
+    val rows = o.collect()
+    assert(rows.length === 7)
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === 26L)
+    assert(rows.forall(_.getString(0).startsWith("org11/")))
+  }
+
+  test("sha256 invariant: corrupt rows are exactly the 97-cycle plant") {
+    val bad = files.filter(col("content_sha256") =!= sha2(col("content"), 256))
+    assert(bad.count() === 6)
+    assert(bad.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).forall(_ % 97 === 13))
+  }
+
+  test("profile: row counts and null stats are exact") {
+    val p = Profile.columns(files,
+      Seq("repo", "lang", "content"), exact = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("repo").getAs[Long]("n_rows") === 505L)
+    assert(p("repo").getAs[Long]("n_null") === 0L)
+    assert(p("lang").getAs[Long]("n_null") === 10L)
+    assert(p("lang").getAs[Long]("n_distinct") === 6L) // 5 langs + klingon
+  }
+
+  test("profile: approx mode stays within HLL++ rsd bound") {
+    val exact = Profile.columns(files, Seq("path"), exact = true)
+      .collect()(0).getAs[Long]("n_distinct").toDouble
+    val approx = Profile.columns(files, Seq("path"), exact = false)
+      .collect()(0).getAs[Long]("n_distinct").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("drift: KS over the frozen fixture halves matches golden") {
+    val ks = DriftCheck.ks(files, length(col("content")),
+      col("doc_id") % 2 === 0, 64).collect()(0).getDouble(0)
+    assert(ks === 0.075553673)
+  }
+
+  test("drift: shifted distribution is detected, identical is not") {
+    import spark.implicits._
+    val base = (1 to 2000).map(i => (i, 100 + (i % 50))).toDF("id", "len")
+    val same = DriftCheck.ks(base, col("len"), col("id") % 2 === 0, 8)
+      .collect()(0).getDouble(0)
+    assert(same < 0.05)
+    val shifted = base.withColumn("len",
+      when(col("id") % 2 === 0, col("len") + 200).otherwise(col("len")))
+    val far = DriftCheck.ks(shifted, col("len"), col("id") % 2 === 0, 8)
+      .collect()(0).getDouble(0)
+    assert(far > 0.9)
+  }
+
+  test("verdicts: full grid covers every org x rule; 24 failing cells") {
+    val v = Verdicts.compute(spark, files, FileRules.rowRules).cache()
+    val orgs = files.select(Verdicts.org(col("repo"))).distinct().count()
+    assert(v.count() === orgs * FileRules.rowRules.size)
+    assert(v.filter(!col("pass")).count() === 24)
+    // every failing cell's count equals the violations seen in that org
+    assert(v.filter(col("pass") && col("violation_count") =!= 0).count() === 0)
+  }
+
+  test("salted aggregation agrees with the direct group-by under skew") {
+    val direct = files.groupBy("repo").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SaltedAgg.countByKey(files, Seq("repo"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_rows")).toMap
+    assert(salted === direct)
+    // the fixture really is skewed: hot repo holds ~30%
+    assert(direct("bigorg/monorepo").toDouble / 505 > 0.25)
+  }
+}
+
+/** Unit behavior of the sifter operator combinators (SURVEY.md §2.2-2.4). */
+class RowOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("fieldType: unparseable casts to null (transform/field_type.go:26-46)") {
+    val df = Seq(("1", "x"), ("abc", "y")).toDF("a", "b")
+    val out = RowOps.fieldType(df, "a" -> org.apache.spark.sql.types.LongType)
+      .collect().map(r => Option(r.get(0)))
+    assert(out.toSeq === Seq(Some(1L), None))
+  }
+
+  test("fieldParse: k=v;k2=v2 into a map (transform/field_parse.go)") {
+    val df = Seq("a=1;b=2").toDF("kv")
+    val m = RowOps.fieldParse(df, "kv", "m").select(element_at($"m", "b"))
+      .collect()(0).getString(0)
+    assert(m === "2")
+  }
+
+  test("lookupReplace: hit maps, miss keeps original (transform/lookup.go:154-189)") {
+    val df = Seq("x", "y", "z").toDF("f")
+    val lk = Seq(("x", "X!"), ("y", "Y!")).toDF("k", "v")
+    val out = RowOps.lookupReplace(df, lk, "f", "k", "v")
+      .orderBy("f").collect().map(_.getString(0)).toSeq
+    assert(out === Seq("X!", "Y!", "z"))
+  }
+
+  test("clean removeEmpty: empty strings become null (transform/clean.go)") {
+    val df = Seq(("a", ""), ("b", "v")).toDF("x", "y")
+    val out = RowOps.clean(df, Seq("x", "y"), removeEmpty = true)
+      .orderBy("x").collect().map(r => Option(r.getString(1))).toSeq
+    assert(out === Seq(None, Some("v")))
+  }
+
+  test("intervalIntersect: inclusive endpoints (transform/lookup_interval.go)") {
+    val rows = Seq(("c1", 5, 5), ("c1", 10, 10), ("c2", 5, 5)).toDF("mk", "s", "e")
+    val ref = Seq(("c1", 0, 5), ("c1", 6, 9)).toDF("rm", "rs", "re")
+    val hits = RowOps.intervalIntersect(rows, ref, "mk", "s", "e", "rm", "rs", "re")
+    assert(hits.count() === 1) // only (c1,5) ∩ [0,5]; 10 misses both; c2 has no ref
+  }
+
+  test("distinctBy keeps one row per key (transform/distinct.go)") {
+    val df = Seq(("k1", 1), ("k1", 2), ("k2", 3)).toDF("k", "v")
+    assert(RowOps.distinctBy(df, Seq("k")).count() === 2)
+  }
+}
