@@ -1,9 +1,13 @@
 package graft
 
+import graft.dedup.Dedup
+import graft.graph.GraphEmit
 import graft.oracle.DuckSql
 import graft.ops.RowOps
 import graft.rules.FileRules
+import graft.sim.Ann
 import graft.synth.FilesTable
+import graft.text.TextOps
 import graft.validate._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -131,7 +135,54 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))),
     "q_distinct" -> ((s, d) =>
       RowOps.distinctBy(t(s, d, "events").select("user_id", "event_type"),
-        Seq("user_id", "event_type"))))
+        Seq("user_id", "event_type"))),
+
+    // ---- graph emission + graphcheck (SURVEY.md §2.5) ----
+    "g_vertices" -> ((s, d) =>
+      GraphEmit.vertices(FilesTable.files(s, d), FilesTable.repoManifest(s, d))),
+    "g_edges" -> ((s, d) => GraphEmit.edges(FilesTable.files(s, d))),
+    "g_orphan_edges" -> ((s, d) => {
+      val f = FilesTable.files(s, d)
+      GraphEmit.orphanEdges(GraphEmit.edges(f),
+        GraphEmit.vertices(f, FilesTable.repoManifest(s, d)))
+    }),
+
+    // ---- text analysis (training-data ops) ----
+    "t_tokens" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.wsTokenCount("text").as("ws_tokens"),
+        TextOps.bpeTokenCount("text").as("bpe_tokens"))),
+    "t_langid" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.langGuess("text").as("lang_guess"))),
+    "t_quality" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.qualityScore("text").as("quality"))),
+    "t_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprint("text").as("fp"))),
+
+    // ---- dedup (training-data ops) ----
+    "d_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+    "d_minhash_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val aug = docs.unionAll(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+      Dedup.lshCandidatePairs(
+        Dedup.withMinhashSignature(Dedup.withShingleHashes(aug, "text")), "doc_id")
+    }),
+    "d_simhash" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Dedup.simhash("text").as("simhash16"))),
+
+    // ---- similarity search (training-data ops) ----
+    "s_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10)
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "v_violations" -> DuckSql.vViolations,
@@ -183,5 +234,16 @@ object SparkEntry {
     "q_accumulate" ->
       """SELECT lang, array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv,
         |COUNT(*) AS n_rows FROM documents GROUP BY 1""".stripMargin,
-    "q_distinct" -> "SELECT DISTINCT user_id, event_type FROM events")
+    "q_distinct" -> "SELECT DISTINCT user_id, event_type FROM events",
+    "g_vertices" -> DuckSql.gVertices,
+    "g_edges" -> DuckSql.gEdges,
+    "g_orphan_edges" -> DuckSql.gOrphanEdges,
+    "t_tokens" -> DuckSql.tTokens,
+    "t_langid" -> DuckSql.tLangid,
+    "t_quality" -> DuckSql.tQuality,
+    "t_fingerprint" -> DuckSql.tFingerprint,
+    "d_dedup_exact" -> DuckSql.dDedupExact,
+    "d_minhash_pairs" -> DuckSql.dMinhashPairs,
+    "d_simhash" -> DuckSql.dSimhash,
+    "s_ann_topk" -> DuckSql.sAnnTopk)
 }

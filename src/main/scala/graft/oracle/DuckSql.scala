@@ -76,6 +76,138 @@ object DuckSql {
          |FROM files_all""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  // ---- graph (GraphEmit) ----
+
+  private val fileVid = """'file:' || repo || '/' || path || '@' || "commit""""
+
+  def gVertices: String = cte +
+    s"""SELECT DISTINCT $fileVid AS _id, 'File' AS _label, lang FROM files_all
+       |UNION ALL
+       |SELECT 'repo:' || repo AS _id, 'Repo' AS _label, CAST(NULL AS VARCHAR) AS lang
+       |FROM repo_manifest""".stripMargin
+
+  def gEdges: String = cte +
+    s""", e AS (
+       |  SELECT DISTINCT $fileVid AS _from, 'repo:' || repo AS _to, 'in_repo' AS _label
+       |  FROM files_all
+       |)
+       |SELECT _from, _to, _label, md5(_from || '>' || _to) AS _id FROM e""".stripMargin
+
+  def gOrphanEdges: String = cte +
+    s""", e AS (
+       |  SELECT DISTINCT $fileVid AS _from, 'repo:' || repo AS _to, 'in_repo' AS _label
+       |  FROM files_all
+       |)
+       |SELECT md5(_from || '>' || _to) AS _id, _from, _to, _label FROM e
+       |WHERE _to NOT IN (SELECT 'repo:' || repo FROM repo_manifest)""".stripMargin
+
+  // ---- text analysis (TextOps) ----
+
+  /** DuckDB left-fold polynomial hash of a BIGINT-list expression
+    * (list_reduce has no seed, so prepend it). */
+  private def polyFold(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $listExpr), (acc, x) -> (acc * 131 + x) % 1000000007)"
+
+  /** char-codes of chars i..i+n-1 of `tc` as a BIGINT list. */
+  private def charCodes(tc: String, from: String, n: String): String =
+    s"list_transform(range($from, ($from) + ($n)), i2 -> CAST(ascii(substring($tc, CAST(i2 AS INT), 1)) AS BIGINT))"
+
+  def tTokens: String =
+    """SELECT doc_id,
+      |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+      |       ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) END AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+      |FROM documents""".stripMargin
+
+  def tLangid: String =
+    """SELECT doc_id, CASE
+      |  WHEN len(regexp_extract_all(text, '\b(the|and|of)\b')) >= 2 THEN 'en'
+      |  WHEN len(regexp_extract_all(text, '\b(le|la|et)\b')) >= 2 THEN 'fr'
+      |  WHEN len(regexp_extract_all(text, '\b(der|und|die)\b')) >= 2 THEN 'de'
+      |  WHEN len(regexp_extract_all(text, '\b(el|los|y)\b')) >= 2 THEN 'es'
+      |  ELSE 'und' END AS lang_guess
+      |FROM documents""".stripMargin
+
+  def tQuality: String =
+    """SELECT doc_id, ROUND((
+      |  CASE WHEN LENGTH(text) >= 100 AND LENGTH(text) <= 10000 THEN CAST(1 AS DOUBLE)
+      |       WHEN LENGTH(text) < 100 THEN CAST(LENGTH(text) AS DOUBLE) / 100
+      |       ELSE CAST(10000 AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) END
+      |  + CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |           / GREATEST(CAST(LENGTH(text) AS DOUBLE), CAST(1 AS DOUBLE)) <= 0.2
+      |         THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+      |  + CASE WHEN len(regexp_extract_all(text, '\b(the|and|of|a|to)\b')) >= 3 THEN CAST(1 AS DOUBLE)
+      |         ELSE CAST(len(regexp_extract_all(text, '\b(the|and|of|a|to)\b')) AS DOUBLE) / 3 END
+      |) / 3, 6) AS quality
+      |FROM documents""".stripMargin
+
+  def tFingerprint: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN LENGTH(text) = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE ${polyFold(charCodes("text", "1", "LEAST(LENGTH(text), 64)"))} END AS fp
+       |FROM documents""".stripMargin
+
+  // ---- dedup ----
+
+  def dDedupExact: String =
+    "SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id FROM documents GROUP BY 1"
+
+  def dMinhashPairs: String = {
+    val shingleHash = polyFold(charCodes("text", "i", "5"))
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id % 25 = 0
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, LENGTH(text) - 3),
+       |    i -> $shingleHash)) AS shingles
+       |  FROM aug
+       |), sig AS (
+       |  SELECT doc_id, list_transform(range(0, 16), i ->
+       |    list_min(list_transform(shingles, x -> ((2 * i + 1) * x + 7 * i + 3) % 1000000007))) AS sig
+       |  FROM sh
+       |), banded AS (
+       |  SELECT doc_id, b AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(0, 4), r -> sig[CAST(b * 4 + r + 1 AS INT)])),
+       |      (acc, x) -> (acc * 131 + x % 1000000) % 1000000007) AS bucket
+       |  FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b) bands
+       |)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  def dSimhash: String = {
+    val tokHash = polyFold(charCodes("t", "1", "LENGTH(t)"))
+    s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), b -> CASE WHEN
+       |    2 * len(list_filter(
+       |          list_transform(string_split_regex(TRIM(text), '\\s+'), t -> $tokHash),
+       |          h -> (h // (CAST(1 AS BIGINT) << b)) % 2 = 1))
+       |      >= len(string_split_regex(TRIM(text), '\\s+'))
+       |  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash16
+       |FROM documents""".stripMargin
+  }
+
+  // ---- similarity ----
+
+  def sAnnTopk: String =
+    """WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
+      |      FROM embeddings),
+      |scored AS (
+      |  SELECT qid, nid, ROUND(
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(1, len(qv) + 1), i -> qv[CAST(i AS INT)] * nv[CAST(i AS INT)])),
+      |      (acc, v) -> acc + v)
+      |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(qv, v -> v * v)), (a2, v) -> a2 + v))
+      |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(nv, v -> v * v)), (a3, v) -> a3 + v))), 6) AS sim
+      |  FROM c CROSS JOIN q WHERE nid <> qid
+      |), r AS (
+      |  SELECT qid, nid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM scored
+      |)
+      |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, sim FROM r WHERE rank <= 10""".stripMargin
+
   def vDriftKs: String = cte +
     """, hist AS (
       |  SELECT CAST(FLOOR(LENGTH(content) / 64) AS BIGINT) AS bucket,

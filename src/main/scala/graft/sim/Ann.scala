@@ -1,0 +1,86 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small)
+  *    query set against the corpus; one narrow pass + a per-query
+  *    window for ranking. The baseline and the verification oracle.
+  *  - [[lshTopK]] — the scale path: sign-random-projection buckets
+  *    (deterministic hyperplanes) shrink each query's candidate set to
+  *    its bucket before exact re-ranking. Recall is tested against the
+  *    brute-force baseline rather than oracle-compared (it is an
+  *    approximation by construction).
+  *
+  * Dot products fold left-to-right over the zipped arrays in double
+  * precision — deterministic, and reproducible by any engine that folds
+  * sequentially (the DuckDB oracle does).
+  */
+object Ann {
+
+  /** Cosine similarity between two array<double> columns (by name). */
+  def cosine(a: String, b: String): Column = {
+    def dot(x: String, y: String): Column =
+      expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
+    def norm(x: String): Column =
+      sqrt(expr(s"aggregate($x, 0D, (acc, v) -> acc + v * v)"))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  /** Exact top-k neighbors for each query row. `queries` must be small
+    * (broadcast); excludes self-matches; deterministic tie-break on
+    * neighbor id after rounding to 6dp. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", round(cosine("qv", "nv"), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  /** Sign-random-projection bucket id for LSH table `tblCol`: `planes`
+    * deterministic hyperplanes (component j of the p-th plane of table t
+    * = sin(1000 * (t * planes + p) + j) — fixed, engine-independent),
+    * one sign bit per plane. */
+  def srpBucket(vecCol: String, planes: Int, tblCol: String): Column = expr(
+    s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) -> acc * 2 +
+       |  (CASE WHEN aggregate(zip_with($vecCol,
+       |            transform(sequence(0, size($vecCol) - 1),
+       |                      j -> sin(1000 * ($tblCol * $planes + p) + j)),
+       |            (x, h) -> x * h), 0D, (a2, v) -> a2 + v) >= 0
+       |   THEN 1 ELSE 0 END))""".stripMargin)
+
+  /** Approximate top-k: standard multi-table SRP-LSH — `tables`
+    * independent plane sets, candidates = union over tables of same
+    * (table, bucket) cells, then exact cosine re-rank. One shuffle on
+    * the (table, bucket) key; corpus is replicated `tables`× into the
+    * shuffle (the classic memory-for-recall LSH trade), never O(n²). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 8, tables: Int = 4): DataFrame = {
+    val tbl = explode(expr(s"sequence(0, ${tables - 1})")).as("tbl")
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"), tbl)
+      .withColumn("bucket", srpBucket("nv", planes, "tbl"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"), tbl)
+      .withColumn("bucket", srpBucket("qv", planes, "tbl"))
+    val cand = c.join(q, Seq("tbl", "bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .dropDuplicates("qid", "nid")
+    val scored = cand.withColumn("sim", round(cosine("qv", "nv"), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("sim"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.graph.GraphEmit
+import graft.sim.Ann
+import graft.synth.FilesTable
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph emission + training-data ops (dedup, similarity, text). */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  lazy val files = FilesTable.files(spark, sf)
+  lazy val manifest = FilesTable.repoManifest(spark, sf)
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("graph: every edge endpoint except planted orphans resolves") {
+    val edges = GraphEmit.edges(files)
+    val verts = GraphEmit.vertices(files, manifest)
+    val orphans = GraphEmit.orphanEdges(edges, verts)
+    assert(orphans.count() === 26) // = the org11 rows planted in the fixture
+    assert(orphans.select("_to").distinct().count() === 7)
+    // and none of the non-orphan edges dangle
+    assert(edges.count() - 26 ===
+      edges.join(verts.select(col("_id").as("_to")), Seq("_to"), "left_semi").count())
+  }
+
+  test("graph: vertex ids are unique after dedup") {
+    val v = GraphEmit.vertices(files, manifest)
+    assert(v.count() === v.select("_id").distinct().count())
+  }
+
+  test("dedup exact: appended copies collapse onto their original") {
+    val aug = docs.select("doc_id", "text").unionAll(
+      docs.select((col("doc_id") + 5000).as("doc_id"), col("text"))
+        .filter(col("doc_id") < 5010))
+    val groups = Dedup.exact(aug, "doc_id", "text")
+    assert(groups.filter(col("n_docs") === 2).count() === 10)
+    assert(groups.filter(col("n_docs") === 2)
+      .select(max("keep_id")).collect()(0).getLong(0) < 5000) // keeps the original
+  }
+
+  test("dedup minhash+LSH: planted near-dups are candidate pairs") {
+    val base = docs.select("doc_id", "text").filter(col("doc_id") < 100)
+    val aug = base.unionAll(base.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" zz")).as("text")))
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.withMinhashSignature(Dedup.withShingleHashes(aug, "text")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every (i, i+1e6) near-identical pair must be recalled by the LSH bands
+    (0L until 100L).foreach { i =>
+      assert(pairs.contains((i, i + 1000000)), s"missed near-dup pair for doc $i")
+    }
+  }
+
+  test("dedup jaccard: verification stage scores candidates correctly") {
+    val df = Seq((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zzzzzyyyyy"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.withShingleHashes(df, "text")
+    val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sa"))
+    val b = sh.select(col("doc_id").as("id_b"), col("shingles").as("sb"))
+    val scored = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("j", Dedup.jaccardCol(col("sa"), col("sb")))
+      .select("id_a", "id_b", "j")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(scored((1L, 2L)) === 1.0)
+    assert(scored((1L, 3L)) === 0.0)
+  }
+
+  test("simhash: identical text => identical signature; disjoint differs") {
+    val df = Seq((1L, "spark table scan merge"), (2L, "spark table scan merge"),
+      (3L, "zq xv wk yj")).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), Dedup.simhash("text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("ann: LSH bucketing recalls most brute-force top-3 neighbors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(emb, queries, "vec_id", "embedding", 3,
+      planes = 4, tables = 8)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall > 0.5, s"LSH recall too low: $recall") // 8 tables x 16 buckets, 500 vecs
+  }
+
+  test("text: token counts and fingerprint are stable and sane") {
+    val r = docs.filter(col("doc_id") === 0).select(
+      TextOps.wsTokenCount("text").as("ws"),
+      TextOps.bpeTokenCount("text").as("bpe"),
+      TextOps.fingerprint("text").as("fp"),
+      TextOps.qualityScore("text").as("q")).collect()(0)
+    assert(r.getAs[Long]("ws") > 0)
+    assert(r.getAs[Long]("bpe") >= r.getAs[Long]("ws")) // BPE splits at least as fine
+    assert(r.getAs[Long]("fp") > 0)
+    val q = r.getAs[Double]("q")
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("text: edge cases — empty and whitespace-only strings") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("id", "text")
+    val out = df.select(col("id"), TextOps.wsTokenCount("text").as("ws"),
+      TextOps.fingerprint("text").as("fp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 === 0L)
+    assert(out(2L)._1 === 0L)
+    assert(out(3L)._1 === 1L)
+    assert(out(1L)._2 === 0L)
+  }
+}
