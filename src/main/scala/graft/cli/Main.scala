@@ -1,0 +1,71 @@
+package graft.cli
+
+import graft.model.FileRow
+import graft.rules.{FileRules, Required, Pattern => RxRule, EnumIn, Sha256Invariant, TypeIs, Check}
+import graft.validate.CheckpointedValidation
+import org.apache.spark.sql.SparkSession
+
+/** CLI mirroring sifter's two entry points (SURVEY.md §3):
+  *
+  *  - `run <filesParquet> <outRoot>` — execute a validation snapshot
+  *    (resumable; the analog of `sifter run playbook.yaml`,
+  *    cmd/run/main.go:19-61)
+  *  - `inspect` — print the compiled rule set, input schema, and output
+  *    tables without executing (the analog of `sifter inspect`,
+  *    cmd/inspect/main.go:18-78: static metadata only)
+  *
+  * spark-submit-able: `spark-submit --class graft.cli.Main <jar> run ...`;
+  * outside spark-submit a local session is created.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "inspect" :: Nil => inspect()
+    case "run" :: files :: out :: Nil => run(files, out)
+    case _ =>
+      System.err.println(
+        """usage:
+          |  graft.cli.Main inspect
+          |  graft.cli.Main run <filesParquet> <outRoot>""".stripMargin)
+      sys.exit(2)
+  }
+
+  def inspect(): Unit = {
+    println("input schema:")
+    FileRow.schema.fields.foreach(f => println(s"  ${f.name}: ${f.dataType.sql}"))
+    println("row rules:")
+    FileRules.rowRules.foreach { r =>
+      val desc = r match {
+        case Required(id, c) => s"$id: required($c)"
+        case RxRule(id, c, rx) => s"$id: pattern($c, '$rx')"
+        case EnumIn(id, c, vs) => s"$id: enum($c, ${vs.mkString("|")})"
+        case Sha256Invariant(id, c, of) => s"$id: $c == sha256($of)"
+        case TypeIs(id, c, dt) => s"$id: castable($c, ${dt.sql})"
+        case Check(id, c, _) => s"$id: check($c)"
+      }
+      println(s"  $desc")
+    }
+    println(s"table rules:")
+    println(s"  ${FileRules.unique.id}: unique(${FileRules.unique.columns.mkString(",")})")
+    println(s"  ${FileRules.ref.id}: ${FileRules.ref.column} in " +
+      s"${FileRules.ref.refName}.${FileRules.ref.refKey}")
+    println(s"  ${FileRules.drift.id}: ks(length(${FileRules.drift.column})" +
+      s"/${FileRules.drift.bucketWidth}) <= ${FileRules.drift.maxKs}")
+    println("outputs: verdicts, violations, metrics, lineage (IceLite snapshots)")
+  }
+
+  def run(filesPath: String, outRoot: String): Unit = {
+    val spark = SparkSession.builder()
+      .appName("sifterspark-run")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val files = spark.read.parquet(filesPath)
+      val snap = CheckpointedValidation.run(spark, files, FileRules.rowRules, outRoot)
+      val v = CheckpointedValidation.verdicts(spark, outRoot, snap)
+      val failed = v.filter(!org.apache.spark.sql.functions.col("pass")).count()
+      println(s"snapshot $snap committed: ${v.count()} verdict cells, $failed failing")
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,113 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal Iceberg-shaped table layer over Parquet ("IceLite"): numbered
+  * snapshots, a per-snapshot manifest of partition data directories, a
+  * per-partition lineage log that doubles as the resume checkpoint, and
+  * an atomically-swapped current-snapshot pointer.
+  *
+  * No Iceberg jars exist in this sandbox (offline coursier cache), so
+  * this implements the same semantics the north rule needs — snapshot
+  * isolation, resume-from-checkpoint, per-partition lineage — behind a
+  * small API that a real Iceberg catalog could replace drop-in.
+  *
+  * Commit protocol (single-writer):
+  *   1. partition data written under `data/snap=N/<table>/part=<p>/`
+  *   2. lineage record written via temp-file + atomic rename — a
+  *      partition is "completed" iff its lineage record exists
+  *   3. snapshot manifest `snapshots/vN.json` written last, then the
+  *      `_current` pointer atomically renamed onto it
+  * A crash at any point leaves either a resumable partial state (some
+  * lineage records, no manifest) or a fully committed snapshot. On a
+  * distributed object store the renames would go through a metadata
+  * service (what Iceberg's catalog does); on a filesystem rename is
+  * atomic already.
+  *
+  * Layout:
+  * {{{
+  * root/
+  *   _current                      // text: latest committed snapshot id
+  *   snapshots/v3.json             // {"id":3,"parent":2,"parts":[...]}
+  *   lineage/snap=3/<part>.json    // {"part":p,"rows":n,"tables":[...]}
+  *   data/snap=3/verdicts/part=p/  // parquet
+  * }}}
+  */
+class IceLite(val root: String) {
+  private def p(parts: String*): Path = Paths.get(root, parts: _*)
+
+  Files.createDirectories(p("snapshots"))
+
+  def currentSnapshotId: Option[Long] = {
+    val cur = p("_current")
+    if (Files.exists(cur)) Some(Files.readString(cur).trim.toLong) else None
+  }
+
+  /** The id the next commit will use; stable across a crashed attempt
+    * (resume picks up the same uncommitted id and its lineage). */
+  def nextSnapshotId: Long = currentSnapshotId.getOrElse(0L) + 1
+
+  def lineageDir(snap: Long): Path = p("lineage", s"snap=$snap")
+
+  /** Partitions whose lineage record committed (the resume checkpoint). */
+  def completedParts(snap: Long): Set[String] = {
+    val d = lineageDir(snap)
+    if (!Files.exists(d)) Set.empty
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json")).toSet
+  }
+
+  def partDataDir(snap: Long, table: String, part: String): String =
+    p("data", s"snap=$snap", table, s"part=$part").toString
+
+  private def atomicWrite(target: Path, content: String): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Write one partition's output tables, then its lineage record.
+    * The lineage rename is the commit point. */
+  def commitPartition(snap: Long, part: String, rowCount: Long,
+      tables: Map[String, DataFrame]): Unit = {
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(partDataDir(snap, name, part))
+    }
+    val tbls = tables.keys.toSeq.sorted.map(t => s""""$t"""").mkString("[", ",", "]")
+    atomicWrite(lineageDir(snap).resolve(s"$part.json"),
+      s"""{"snapshot":$snap,"part":"$part","rows":$rowCount,"tables":$tbls}""")
+  }
+
+  /** Finalize: manifest then pointer swap. */
+  def commitSnapshot(snap: Long, parts: Seq[String]): Unit = {
+    val parent = currentSnapshotId.getOrElse(0L)
+    val ps = parts.sorted.map(x => s""""$x"""").mkString("[", ",", "]")
+    atomicWrite(p("snapshots", s"v$snap.json"),
+      s"""{"id":$snap,"parent":$parent,"parts":$ps}""")
+    atomicWrite(p("_current"), snap.toString)
+  }
+
+  def snapshotParts(snap: Long): Seq[String] = {
+    val f = p("snapshots", s"v$snap.json")
+    val s = Files.readString(f)
+    """"parts":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1).split(",").filter(_.nonEmpty).map(_.replaceAll("\"", "")).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  /** Read a table of a committed snapshot across all its partitions. */
+  def readTable(spark: SparkSession, snap: Long, table: String): DataFrame = {
+    val dirs = snapshotParts(snap).map(partDataDir(snap, table, _))
+    spark.read.option("basePath", p("data", s"snap=$snap", table).toString)
+      .parquet(dirs: _*)
+  }
+
+  /** Lineage across all snapshots as a DataFrame (metrics/audit table). */
+  def lineage(spark: SparkSession): DataFrame =
+    spark.read.json(p("lineage").toString + "/snap=*/*.json")
+}

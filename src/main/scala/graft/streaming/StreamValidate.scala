@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.rules.RowRule
+import graft.validate.Violations
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference is strictly batch (finite file sources, pipelines
+  * terminate — playbook/execute.go:366-369), so nothing here maps 1:1;
+  * this is the engine's scale path for CONTINUOUS validation: new file
+  * rows land in the table (an Iceberg commit stream at 100 TB), and the
+  * same compiled rule predicates run incrementally.
+  *
+  * Because [[Violations.extract]] is a stateless narrow projection, the
+  * identical plan works unchanged under `readStream` — one of the
+  * payoffs of keeping rules as Column expressions rather than driver
+  * logic.
+  */
+object StreamValidate {
+
+  /** Continuous violation stream from a parquet directory source. */
+  def violationStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rules: Seq[RowRule]): DataFrame =
+    Violations.extract(
+      spark.readStream.schema(schema).parquet(dir), rules)
+
+  /** Windowed event-rate monitoring (the ops-side health signal):
+    * per event_type counts + value sums over sliding windows with a
+    * watermark bounding state. */
+  def windowedEventAgg(events: DataFrame,
+      window_ : String = "5 minutes", slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("value_sum"))
+
+  /** Per-key running violation counts via mapGroupsWithState-style
+    * stateful tracking — here expressed with the simpler built-in
+    * aggregation (complete-mode memory sink for tests). */
+  def runningViolationCounts(violations: DataFrame): DataFrame =
+    violations.groupBy(col("rule_id")).count()
+
+  def toMemorySink(df: DataFrame, name: String,
+      outputMode: String): DataStreamWriter[Row] =
+    df.writeStream.format("memory").queryName(name).outputMode(outputMode)
+}

@@ -1,0 +1,59 @@
+package graft.validate
+
+import graft.io.IceLite
+import graft.rules.{FileRules, RowRule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Resumable validation runs: the engine pass executed partition-by-
+  * partition (logical partition = the repo's org prefix — the natural
+  * partition key of an Iceberg code table), committing each partition's
+  * verdicts / violations / metrics through [[IceLite]] so a killed run
+  * resumes by skipping every partition whose lineage record committed.
+  *
+  * Scale note: one Spark job per logical partition is the granularity
+  * the checkpoint needs; at 100 TB each "partition" is an Iceberg
+  * partition (thousands of files) so per-partition jobs are big enough
+  * to amortize scheduling, and the single `files.cache()` below becomes
+  * Iceberg partition pruning (each job scans only its partition's
+  * files — no rescan of the table).
+  */
+object CheckpointedValidation {
+
+  final class SimulatedCrash extends RuntimeException("simulated crash")
+
+  /** Run (or resume) a validation snapshot. Returns the snapshot id.
+    * `crashAfter` = throw after N partitions (kill-between-partitions
+    * testing). */
+  def run(spark: SparkSession, files: DataFrame, rules: Seq[RowRule],
+      root: String, crashAfter: Option[Int] = None): Long = {
+    val ice = new IceLite(root)
+    val snap = ice.nextSnapshotId
+    val orgCol = Verdicts.org(col("repo"))
+    val parts = files.select(orgCol.as("part")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val done = ice.completedParts(snap)
+    var processed = 0
+    parts.filterNot(done).foreach { part =>
+      crashAfter.filter(_ <= processed).foreach(_ => throw new SimulatedCrash)
+      val sub = files.filter(orgCol === part)
+      val verdicts = Verdicts.compute(spark, sub, rules)
+      val violations = Violations.extract(sub, rules)
+      val metrics = Profile.columns(sub,
+        Seq("repo", "path", "commit", "lang", "content"), exact = false)
+      // "part" is the hive partition dir; drop it from the data files and
+      // let readTable restore it from the directory (no duplicate column).
+      ice.commitPartition(snap, part, sub.count(),
+        Map("verdicts" -> verdicts.drop("part"), "violations" -> violations,
+          "metrics" -> metrics))
+      processed += 1
+    }
+    ice.commitSnapshot(snap, parts)
+    snap
+  }
+
+  /** Convenience: committed verdicts of a snapshot (part restored from
+    * the partition directory). */
+  def verdicts(spark: SparkSession, root: String, snap: Long): DataFrame =
+    new IceLite(root).readTable(spark, snap, "verdicts")
+}

@@ -84,10 +84,22 @@ object Referential {
 
   def orphans(files: DataFrame, manifest: DataFrame,
       column: String, refKey: String): DataFrame = {
-    val dim = manifest.select(col(refKey)).distinct()
+    val dim = manifest.select(col(refKey).as("__ref_key")).distinct()
     val dimRows = dim.count() // one tiny job over the dimension only
-    val right = if (dimRows <= BroadcastMaxRows) broadcast(dim) else dim
-    files.join(right, files(column) === dim(refKey), "left_anti")
+    orphansJoin(files, dim, column, broadcastDim = dimRows <= BroadcastMaxRows)
+  }
+
+  /** As [[orphans]] but with the broadcast decision supplied by the
+    * caller (e.g. from table-level stats) — skips the probe count job. */
+  def orphansKnownSize(files: DataFrame, manifest: DataFrame,
+      column: String, refKey: String, broadcastDim: Boolean): DataFrame =
+    orphansJoin(files, manifest.select(col(refKey).as("__ref_key")).distinct(),
+      column, broadcastDim)
+
+  private def orphansJoin(files: DataFrame, dim: DataFrame,
+      column: String, broadcastDim: Boolean): DataFrame = {
+    val right = if (broadcastDim) broadcast(dim) else dim
+    files.join(right, files(column) === col("__ref_key"), "left_anti")
       .groupBy(col(column))
       .agg(count(lit(1)).cast(LongType).as("n_rows"))
   }
@@ -103,7 +115,10 @@ object Profile {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nn"),
-        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c), 0.01))
+        // rsd 0.05 (Spark default): rsd 0.01 needs 2^14 HLL registers,
+        // which as unsafe-row aggregation-buffer fields per column blows
+        // codegen up into multi-MB task binaries that dominate the pass.
+        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c), 0.05))
           .as(s"${c}__nd"),
         min(length(col(c))).cast(LongType).as(s"${c}__minl"),
         max(length(col(c))).cast(LongType).as(s"${c}__maxl"))

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import graft.expr.{NameUuid, UuidExprs}
+import graft.sources.Sources
+import graft.sources.Sources.TableSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Extractor semantics (SURVEY.md §2.1) + UUID expression vectors. */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpFile(name: String, content: String): String = {
+    val d = Files.createTempDirectory("src")
+    val f = d.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("table: header mode, comments, short-row padding, overflow") {
+    val p = tmpFile("t.tsv",
+      "# a comment (tabular_load.go comment lines)\n" +
+        "id\tname\tscore\n" +
+        "1\talice\t10\n" +
+        "2\tbob\n" + // short row -> padded with ""
+        "3\tcarol\t30\textra1\textra2\n") // long row -> overflow
+    val df = Sources.table(spark, p,
+      TableSpec(extraColumns = Some("rest")))
+    val rows = df.orderBy("id").collect()
+    assert(df.columns.toSeq === Seq("id", "name", "score", "rest"))
+    assert(rows.length === 3)
+    assert(rows(1).getString(2) === "") // pad (tabular_load.go:112-128)
+    assert(rows(2).getSeq[String](3) === Seq("extra1", "extra2"))
+    assert(rows(0).getSeq[String](3) === Seq.empty)
+  }
+
+  test("table: explicit columns + rowSkip (no header consumed)") {
+    val p = tmpFile("t2.tsv",
+      "garbage line 1\ngarbage line 2\n" +
+        "x\t1\ny\t2\n")
+    val df = Sources.table(spark, p,
+      TableSpec(rowSkip = 2, columns = Some(Seq("k", "v"))))
+    assert(df.orderBy("k").collect().map(_.getString(0)).toSeq === Seq("x", "y"))
+  }
+
+  test("table: duplicate header names deduped (buildUniqueArray)") {
+    assert(Sources.dedupHeader(Seq("a", "b", "a", "a")) ===
+      Seq("a", "b", "a_1", "a_2"))
+  }
+
+  test("table: custom sep + gz transparently decoded") {
+    val d = Files.createTempDirectory("gz")
+    val f = d.resolve("t.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(f))
+    out.write("a,b\n1,2\n".getBytes("UTF-8")); out.close()
+    val df = Sources.table(spark, f.toString, TableSpec(sep = ","))
+    assert(df.collect()(0).toSeq === Seq("1", "2"))
+  }
+
+  test("ndjson and multiline json doc") {
+    val nd = tmpFile("d.ndjson", """{"a":1,"b":"x"}""" + "\n" + """{"a":2,"b":"y"}""" + "\n")
+    assert(Sources.ndjson(spark, nd).count() === 2)
+    val doc = tmpFile("d.json", """{"a": [1,2,3],""" + "\n" + """ "b": "x"}""")
+    val r = Sources.jsonDoc(spark, doc).collect()(0)
+    assert(r.getAs[Seq[Long]]("a") === Seq(1L, 2L, 3L))
+  }
+
+  test("glob: filename column stored per row (glob_load.go storeFilename)") {
+    val d = Files.createTempDirectory("glob")
+    Files.writeString(d.resolve("one.ndjson"), """{"v":1}""" + "\n")
+    Files.writeString(d.resolve("two.ndjson"), """{"v":2}""" + "\n")
+    val df = Sources.glob(spark, d.toString + "/*.ndjson", Sources.ndjson,
+      storeFilename = Some("fname"))
+    val got = df.select("v", "fname").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "one.ndjson")
+    assert(got(2L) === "two.ndjson")
+  }
+
+  test("uuid5/uuid3 match RFC 4122 test vectors") {
+    UuidExprs.register(spark)
+    val df = Seq(("www.example.com")).toDF("name")
+    val out = df.select(
+      UuidExprs.uuid5(lit(NameUuid.NamespaceDns), $"name").as("u5"),
+      UuidExprs.uuid3(lit(NameUuid.NamespaceDns), $"name").as("u3"))
+      .collect()(0)
+    assert(out.getString(0) === "2ed6657d-e927-568b-95e1-2665a8aea6a2")
+    assert(out.getString(1) === "5df41881-3aed-3515-88a7-2f4a814cf09e")
+  }
+
+  test("uuid5 via SQL registration; null-safe") {
+    UuidExprs.register(spark)
+    val r = spark.sql(
+      s"SELECT uuid5('${NameUuid.NamespaceUrl}', 'https://example.org/x') AS u," +
+        s" uuid5('${NameUuid.NamespaceUrl}', CAST(NULL AS STRING)) AS n")
+      .collect()(0)
+    assert(r.getString(0).charAt(14) === '5') // version nibble
+    assert(r.isNullAt(1))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import graft.model.FileRow
+import graft.multimodal.Multimodal
+import graft.rules.FileRules
+import graft.streaming.StreamValidate
+import graft.synth.FilesTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("violation stream over a growing parquet dir matches batch result") {
+    val dir = Files.createTempDirectory("stream").toString
+    val files = FilesTable.files(spark, sf).drop("doc_id")
+    files.write.mode("overwrite").parquet(dir)
+
+    val q = StreamValidate.toMemorySink(
+      StreamValidate.violationStream(spark, dir, FileRow.schema, FileRules.rowRules),
+      "viol_stream", "append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT rule_id, COUNT(*) n FROM viol_stream GROUP BY 1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.validate.Violations.extract(files, FileRules.rowRules)
+        .groupBy("rule_id").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("windowed event aggregation with watermark produces sane windows") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    // batch execution of the same streaming transform (plan reuse both ways)
+    val agg = StreamValidate.windowedEventAgg(events, "1 hour", "1 hour")
+    val rows = agg.collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === events.count())
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val media = Multimodal.syntheticMedia(spark, 200).cache()
+
+  test("decodeMeta: valid headers parsed, corrupt rows flagged not dropped") {
+    val meta = Multimodal.decodeMeta(media).cache()
+    assert(meta.count() === 200)
+    val bad = meta.filter(!col("valid"))
+    assert(bad.count() === media.filter(col("media_id") % 13 === 5).count())
+    val ok = meta.filter(col("valid")).collect()
+    assert(ok.forall(m => m.width >= 16 && m.width < 80))
+    assert(ok.forall(_.byte_len === 68L))
+  }
+
+  test("extractFeatures: frame sampling fans out 1->N with fixed dim") {
+    val feats = Multimodal.extractFeatures(media, frames = 3)
+    assert(feats.count() === 600)
+    assert(feats.head().feature.length === 8)
+    // deterministic: same input => same features
+    val a = feats.filter(col("media_id") === 7 && col("frame") === 1)
+      .head().feature.toSeq
+    val b = Multimodal.extractFeatures(media, frames = 3)
+      .filter(col("media_id") === 7 && col("frame") === 1).head().feature.toSeq
+    assert(a === b)
+  }
+
+  test("validFeatures joins metadata and drops failed decodes") {
+    val meta = Multimodal.decodeMeta(media)
+    val out = Multimodal.validFeatures(meta, Multimodal.extractFeatures(media, 2))
+    val invalid = meta.filter(!col("valid")).count()
+    assert(out.count() === (200 - invalid) * 2)
+    assert(out.columns.toSet ===
+      Set("media_id", "frame", "feature", "kind", "width", "height"))
+  }
+}
+
+class CliSpec extends AnyFunSuite {
+  test("inspect prints the compiled rule surface without a session") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { graft.cli.Main.inspect() }
+    val s = out.toString
+    assert(s.contains("required_lang: required(lang)"))
+    assert(s.contains("sha256_content: content_sha256 == sha256(content)"))
+    assert(s.contains("unique_file: unique(repo,path,commit)"))
+    assert(s.contains("ref_repo: repo in repo_manifest.repo"))
+  }
+}
