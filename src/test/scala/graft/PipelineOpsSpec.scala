@@ -48,7 +48,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val aug = base.unionAll(base.select((col("doc_id") + 1000000).as("doc_id"),
       concat(col("text"), lit(" zz")).as("text")))
     val pairs = Dedup.lshCandidatePairs(
-      Dedup.withMinhashSignature(Dedup.withShingleHashes(aug, "text")), "doc_id")
+      Dedup.withMinhashSignature(Dedup.withWordShingles(aug, "text")), "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // every (i, i+1e6) near-identical pair must be recalled by the LSH bands
     (0L until 100L).foreach { i =>

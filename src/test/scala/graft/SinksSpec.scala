@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import graft.graph.GraphEmit
+import graft.sinks.Sinks
+import graft.synth.FilesTable
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Output writers (SURVEY.md §2.6). */
+class SinksSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String = Files.createTempDirectory("sink").toString
+
+  test("ndjson sink roundtrips, gz included (output_json.go)") {
+    val d = tmp()
+    val df = spark.read.parquet(s"$sf/nation.parquet")
+    Sinks.ndjson(df, s"$d/out", gzip = true)
+    assert(Files.list(java.nio.file.Paths.get(s"$d/out")).toArray
+      .exists(_.toString.endsWith(".json.gz")))
+    val back = spark.read.json(s"$d/out")
+    assert(back.count() === df.count())
+  }
+
+  test("table sink: chosen columns, tsv, non-strings stringified (output_table.go)") {
+    val d = tmp()
+    val df = spark.read.parquet(s"$sf/nation.parquet")
+    Sinks.table(df, s"$d/out", Seq("n_name", "n_regionkey"))
+    val back = spark.read.option("sep", "\t").option("header", "true").csv(s"$d/out")
+    assert(back.columns.toSeq === Seq("n_name", "n_regionkey"))
+    assert(back.count() === df.count())
+  }
+
+  test("graph sink writes vertex + edge ndjson.gz (output_graph.go)") {
+    val d = tmp()
+    val files = FilesTable.files(spark, sf)
+    Sinks.graph(GraphEmit.vertices(files, FilesTable.repoManifest(spark, sf)),
+      GraphEmit.edges(files), d)
+    assert(spark.read.json(s"$d/vertex.json").count() > 0)
+    val e = spark.read.json(s"$d/edge.json")
+    assert(e.columns.toSet === Set("_id", "_from", "_to", "_label"))
+    assert(e.count() === GraphEmit.edges(files).count())
+  }
+}
