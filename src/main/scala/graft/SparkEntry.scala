@@ -3,7 +3,7 @@ package graft
 import graft.dedup.Dedup
 import graft.graph.GraphEmit
 import graft.oracle.DuckSql
-import graft.ops.RowOps
+import graft.ops.{Reshape, RowOps}
 import graft.rules.FileRules
 import graft.sim.Ann
 import graft.synth.FilesTable
@@ -212,6 +212,21 @@ object SparkEntry {
     }),
     "v_salted_hot" -> ((s, d) =>
       SaltedAgg.countByKey(FilesTable.files(s, d), Seq("repo"))),
+    "q_json_parse" -> ((s, d) =>
+      RowOps.jsonParse(t(s, d, "events"), "props", "k INT", "j")
+        .select(col("event_id"), col("j.k").cast(LongType).as("k_num"))),
+    "q_pivot" -> ((s, d) =>
+      Reshape.pivot(t(s, d, "events"), "user_id", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"),
+        sum(col("value").cast("decimal(18,2)")).cast("double"))),
+    "q_transpose" -> ((s, d) => {
+      val wide = Reshape.pivot(
+        t(s, d, "events").filter(col("user_id") < 5)
+          .withColumn("user_id", concat(lit("u"), col("user_id").cast("string"))),
+        "user_id", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"), count(lit(1)))
+      Reshape.transpose(wide, "user_id", Seq("u0", "u1", "u2", "u3", "u4"))
+    }),
     "x_uuid5" -> ((s, d) => {
       graft.expr.UuidExprs.register(s)
       FilesTable.files(s, d).select(col("repo"), col("path"), col("commit"),
@@ -284,6 +299,22 @@ object SparkEntry {
     "d_simhash" -> DuckSql.dSimhash,
     "s_ann_topk" -> DuckSql.sAnnTopk,
     "q_field_process" -> DuckSql.qFieldProcess,
+    "q_json_parse" ->
+      """SELECT event_id,
+        |TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_num
+        |FROM events""".stripMargin,
+    "q_pivot" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view").map(v =>
+        s"CAST(SUM(CASE WHEN event_type = '$v' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS $v")
+        .mkString(",\n")
+      s"SELECT user_id,\n$cols\nFROM events GROUP BY 1"
+    },
+    "q_transpose" -> {
+      val cols = (0 to 4).map(u =>
+        s"CAST(SUM(CASE WHEN user_id = $u THEN 1 END) AS VARCHAR) AS u$u")
+        .mkString(",\n")
+      s"SELECT event_type AS col_name,\n$cols\nFROM events WHERE user_id < 5 GROUP BY 1"
+    },
     "d_jaccard_verify" -> DuckSql.dJaccardVerify,
     "v_drift_lang" -> DuckSql.vDriftLang,
     "v_salted_hot" -> DuckSql.vSaltedHot)

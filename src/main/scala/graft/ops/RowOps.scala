@@ -55,6 +55,19 @@ object RowOps {
   def promoteToList(df: DataFrame, field: String): DataFrame =
     df.withColumn(field, array(col(field)))
 
+  /** `dropNull:` — the reference removes null-valued keys per row
+    * (transform/drop_null.go:14-22); with a fixed columnar schema the
+    * honest analog is row-level null handling. */
+  def dropNullRows(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.drop(cols)
+
+  /** `jsonParse` — parse a JSON-string field into typed columns
+    * (transform/json_parse.go:9-29; defined but unregistered in the
+    * reference — completed here via from_json). */
+  def jsonParse(df: DataFrame, field: String, schemaDdl: String, dst: String): DataFrame =
+    df.withColumn(dst,
+      from_json(col(field), org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)))
+
   /** `fieldParse:` — parse `k1=v1;k2=v2` string into a map
     * (transform/field_parse.go:24-55). */
   def fieldParse(df: DataFrame, field: String, dst: String,

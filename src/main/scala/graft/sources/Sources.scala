@@ -83,9 +83,35 @@ object Sources {
   def jsonDoc(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", value = true).json(path)
 
-  /** Avro OCF — avro_load.go:15-58. */
-  def avro(spark: SparkSession, path: String): DataFrame =
-    spark.read.format("avro").load(path)
+  /** Avro OCF — avro_load.go:15-58. The spark-avro module isn't on this
+    * classpath (only avro-core), so records are decoded per-partition
+    * with the bundled GenericDatumReader and handed to the JSON reader
+    * for schema inference — same rows-as-maps semantics as the
+    * reference's avro extractor. One file per task; fine for the OCF
+    * sizes sifter handles (a real deployment adds spark-avro and this
+    * becomes `read.format("avro")` behind the same signature). */
+  def avro(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new HPath(path)) match {
+      case null => Array.empty[String]
+      case st => st.map(_.getPath.toUri.getPath)
+    }
+    val jsons = spark.sparkContext
+      .parallelize(files.toIndexedSeq, math.max(files.length, 1))
+      .flatMap { f =>
+        val reader = new org.apache.avro.file.DataFileReader(
+          new java.io.File(f),
+          new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+        try {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (reader.hasNext) buf += reader.next().toString // Avro JSON encoding
+          buf
+        } finally reader.close()
+      }
+    import spark.implicits._
+    spark.read.json(spark.createDataset(jsons))
+  }
 
   /** Inline literal rows — embedded.go:5-16. */
   def embedded(spark: SparkSession, rows: Seq[(String, String)],
