@@ -205,6 +205,9 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.8)
         .select("id_a", "id_b", "jaccard")
     }),
+    "v_len_hist" -> ((s, d) =>
+      LengthHistogram.compute(FilesTable.files(s, d),
+        Seq("content", "path", "lang"), bucketWidth = 32)),
     "v_drift_lang" -> ((s, d) => {
       val f = FilesTable.files(s, d)
       DriftCheck.categoricalTv(f, coalesce(col("lang"), lit("__null__")),
@@ -316,6 +319,7 @@ object SparkEntry {
       s"SELECT event_type AS col_name,\n$cols\nFROM events WHERE user_id < 5 GROUP BY 1"
     },
     "d_jaccard_verify" -> DuckSql.dJaccardVerify,
+    "v_len_hist" -> DuckSql.vLenHist(Seq("content", "path", "lang"), 32),
     "v_drift_lang" -> DuckSql.vDriftLang,
     "v_salted_hot" -> DuckSql.vSaltedHot)
 }

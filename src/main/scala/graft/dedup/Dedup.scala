@@ -52,13 +52,13 @@ object Dedup {
     * Word grams stay distinctive even over small vocabularies where
     * char grams degenerate into every-doc-shares-every-shingle (which
     * turns LSH banding quadratic). */
-  def withWordShingles(df: DataFrame, textCol: String): DataFrame =
+  def withWordShingles(df: DataFrame, textCol: String): DataFrame = {
+    // codegen'd PolyHash per token (identical fold to the SQL-lambda
+    // formulation the oracle replays, minus the per-char array)
+    graft.expr.GraftFunctions.register(df.sparkSession)
     df
-      .withColumn("__th", expr(
-        s"""transform(split(trim($textCol), '\\\\s+'),
-           |  t -> aggregate(transform(sequence(1, length(t)),
-           |                           i -> ascii(substring(t, i, 1))),
-           |                 0L, (acc, x) -> (acc * 131 + x) % $P))""".stripMargin))
+      .withColumn("__th",
+        expr(s"transform(split(trim($textCol), '\\\\s+'), t -> polyhash(t))"))
       .withColumn("shingles",
         when(size(col("__th")) < 3, array().cast("array<bigint>"))
           .otherwise(expr(
@@ -66,6 +66,7 @@ object Dedup {
                |  i -> ((element_at(__th, i) * 131 + element_at(__th, i + 1)) % $P * 131
                |        + element_at(__th, i + 2)) % $P))""".stripMargin)))
       .drop("__th")
+  }
 
   /** MinHash signature: sig[i] = min over shingles of (a_i*x + b_i) mod P
     * with fixed odd multipliers — k permutation approximations. */

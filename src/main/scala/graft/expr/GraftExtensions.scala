@@ -1,0 +1,43 @@
+package graft.expr
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Registers the engine's custom Catalyst expressions.
+  *
+  * Two paths to the same functions:
+  *  - `spark.sql.extensions=graft.expr.GraftExtensions` (or
+  *    `.withExtensions(new GraftExtensions)`) at session build — the
+  *    cluster-deployment route;
+  *  - [[GraftFunctions.register]] on a live session — the library route
+  *    (idempotent; ops call it so `expr("... polyhash(t) ...")` lambdas
+  *    resolve without any session setup by the caller).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(e.injectFunction)
+}
+
+object GraftFunctions {
+  type Builder = Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+    org.apache.spark.sql.catalyst.expressions.Expression
+
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("polyhash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "polyhash"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => PolyHash(es.head)),
+    (FunctionIdentifier("uuid5"),
+      new ExpressionInfo(classOf[UuidV5].getName, "uuid5"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => UuidV5(es(0), es(1))),
+    (FunctionIdentifier("uuid3"),
+      new ExpressionInfo(classOf[UuidV3].getName, "uuid3"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => UuidV3(es(0), es(1))))
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+}

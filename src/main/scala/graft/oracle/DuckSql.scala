@@ -217,6 +217,13 @@ object DuckSql {
       |)
       |SELECT ROUND(SUM(ABS(p0 - p1)) / 2, 9) AS tv_dist FROM p""".stripMargin
 
+  def vLenHist(cols: Seq[String], width: Int): String = cte +
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(FLOOR(LENGTH(${q(c)}) / $width) AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM files_all WHERE ${q(c)} IS NOT NULL GROUP BY 1, 2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   def vSaltedHot: String = cte +
     "SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_rows FROM files_all GROUP BY 1"
 

@@ -138,6 +138,23 @@ object Profile {
   }
 }
 
+/** Per-column length histogram — the profile's distribution component
+  * (north star: "length histograms"), one groupBy pass per column set,
+  * emitted long-form (col_name, bucket, n_rows) so arbitrary column
+  * counts share one output schema. */
+object LengthHistogram {
+  def compute(df: DataFrame, cols: Seq[String], bucketWidth: Int): DataFrame = {
+    val pairs = explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"),
+        floor(length(col(c)) / bucketWidth).cast(LongType).as("bucket"))): _*))
+    df.select(pairs.as("p"))
+      .select(col("p.col_name"), col("p.bucket"))
+      .filter(col("bucket").isNotNull) // null values carry no length
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"))
+  }
+}
+
 /** Two-sample Kolmogorov–Smirnov distance over a bucketed numeric
   * derivation, computed from one aggregation pass: histogram per side →
   * CDFs → max |ΔCDF|. The post-aggregation windows run over the tiny

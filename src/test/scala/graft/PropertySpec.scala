@@ -1,0 +1,90 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.expr.{GraftFunctions, PolyHash}
+import graft.ops.RowOps
+import graft.sources.Sources
+import graft.validate.DriftCheck
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for rule compilation and the deterministic hashes
+  * (the SURVEY §5 plan: cast-fail→null, pattern/jaccard invariants,
+  * drift on known distributions). Raw scalacheck generators with a
+  * fixed seed (deterministic CI); Spark evaluates the properties.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("PolyHash(expr) == the SQL-lambda fold over random ASCII strings") {
+    GraftFunctions.register(spark)
+    val ss = samples(Gen.asciiPrintableStr.map(_.take(40)), 60)
+    val rows = ss.toDF("s").select(
+      call_function("polyhash", $"s").as("a"),
+      when(length($"s") === 0, 0L).otherwise(expr(
+        """aggregate(transform(sequence(1, length(s)),
+          |  i -> ascii(substring(s, i, 1))), 0L,
+          |  (acc, x) -> (acc * 131 + x) % 1000000007)""".stripMargin)).as("b"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("PolyHash static fold is the mathematical definition") {
+    samples(Gen.asciiPrintableStr.map(_.take(64)), 200).foreach { s =>
+      val expected = s.foldLeft(0L)((a, ch) => (a * 131 + ch.toInt) % 1000000007L)
+      assert(PolyHash.hash(UTF8String.fromString(s)) === expected)
+    }
+  }
+
+  test("fieldType: numeric strings parse, garbage casts to null") {
+    val nums = samples(Gen.choose(Long.MinValue / 2, Long.MaxValue / 2), 40)
+    val garbage = samples(Gen.alphaStr.map("x" + _), 20) ++ Seq("", "12a", "a12")
+    val inputs = nums.map(_.toString) ++ garbage
+    val out = RowOps.fieldType(inputs.toDF("v"), "v" -> LongType)
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    inputs.zip(out).foreach {
+      case (s, got) if nums.map(_.toString).contains(s) =>
+        assert(got === Some(s.toLong), s"numeric '$s'")
+      case (s, got) => assert(got === None, s"garbage '$s'")
+    }
+  }
+
+  test("jaccard bounded in [0,1], symmetric, 1 on self") {
+    val gen = Gen.listOfN(8, Gen.chooseNum(1L, 20L)).map(_.distinct)
+    samples(Gen.zip(gen, gen), 30).foreach { case (a, b) =>
+      val r = Seq((a, b)).toDF("a", "b").select(
+        Dedup.jaccardCol($"a", $"b"), Dedup.jaccardCol($"b", $"a"),
+        Dedup.jaccardCol($"a", $"a")).collect()(0)
+      val (j1, j2, self) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(j1 >= 0.0 && j1 <= 1.0)
+      assert(j1 === j2)
+      assert(self === 1.0)
+    }
+  }
+
+  test("KS distance is exactly 0 on identical halves, 1 on disjoint") {
+    val same = (0 until 400).map(i => (i, (i / 2) % 40)).toDF("id", "v")
+    assert(DriftCheck.ks(same, col("v"), col("id") % 2 === 0, 1)
+      .collect()(0).getDouble(0) === 0.0)
+    val disjoint = (0 until 400).map(i => (i, if (i % 2 == 0) i % 40 else 100 + i % 40))
+      .toDF("id", "v")
+    assert(DriftCheck.ks(disjoint, col("v"), col("id") % 2 === 0, 1)
+      .collect()(0).getDouble(0) === 1.0)
+  }
+
+  test("dedupHeader: unique outputs, order- and prefix-preserving") {
+    samples(Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d")), 50).foreach { names =>
+      val out = Sources.dedupHeader(names)
+      assert(out.distinct.size === out.size)
+      assert(out.zip(names).forall { case (o, n) => o.startsWith(n) })
+    }
+  }
+}
