@@ -46,6 +46,31 @@ object GraphEmit {
       .dropDuplicates("_from", "_to")
       .withColumn("_id", md5(concat(col("_from"), lit(">"), col("_to"))))
 
+  /** Schema-driven emission (playbook/output_graph.go:55-158: vertices +
+    * edges derived from a JSON-Schema class's `links` declarations).
+    * Vertex gid = `class/{idField}`; one edge set per link, target gid
+    * rendered from the link's href template. */
+  def schemaVertices(df: DataFrame, cls: graft.rules.SchemaLoader.SchemaClass,
+      idField: String = "id", dataCols: Seq[String] = Seq.empty): DataFrame =
+    df.select(Seq(
+      concat(lit(cls.id + "/"), col(idField)).as("_id"),
+      lit(cls.title).as("_label")) ++ dataCols.map(col): _*)
+      .dropDuplicates("_id")
+
+  def schemaEdges(df: DataFrame, cls: graft.rules.SchemaLoader.SchemaClass,
+      idField: String = "id"): DataFrame =
+    cls.links.map { link =>
+      df.filter(link.templateRequired.map(col(_).isNotNull)
+          .foldLeft(lit(true))(_ && _))
+        .select(
+          concat(lit(cls.id + "/"), col(idField)).as("_from"),
+          graft.rules.SchemaLoader.hrefColumn(link.href).as("_to"),
+          lit(link.rel).as("_label"))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(df.sparkSession.emptyDataFrame)
+      .dropDuplicates("_from", "_to", "_label")
+      .withColumn("_id", md5(concat(col("_from"), lit(">"), col("_to"), lit("#"), col("_label"))))
+
   /** graphcheck: edges whose destination vertex does not exist. */
   def orphanEdges(edges: DataFrame, vertices: DataFrame): DataFrame = {
     val ids = vertices.select(col("_id").as("__vid")).distinct()

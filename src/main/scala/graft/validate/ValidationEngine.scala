@@ -30,7 +30,8 @@ object Violations {
     * structs for the rules that fail, drop nulls, explode. Rows that pass
     * every rule contribute nothing (explode of empty array).
     */
-  def extract(files: DataFrame, rules: Seq[RowRule]): DataFrame = {
+  def extract(files: DataFrame, rules: Seq[RowRule],
+      keyCols: Seq[String] = graft.model.FileRow.key): DataFrame = {
     val checks = array(rules.map { r =>
       when(!r.pass, struct(
         lit(r.id).as("rule_id"),
@@ -38,10 +39,10 @@ object Violations {
         r.observed.as("observed")))
     }: _*)
     files
-      .select(col("repo"), col("path"), col("commit"),
-        explode(filter(checks, c => c.isNotNull)).as("v"))
-      .select(col("v.rule_id").as("rule_id"), col("v.col_name").as("col_name"),
-        col("repo"), col("path"), col("commit"), col("v.observed").as("observed"))
+      .select(keyCols.map(col) :+
+        explode(filter(checks, c => c.isNotNull)).as("v"): _*)
+      .select(Seq(col("v.rule_id").as("rule_id"), col("v.col_name").as("col_name")) ++
+        keyCols.map(col) :+ col("v.observed").as("observed"): _*)
   }
 }
 
