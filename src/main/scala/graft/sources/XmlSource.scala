@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.io.InputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** XML extractor with sifter's `level` splitting
+  * (extractors/xml_step.go:21-111): elements whose parent chain is
+  * exactly `level` deep each become one row; the subtree converts to a
+  * JSON object with goxml2json's conventions (attributes prefixed `-`,
+  * mixed text under `#content`, text-only elements as plain strings,
+  * repeated sibling names as arrays). level=0 converts the whole
+  * document into a single row.
+  *
+  * JDK StAX does the pull parsing (no external XML dependency); files
+  * fan out one-per-task and each subtree streams through the cursor —
+  * the document is never materialized whole.
+  */
+object XmlSource {
+
+  /** Parse one element's subtree (cursor ON its START_ELEMENT; returns
+    * with cursor ON its END_ELEMENT). */
+  private def readElement(r: XMLStreamReader): Any = {
+    val attrs = (0 until r.getAttributeCount)
+      .map(i => ("-" + r.getAttributeLocalName(i)) -> (r.getAttributeValue(i): Any))
+    val children = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Any]]
+    val text = new StringBuilder
+    var done = false
+    while (!done) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          val name = r.getLocalName
+          val v = readElement(r)
+          children.getOrElseUpdate(name, mutable.ArrayBuffer.empty) += v
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+          text.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT => done = true
+        case XMLStreamConstants.END_DOCUMENT => done = true
+        case _ => ()
+      }
+    }
+    val t = text.toString.trim
+    if (attrs.isEmpty && children.isEmpty) t
+    else {
+      val m = mutable.LinkedHashMap.empty[String, Any]
+      attrs.foreach { case (k, v) => m(k) = v }
+      children.foreach { case (k, vs) =>
+        m(k) = if (vs.size == 1) vs.head else vs.toSeq
+      }
+      if (t.nonEmpty) m("#content") = t
+      m
+    }
+  }
+
+  private def toJson(v: Any): String = v match {
+    case s: String => "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    case m: mutable.LinkedHashMap[_, _] =>
+      m.map { case (k, x) => toJson(k.toString) + ":" + toJson(x) }
+        .mkString("{", ",", "}")
+    case xs: Seq[_] => xs.map(toJson).mkString("[", ",", "]")
+    case other => toJson(other.toString)
+  }
+
+  /** One JSON string per element at ancestor-depth `level`
+    * (level=0 → single row for the document root). */
+  def rows(in: InputStream, level: Int): Seq[String] = {
+    val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val out = mutable.ArrayBuffer.empty[String]
+    try {
+      var depth = 0
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            if (depth == level) {
+              val name = r.getLocalName
+              val v = readElement(r) // consumes through END_ELEMENT
+              out += toJson(mutable.LinkedHashMap[String, Any](name -> v))
+              // cursor sits on END_ELEMENT of the captured subtree:
+              // depth unchanged relative to before the capture
+            } else depth += 1
+          case XMLStreamConstants.END_ELEMENT => depth -= 1
+          case _ => ()
+        }
+      }
+    } finally r.close()
+    out.toSeq
+  }
+
+  /** DataFrame over a file/glob, schema inferred from the JSON rows. */
+  def xml(spark: SparkSession, path: String, level: Int): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(new HPath(path)))
+      .getOrElse(Array.empty).map(_.getPath.toUri.getPath).toIndexedSeq
+    val jsons = spark.sparkContext
+      .parallelize(files, math.max(files.length, 1))
+      .flatMap { f =>
+        val raw: InputStream = new java.io.FileInputStream(f)
+        val in = if (f.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
+        try rows(in, level) finally in.close()
+      }
+    import spark.implicits._
+    spark.read.json(spark.createDataset(jsons))
+  }
+}
