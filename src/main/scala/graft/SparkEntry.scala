@@ -215,6 +215,15 @@ object SparkEntry {
     }),
     "v_salted_hot" -> ((s, d) =>
       SaltedAgg.countByKey(FilesTable.files(s, d), Seq("repo"))),
+    "d_embed_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val aug = e.unionAll(e.filter(col("vec_id") % 20 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + lit(0.5)),
+          expr("slice(v, 2, size(v) - 1)")).as("v")))
+      Dedup.embeddingNearDups(aug, "vec_id", "v", 0.8)
+    }),
     "q_json_parse" -> ((s, d) =>
       RowOps.jsonParse(t(s, d, "events"), "props", "k INT", "j")
         .select(col("event_id"), col("j.k").cast(LongType).as("k_num"))),
@@ -319,6 +328,7 @@ object SparkEntry {
       s"SELECT event_type AS col_name,\n$cols\nFROM events WHERE user_id < 5 GROUP BY 1"
     },
     "d_jaccard_verify" -> DuckSql.dJaccardVerify,
+    "d_embed_neardup" -> DuckSql.dEmbedNearDup,
     "v_len_hist" -> DuckSql.vLenHist(Seq("content", "path", "lang"), 32),
     "v_drift_lang" -> DuckSql.vDriftLang,
     "v_salted_hot" -> DuckSql.vSaltedHot)

@@ -108,6 +108,24 @@ object Dedup {
        |    >= size(split(trim($textCol), '\\\\s+'))
        |  THEN shiftleft(1L, b) ELSE 0L END))""".stripMargin)
 
+  /** Embedding-cosine near-duplicates: pairs above a cosine threshold.
+    * This is the exact O(n²) verification form (fine for a corpus slice
+    * or an LSH bucket); the scale path blocks candidates first with
+    * [[graft.sim.Ann.lshTopK]]'s SRP buckets and verifies only within
+    * buckets. Cosine folds left-to-right in double precision
+    * (cross-engine deterministic). */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"),
+      transform(col(vecCol), x => x.cast("double")).as("va"))
+    val b = emb.select(col(idCol).as("id_b"),
+      transform(col(vecCol), x => x.cast("double")).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(graft.sim.Ann.cosine("va", "vb"), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Exact Jaccard similarity between the shingle sets of a candidate
     * pair table (columns shingles_a, shingles_b). */
   def jaccardCol(a: Column, b: Column): Column =

@@ -238,6 +238,27 @@ object DuckSql {
        |FROM documents""".stripMargin
   }
 
+  private val cosFold: String =
+    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(1, len(va) + 1), i -> va[CAST(i AS INT)] * vb[CAST(i AS INT)])),
+      |  (acc, x2) -> acc + x2)
+      |/ (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(va, y -> y * y)), (a2, y2) -> a2 + y2))
+      | * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(vb, z -> z * z)), (a3, z2) -> a3 + z2)))""".stripMargin
+
+  def dEmbedNearDup: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |aug AS (
+       |  SELECT vec_id, v FROM e
+       |  UNION ALL SELECT vec_id + 100000, list_prepend(v[1] + 0.5, v[2:]) FROM e
+       |  WHERE vec_id % 20 = 0
+       |), scored AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ROUND(${cosFold.replace("va", "a.v").replace("vb", "b.v")}, 6) AS sim
+       |  FROM aug a, aug b WHERE a.vec_id < b.vec_id
+       |)
+       |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.8""".stripMargin
+
   // ---- similarity ----
 
   def sAnnTopk: String =

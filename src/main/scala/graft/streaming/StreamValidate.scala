@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
 
+/** One update row per (rule, micro-batch): cumulative + increment. */
+final case class RuleTotal(rule_id: String, total: Long, batch_inc: Long)
+
 /** Structured Streaming surface of the engine.
   *
   * The reference is strictly batch (finite file sources, pipelines
@@ -48,6 +51,26 @@ object StreamValidate {
     * aggregation (complete-mode memory sink for tests). */
   def runningViolationCounts(violations: DataFrame): DataFrame =
     violations.groupBy(col("rule_id")).count()
+
+  /** Custom state: running per-rule totals via mapGroupsWithState —
+    * the escape hatch when the running metric isn't a built-in
+    * aggregate (here it also carries the batch increment, which plain
+    * counts can't emit in update mode). */
+  def statefulRuleTotals(violations: DataFrame): org.apache.spark.sql.Dataset[RuleTotal] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    val spark = violations.sparkSession
+    import spark.implicits._
+    violations.select(col("rule_id").as[String])
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (rule: String, batch: Iterator[String], state: GroupState[Long]) => {
+          val inc = batch.size.toLong
+          val total = state.getOption.getOrElse(0L) + inc
+          state.update(total)
+          RuleTotal(rule, total, inc)
+        })
+  }
 
   def toMemorySink(df: DataFrame, name: String,
       outputMode: String): DataStreamWriter[Row] =
