@@ -88,8 +88,8 @@ object ScalingBench {
     phase("uniqueness")(Uniqueness.duplicates(files, FileRules.unique.columns).count())
     phase("referential")(Referential.orphansKnownSize(files, manifest,
       "repo", "repo", broadcastDim = true).count())
-    phase("profile")(Profile.columns(files,
-      Seq("repo", "path", "commit", "lang", "content"), exact = false).collect())
+    phase("profile")(ProfileSinglePass.columns(files,
+      Seq("repo", "path", "commit", "lang", "content")).collect())
     phase("drift")(DriftCheck.ks(files, length(col("content")), col("doc_id") % 2 === 0,
       FileRules.drift.bucketWidth).collect())
     (n, phases.toSeq)

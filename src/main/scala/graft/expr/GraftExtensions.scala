@@ -32,7 +32,11 @@ object GraftFunctions {
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => UuidV5(es(0), es(1))),
     (FunctionIdentifier("uuid3"),
       new ExpressionInfo(classOf[UuidV3].getName, "uuid3"),
-      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => UuidV3(es(0), es(1))))
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => UuidV3(es(0), es(1))),
+    (FunctionIdentifier("col_profile"),
+      new ExpressionInfo(classOf[ColumnProfileAgg].getName, "col_profile"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ColumnProfileAgg(es.head)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -139,6 +139,23 @@ object Profile {
   }
 }
 
+/** Scale-path profile: ONE custom TypedImperativeAggregate buffer per
+  * column ([[graft.expr.ColumnProfileAgg]]) carrying count/null/min/
+  * max-length/HLL together — one scan, one shuffle of K tiny buffers,
+  * no Expand node. [[Profile.columns]] with exact=true remains the
+  * oracle-comparable form. */
+object ProfileSinglePass {
+  def columns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val aggs = cols.map(c => call_function("col_profile", col(c)).as(s"${c}__pr"))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', ${c}__pr").mkString(", ")
+    row.select(expr(s"stack(${cols.size}, $stackArgs) as (col_name, pr)"))
+      .select(col("col_name"), col("pr.n_rows"), col("pr.n_null"),
+        col("pr.n_distinct_est"), col("pr.min_len"), col("pr.max_len"))
+  }
+}
+
 /** Per-column length histogram — the profile's distribution component
   * (north star: "length histograms"), one groupBy pass per column set,
   * emitted long-form (col_name, bucket, n_rows) so arbitrary column
