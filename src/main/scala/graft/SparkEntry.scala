@@ -5,7 +5,8 @@ import graft.graph.GraphEmit
 import graft.oracle.DuckSql
 import graft.ops.{Reshape, RowOps}
 import graft.rules.FileRules
-import graft.sim.Ann
+import graft.multimodal.Multimodal
+import graft.sim.{Ann, Ivf}
 import graft.synth.FilesTable
 import graft.text.TextOps
 import graft.validate._
@@ -238,6 +239,25 @@ object SparkEntry {
         "user_id", "event_type",
         Seq("click", "error", "purchase", "signup", "view"), count(lit(1)))
       Reshape.transpose(wide, "user_id", Seq("u0", "u1", "u2", "u3", "u4"))
+    }),
+    // rows-only queries (no SQL-expressible oracle): approximate ops
+    // verified in ScalaTest against their exact baselines instead
+    "x_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        10, planes = 4, tables = 8)
+    }),
+    "x_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ivf.search(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        10, nCells = 16, nprobe = 4)
+    }),
+    "x_media_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.syntheticMedia(s, 500)).toDF()),
+    "x_media_features" -> ((s, d) => {
+      val m = Multimodal.syntheticMedia(s, 500)
+      Multimodal.validFeatures(Multimodal.decodeMeta(m),
+        Multimodal.extractFeatures(m, frames = 2))
     }),
     "x_uuid5" -> ((s, d) => {
       graft.expr.UuidExprs.register(s)
