@@ -116,12 +116,19 @@ object Dedup {
     * (cross-engine deterministic). */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"),
-      transform(col(vecCol), x => x.cast("double")).as("va"))
-    val b = emb.select(col(idCol).as("id_b"),
-      transform(col(vecCol), x => x.cast("double")).as("vb"))
+    // norms hoisted out of the O(n^2) pair scoring: one fold per vector
+    // instead of two per pair (lambda folds are interpreted, so this is
+    // a 3x on the quadratic stage)
+    graft.expr.GraftFunctions.register(emb.sparkSession)
+    def norm(v: String) = sqrt(call_function("dotp", col(v), col(v)))
+    val base = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm("v"))
+    val a = base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(graft.sim.Ann.cosine("va", "vb"), 6))
+      .withColumn("sim", round(
+        call_function("dotp", col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

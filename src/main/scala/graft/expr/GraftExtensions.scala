@@ -36,7 +36,11 @@ object GraftFunctions {
     (FunctionIdentifier("col_profile"),
       new ExpressionInfo(classOf[ColumnProfileAgg].getName, "col_profile"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        ColumnProfileAgg(es.head)))
+        ColumnProfileAgg(es.head)),
+    (FunctionIdentifier("dotp"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dotp"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(es(0), es(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

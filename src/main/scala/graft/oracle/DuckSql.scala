@@ -252,10 +252,17 @@ object DuckSql {
        |  SELECT vec_id, v FROM e
        |  UNION ALL SELECT vec_id + 100000, list_prepend(v[1] + 0.5, v[2:]) FROM e
        |  WHERE vec_id % 20 = 0
+       |), augn AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, y -> y * y)),
+       |      (a2, y2) -> a2 + y2)) AS nrm
+       |  FROM aug
        |), scored AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |    ROUND(${cosFold.replace("va", "a.v").replace("vb", "b.v")}, 6) AS sim
-       |  FROM aug a, aug b WHERE a.vec_id < b.vec_id
+       |    ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(range(1, len(a.v) + 1), i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])),
+       |      (acc, x2) -> acc + x2) / (a.nrm * b.nrm), 6) AS sim
+       |  FROM augn a, augn b WHERE a.vec_id < b.vec_id
        |)
        |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.8""".stripMargin
 

@@ -21,13 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity between two array<double> columns (by name). */
+  /** Cosine similarity between two array<double> columns (by name).
+    * Uses the codegen'd [[graft.expr.DotProduct]] (left-to-right
+    * accumulation — bit-identical to the zip_with/aggregate fold, and
+    * norm = sqrt(dot(v,v)) matches the acc + v*v fold). Callers go
+    * through the public entry points below, which register the
+    * function on the session. */
   def cosine(a: String, b: String): Column = {
-    def dot(x: String, y: String): Column =
-      expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
-    def norm(x: String): Column =
-      sqrt(expr(s"aggregate($x, 0D, (acc, v) -> acc + v * v)"))
-    dot(a, b) / (norm(a) * norm(b))
+    def dot(x: String, y: String): Column = call_function("dotp", col(x), col(y))
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
   private def asDouble(c: Column): Column =
@@ -38,6 +40,7 @@ object Ann {
     * neighbor id after rounding to 6dp. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
     val scored = c.crossJoin(broadcast(q))
@@ -69,6 +72,7 @@ object Ann {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Int = 8, tables: Int = 4): DataFrame = {
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     val tbl = explode(expr(s"sequence(0, ${tables - 1})")).as("tbl")
     val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"), tbl)
       .withColumn("bucket", srpBucket("nv", planes, "tbl"))

@@ -24,6 +24,7 @@ object Ivf {
     * Returns (cell, centroid: array<double>). */
   def centroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 1): DataFrame = {
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     val n = corpus.count()
     val stride = math.max(n / k, 1L)
     val c0 = corpus
@@ -46,6 +47,7 @@ object Ivf {
   /** Nearest-cell assignment: (nid, nv, cell). */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
     val scored = c.crossJoin(broadcast(cents))
       .withColumn("sim", Ann.cosine("nv", "centroid"))
@@ -59,6 +61,7 @@ object Ivf {
   def search(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
       iters: Int = 1): DataFrame = {
+    graft.expr.GraftFunctions.register(corpus.sparkSession)
     val cents = centroids(corpus, idCol, vecCol, nCells, iters)
       .cache() // K×dim rows, reused for corpus assignment and query probes
     val cells = assign(corpus, idCol, vecCol, cents)
