@@ -137,6 +137,15 @@ object SparkEntry {
     "q_distinct" -> ((s, d) =>
       RowOps.distinctBy(t(s, d, "events").select("user_id", "event_type"),
         Seq("user_id", "event_type"))),
+    "q_window_agg" -> ((s, d) =>
+      // the batch face of streaming.StreamValidate.windowedEventAgg:
+      // identical plan shape, oracle-checkable sums
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("event_type"), col("n"), col("value_sum"))),
 
     // ---- graph emission + graphcheck (SURVEY.md §2.5) ----
     "g_vertices" -> ((s, d) =>
@@ -319,6 +328,12 @@ object SparkEntry {
       """SELECT lang, array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv,
         |COUNT(*) AS n_rows FROM documents GROUP BY 1""".stripMargin,
     "q_distinct" -> "SELECT DISTINCT user_id, event_type FROM events",
+    "q_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS w_start,
+        |date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "g_vertices" -> DuckSql.gVertices,
     "g_edges" -> DuckSql.gEdges,
     "g_orphan_edges" -> DuckSql.gOrphanEdges,

@@ -123,6 +123,18 @@ object RowOps {
       .agg(sort_array(collect_list(col(gather))).as(s"${gather}s"),
         count(lit(1)).as("n_rows"))
 
+  /** `accumulate:` full-row form — gather each group's complete rows
+    * into `{key, dest: [rows]}` exactly like the reference
+    * (transform/accumulate.go:18-32), deterministically ordered by the
+    * struct's field order (the reference's channel order is
+    * nondeterministic; we strengthen it). */
+  def accumulateRows(df: DataFrame, key: String, dest: String): DataFrame = {
+    val payload = struct(df.columns.filterNot(_ == key).map(col): _*)
+    df.groupBy(col(key))
+      .agg(sort_array(collect_list(payload)).as(dest),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** `lookup:` with `copy:` — enrich rows from a small reference table via
     * broadcast left join (transform/lookup.go:81-214 builds the whole
     * file into an in-memory map; broadcast is the cluster analog). */

@@ -180,4 +180,13 @@ class RowOpsSpec extends AnyFunSuite {
     val df = Seq(("k1", 1), ("k1", 2), ("k2", 3)).toDF("k", "v")
     assert(RowOps.distinctBy(df, Seq("k")).count() === 2)
   }
+
+  test("accumulateRows gathers full rows per key, sorted (transform/accumulate.go)") {
+    val df = Seq(("k1", 2, "b"), ("k1", 1, "a"), ("k2", 3, "c")).toDF("k", "n", "s")
+    val out = RowOps.accumulateRows(df, "k", "rows")
+      .orderBy("k").collect()
+    assert(out.map(_.getAs[Long]("n_rows")).toSeq === Seq(2L, 1L))
+    val k1 = out(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(k1.map(_.getInt(0)).toSeq === Seq(1, 2)) // sorted deterministically
+  }
 }
