@@ -291,7 +291,8 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_type = 'purchase' AND props IS NOT NULL AND LENGTH(props) > 0 AND user_id <> 0""".stripMargin,
     "q_clean" ->
-      """SELECT event_id, event_type,
+      """SELECT event_id,
+        |CASE WHEN LENGTH(event_type) = 0 THEN NULL ELSE event_type END AS event_type,
         |CASE WHEN LENGTH(props) = 0 THEN NULL ELSE props END AS props FROM events""".stripMargin,
     "q_field_type" ->
       """SELECT event_id,

@@ -96,13 +96,8 @@ object ScalingBench {
   }
 
   def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
+    val s = graft.GraftSession.builder(s"local[$cores]", cores)
       .appName(s"scaling-bench-$cores")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -55,9 +55,12 @@ object Main {
   }
 
   def run(filesPath: String, outRoot: String): Unit = {
-    val spark = SparkSession.builder()
+    // GraftSession's knobs (AQE, skew-join, split sizing, UTC,
+    // extensions); master comes from spark-submit or defaults local
+    val spark = graft.GraftSession
+      .builder(sys.env.getOrElse("SPARK_MASTER", "local[*]"),
+        Runtime.getRuntime.availableProcessors())
       .appName("sifterspark-run")
-      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

@@ -71,10 +71,18 @@ object GraphEmit {
       .dropDuplicates("_from", "_to", "_label")
       .withColumn("_id", md5(concat(col("_from"), lit(">"), col("_to"), lit("#"), col("_label"))))
 
-  /** graphcheck: edges whose destination vertex does not exist. */
-  def orphanEdges(edges: DataFrame, vertices: DataFrame): DataFrame = {
+  /** graphcheck: edges whose destination vertex does not exist.
+    * Same join policy as [[graft.validate.Referential]]: broadcast the
+    * vertex-id side only when its cardinality fits, else a shuffled
+    * anti-join (the vertex set includes one id per file row, so at
+    * 10^12 files broadcast is never an option). */
+  def orphanEdges(edges: DataFrame, vertices: DataFrame,
+      broadcastVertices: Option[Boolean] = None): DataFrame = {
     val ids = vertices.select(col("_id").as("__vid")).distinct()
-    edges.join(broadcast(ids), edges("_to") === col("__vid"), "left_anti")
+    val doBroadcast = broadcastVertices.getOrElse(
+      ids.count() <= graft.validate.Referential.BroadcastMaxRows)
+    val right = if (doBroadcast) broadcast(ids) else ids
+    edges.join(right, edges("_to") === col("__vid"), "left_anti")
       .select("_id", "_from", "_to", "_label")
   }
 }

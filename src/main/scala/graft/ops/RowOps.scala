@@ -140,9 +140,16 @@ object RowOps {
     * file into an in-memory map; broadcast is the cluster analog). */
   def lookupCopy(df: DataFrame, lookup: DataFrame, leftKey: Column,
       rightKey: Column, copies: (String, String)*): DataFrame = {
-    val joined = df.join(broadcast(lookup), leftKey === rightKey, "left")
-    copies.foldLeft(joined) { case (d, (dst, src)) => d.withColumn(dst, col(src)) }
-      .drop(lookup.columns.filterNot(c => copies.exists(_._1 == c)): _*)
+    // project + rename the lookup side to reserved names BEFORE joining,
+    // so lookup columns can never collide with (or silently drop)
+    // same-named main-table columns
+    val srcs = copies.map(_._2)
+    val lk = lookup.select(rightKey.as("__lk_key") +:
+      srcs.zipWithIndex.map { case (s, i) => lookup(s).as(s"__lk_src_$i") }: _*)
+    val joined = df.join(broadcast(lk), leftKey === col("__lk_key"), "left")
+    copies.zipWithIndex.foldLeft(joined) { case (d, ((dst, _), i)) =>
+      d.withColumn(dst, col(s"__lk_src_$i"))
+    }.drop("__lk_key" +: srcs.indices.map(i => s"__lk_src_$i"): _*)
   }
 
   /** `lookup:` with `replace:` — map a field through the table, keeping

@@ -287,9 +287,13 @@ object DuckSql {
       |)
       |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, sim FROM r WHERE rank <= 10""".stripMargin
 
-  def vDriftKs: String = cte +
-    """, hist AS (
-      |  SELECT CAST(FLOOR(LENGTH(content) / 64) AS BIGINT) AS bucket,
+  def vDriftKs: String = vDriftKs(FileRules.drift.bucketWidth)
+
+  /** Width taken from the same Drift rule object the Spark side reads —
+    * a config edit cannot desynchronize the two sides. */
+  def vDriftKs(bucketWidth: Int): String = cte +
+    s""", hist AS (
+      |  SELECT CAST(FLOOR(LENGTH(content) / $bucketWidth) AS BIGINT) AS bucket,
       |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
       |    SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS c1
       |  FROM files_all GROUP BY 1

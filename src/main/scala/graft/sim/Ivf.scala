@@ -25,11 +25,13 @@ object Ivf {
   def centroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 1): DataFrame = {
     graft.expr.GraftFunctions.register(corpus.sparkSession)
-    val n = corpus.count()
-    val stride = math.max(n / k, 1L)
+    // Seeds: the k smallest ids — TakeOrderedAndProject (per-partition
+    // heaps, no global sort), deterministic for ANY id space (dense,
+    // hashed, offset); the Lloyd step below does the spreading. The
+    // window ranks only the k seed rows.
     val c0 = corpus
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("centroid"))
-      .filter(pmod(col("cid"), lit(stride)) === 0)
+      .orderBy(col("cid"))
       .limit(k)
       .withColumn("cell", row_number().over(Window.orderBy("cid")) - 1)
       .select("cell", "centroid")

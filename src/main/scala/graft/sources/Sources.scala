@@ -46,7 +46,10 @@ object Sources {
       case None =>
         // header mode: first non-comment line names the columns
         // (driver-side single-line read, as the reference does)
-        val hdr = noComment.orderBy(col("__line")).head()
+        val hdr = noComment.orderBy(col("__line")).take(1).headOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"table source '$path': no header line (file empty, fully " +
+              "commented, or rowSkip past the end); pass explicit columns"))
         val names = dedupHeader(
           hdr.getString(0).split(Pattern.quote(spec.sep), -1).toSeq)
         (names, noComment.filter(col("__line") > hdr.getLong(1)))

@@ -30,26 +30,32 @@ object CheckpointedValidation {
     val ice = new IceLite(root)
     val snap = ice.nextSnapshotId
     val orgCol = Verdicts.org(col("repo"))
-    val parts = files.select(orgCol.as("part")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    val done = ice.completedParts(snap)
-    var processed = 0
-    parts.filterNot(done).foreach { part =>
-      crashAfter.filter(_ <= processed).foreach(_ => throw new SimulatedCrash)
-      val sub = files.filter(orgCol === part)
-      val verdicts = Verdicts.compute(spark, sub, rules)
-      val violations = Violations.extract(sub, rules)
-      val metrics = Profile.columns(sub,
-        Seq("repo", "path", "commit", "lang", "content"), exact = false)
-      // "part" is the hive partition dir; drop it from the data files and
-      // let readTable restore it from the directory (no duplicate column).
-      ice.commitPartition(snap, part, sub.count(),
-        Map("verdicts" -> verdicts.drop("part"), "violations" -> violations,
-          "metrics" -> metrics))
-      processed += 1
-    }
-    ice.commitSnapshot(snap, parts)
-    snap
+    // each partition's jobs re-filter the input; cache it once so the
+    // per-org loop does not rescan the source (at real scale this is
+    // Iceberg partition pruning instead)
+    val cached = files.cache()
+    try {
+      val parts = cached.select(orgCol.as("part")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val done = ice.completedParts(snap)
+      var processed = 0
+      parts.filterNot(done).foreach { part =>
+        crashAfter.filter(_ <= processed).foreach(_ => throw new SimulatedCrash)
+        val sub = cached.filter(orgCol === part)
+        val verdicts = Verdicts.compute(spark, sub, rules)
+        val violations = Violations.extract(sub, rules)
+        val metrics = Profile.columns(sub,
+          Seq("repo", "path", "commit", "lang", "content"), exact = false)
+        // "part" is the hive partition dir; drop it from the data files
+        // and let readTable restore it (no duplicate column).
+        ice.commitPartition(snap, part, sub.count(),
+          Map("verdicts" -> verdicts.drop("part"), "violations" -> violations,
+            "metrics" -> metrics))
+        processed += 1
+      }
+      ice.commitSnapshot(snap, parts)
+      snap
+    } finally cached.unpersist()
   }
 
   /** Convenience: committed verdicts of a snapshot (part restored from

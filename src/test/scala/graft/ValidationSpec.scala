@@ -154,6 +154,19 @@ class RowOpsSpec extends AnyFunSuite {
     assert(m === "2")
   }
 
+  test("lookupCopy: shared column names never collide or drop main columns") {
+    val main = Seq((1, "keep-me", "k1"), (2, "keep-too", "k2")).toDF("id", "name", "key")
+    val lk = Seq(("k1", "lk-name", "extra1")).toDF("key", "name", "extra")
+    val out = RowOps.lookupCopy(main, lk, main("key"), lk("key"),
+      "copied_name" -> "name", "copied_extra" -> "extra")
+    assert(out.columns.toSet ===
+      Set("id", "name", "key", "copied_name", "copied_extra"))
+    val r = out.orderBy("id").collect()
+    assert(r(0).getAs[String]("name") === "keep-me")   // main col intact
+    assert(r(0).getAs[String]("copied_name") === "lk-name")
+    assert(r(1).getAs[String]("copied_name") === null) // miss -> null
+  }
+
   test("lookupReplace: hit maps, miss keeps original (transform/lookup.go:154-189)") {
     val df = Seq("x", "y", "z").toDF("f")
     val lk = Seq(("x", "X!"), ("y", "Y!")).toDF("k", "v")

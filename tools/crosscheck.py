@@ -43,7 +43,9 @@ def main(sf_dir, out_dir):
             print(f"MISS  {name}: no spark output")
             failed.append(name)
             continue
-        got = con.execute(f"SELECT * FROM read_parquet('{pq[0]}')")
+        got = con.execute(
+            "SELECT * FROM read_parquet([" +
+            ",".join(f"'{p}'" for p in sorted(pq)) + "])")
         got_cols = [d[0] for d in got.description]
         got_rows = got.fetchall()
         try:
