@@ -56,7 +56,11 @@ object Main {
 
   def run(filesPath: String, outRoot: String): Unit = {
     // GraftSession's knobs (AQE, skew-join, split sizing, UTC,
-    // extensions); master comes from spark-submit or defaults local
+    // extensions); master comes from spark-submit or defaults local.
+    // Only stop the session if this call created it (library embedding
+    // keeps its own session alive).
+    val preexisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = graft.GraftSession
       .builder(sys.env.getOrElse("SPARK_MASTER", "local[*]"),
         Runtime.getRuntime.availableProcessors())
@@ -69,6 +73,6 @@ object Main {
       val v = CheckpointedValidation.verdicts(spark, outRoot, snap)
       val failed = v.filter(!org.apache.spark.sql.functions.col("pass")).count()
       println(s"snapshot $snap committed: ${v.count()} verdict cells, $failed failing")
-    } finally spark.stop()
+    } finally if (!preexisting) spark.stop()
   }
 }
