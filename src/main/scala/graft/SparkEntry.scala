@@ -184,8 +184,8 @@ object SparkEntry {
         Dedup.withMinhashSignature(Dedup.withWordShingles(aug, "text")), "doc_id")
     }),
     "d_simhash" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        Dedup.simhash("text").as("simhash16"))),
+      Dedup.simhashDf(t(s, d, "documents"), "text", "simhash16")
+        .select("doc_id", "simhash16")),
 
     // ---- similarity search (training-data ops) ----
     "s_ann_topk" -> ((s, d) => {

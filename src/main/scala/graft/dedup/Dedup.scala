@@ -96,17 +96,17 @@ object Dedup {
   }
 
   /** 16-bit SimHash over whitespace tokens: each token's polynomial hash
-    * votes ±1 per bit; majority sets the bit. */
-  def simhash(textCol: String): Column = expr(
-    s"""aggregate(sequence(0, 15), 0L, (acc, b) -> acc + (CASE WHEN
-       |  2 * size(filter(
-       |        transform(split(trim($textCol), '\\\\s+'),
-       |          t -> aggregate(transform(sequence(1, length(t)),
-       |                                   i -> ascii(substring(t, i, 1))),
-       |                         0L, (a2, x) -> (a2 * 131 + x) % $P)),
-       |        h -> (h div shiftleft(1L, b)) % 2 = 1))
-       |    >= size(split(trim($textCol), '\\\\s+'))
-       |  THEN shiftleft(1L, b) ELSE 0L END))""".stripMargin)
+    * votes ±1 per bit; majority sets the bit. Backed by the codegen'd
+    * [[graft.expr.SimHash16]] (bit-identical to the SQL-lambda
+    * formulation the oracle replays). Requires GraftFunctions.register
+    * on the session — [[simhashDf]] does it for you. */
+  def simhash(textCol: String): Column =
+    call_function("simhash16", col(textCol))
+
+  def simhashDf(df: DataFrame, textCol: String, dst: String): DataFrame = {
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    df.withColumn(dst, simhash(textCol))
+  }
 
   /** Embedding-cosine near-duplicates: pairs above a cosine threshold.
     * This is the exact O(n²) verification form (fine for a corpus slice

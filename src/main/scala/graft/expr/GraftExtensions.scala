@@ -40,7 +40,11 @@ object GraftFunctions {
     (FunctionIdentifier("dotp"),
       new ExpressionInfo(classOf[DotProduct].getName, "dotp"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(es(0), es(1))))
+        DotProduct(es(0), es(1))),
+    (FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash16(es.head)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

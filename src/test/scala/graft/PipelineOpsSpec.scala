@@ -73,7 +73,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("simhash: identical text => identical signature; disjoint differs") {
     val df = Seq((1L, "spark table scan merge"), (2L, "spark table scan merge"),
       (3L, "zq xv wk yj")).toDF("doc_id", "text")
-    val sigs = df.select(col("doc_id"), Dedup.simhash("text").as("s"))
+    val sigs = Dedup.simhashDf(df, "text", "s").select(col("doc_id"), col("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L) !== sigs(3L))
