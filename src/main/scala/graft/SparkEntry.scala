@@ -225,6 +225,13 @@ object SparkEntry {
     }),
     "v_salted_hot" -> ((s, d) =>
       SaltedAgg.countByKey(FilesTable.files(s, d), Seq("repo"))),
+    "d_simhash_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val aug = docs.unionAll(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+      Dedup.simhashPairs(aug, "doc_id", "text", maxHamming = 2)
+    }),
     "d_embed_neardup" -> ((s, d) => {
       val e = t(s, d, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -345,6 +352,7 @@ object SparkEntry {
     "d_dedup_exact" -> DuckSql.dDedupExact,
     "d_minhash_pairs" -> DuckSql.dMinhashPairs,
     "d_simhash" -> DuckSql.dSimhash,
+    "d_simhash_pairs" -> DuckSql.dSimhashPairs,
     "s_ann_topk" -> DuckSql.sAnnTopk,
     "q_field_process" -> DuckSql.qFieldProcess,
     "q_json_parse" ->

@@ -108,6 +108,21 @@ object Dedup {
     df.withColumn(dst, simhash(textCol))
   }
 
+  /** SimHash near-dup pairs: Hamming distance of the signatures ≤
+    * `maxHamming`. Exact pairwise form (the verification stage; for
+    * blocking at scale, bucket on signature bands first exactly like
+    * [[lshCandidatePairs]]). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sigs = simhashDf(df, textCol, "sig").select(col(idCol).as("id"), col("sig"))
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("sa"))
+    val b = sigs.select(col("id").as("id_b"), col("sig").as("sb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Embedding-cosine near-duplicates: pairs above a cosine threshold.
     * This is the exact O(n²) verification form (fine for a corpus slice
     * or an LSH bucket); the scale path blocks candidates first with

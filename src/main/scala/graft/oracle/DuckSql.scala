@@ -227,16 +227,30 @@ object DuckSql {
   def vSaltedHot: String = cte +
     "SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_rows FROM files_all GROUP BY 1"
 
-  def dSimhash: String = {
+  private def simhashSql(tc: String): String = {
     val tokHash = polyFold(charCodes("t", "1", "LENGTH(t)"))
-    s"""SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), b -> CASE WHEN
+    s"""CAST(list_sum(list_transform(range(0, 16), b -> CASE WHEN
        |    2 * len(list_filter(
-       |          list_transform(string_split_regex(TRIM(text), '\\s+'), t -> $tokHash),
+       |          list_transform(string_split_regex(TRIM($tc), '\\s+'), t -> $tokHash),
        |          h -> (h // (CAST(1 AS BIGINT) << b)) % 2 = 1))
-       |      >= len(string_split_regex(TRIM(text), '\\s+'))
-       |  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash16
-       |FROM documents""".stripMargin
+       |      >= len(string_split_regex(TRIM($tc), '\\s+'))
+       |  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
   }
+
+  def dSimhash: String =
+    s"SELECT doc_id, ${simhashSql("text")} AS simhash16\nFROM documents"
+
+  def dSimhashPairs: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id % 25 = 0
+       |), sh AS (
+       |  SELECT doc_id, ${simhashSql("text")} AS sig FROM aug
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sh a, sh b
+       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 2""".stripMargin
 
   private val cosFold: String =
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),

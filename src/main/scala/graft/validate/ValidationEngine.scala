@@ -44,6 +44,14 @@ object Violations {
       .select(Seq(col("v.rule_id").as("rule_id"), col("v.col_name").as("col_name")) ++
         keyCols.map(col) :+ col("v.observed").as("observed"): _*)
   }
+
+  /** Canonical serialization order for golden dumps: (rule_id, key...) —
+    * the frozen violation-fixture format (SURVEY §7: goldens must be
+    * deterministic across partitionings; comparisons are set-based, but
+    * files people diff need one order). */
+  def canonical(violations: DataFrame,
+      keyCols: Seq[String] = graft.model.FileRow.key): DataFrame =
+    violations.orderBy((("rule_id" +: keyCols) :+ "col_name").map(col): _*)
 }
 
 /** Two-phase salted aggregation for skewed low-cardinality group keys.
