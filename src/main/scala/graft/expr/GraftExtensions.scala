@@ -44,7 +44,11 @@ object GraftFunctions {
     (FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash16(es.head)))
+        SimHash16(es.head)),
+    (FunctionIdentifier("srp_bucket"),
+      new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SrpBucket(es(0), es(1), es(2))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

@@ -53,16 +53,13 @@ object Ann {
   }
 
   /** Sign-random-projection bucket id for LSH table `tblCol`: `planes`
-    * deterministic hyperplanes (component j of the p-th plane of table t
-    * = sin(1000 * (t * planes + p) + j) — fixed, engine-independent),
-    * one sign bit per plane. */
-  def srpBucket(vecCol: String, planes: Int, tblCol: String): Column = expr(
-    s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) -> acc * 2 +
-       |  (CASE WHEN aggregate(zip_with($vecCol,
-       |            transform(sequence(0, size($vecCol) - 1),
-       |                      j -> sin(1000 * ($tblCol * $planes + p) + j)),
-       |            (x, h) -> x * h), 0D, (a2, v) -> a2 + v) >= 0
-       |   THEN 1 ELSE 0 END))""".stripMargin)
+    * deterministic pseudo-random Rademacher hyperplanes, one sign bit
+    * per plane — the codegen'd [[graft.expr.SrpBucket]] (splitmix64
+    * plane components; see its scaladoc for why an integer-hash plane
+    * family is required — sinusoidal constructions collapse every table
+    * into one 2-D subspace and destroy multi-table recall). */
+  def srpBucket(vecCol: String, planes: Int, tblCol: String): Column =
+    call_function("srp_bucket", col(vecCol), col(tblCol), lit(planes))
 
   /** Approximate top-k: standard multi-table SRP-LSH — `tables`
     * independent plane sets, candidates = union over tables of same

@@ -79,6 +79,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sigs(1L) !== sigs(3L))
   }
 
+  test("simhash pairs: banded blocking matches the all-pairs form exactly, no cartesian") {
+    val base = docs.select("doc_id", "text").filter(col("doc_id") < 200)
+    val aug = base.unionAll(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text")))
+    val banded = Dedup.simhashPairs(aug, "doc_id", "text", maxHamming = 2)
+    // all-pairs reference computed inline (the old formulation)
+    val sigs = Dedup.simhashDf(aug, "text", "sig").select(col("doc_id").as("id"), col("sig"))
+    val brute = sigs.select(col("id").as("id_a"), col("sig").as("sa"))
+      .crossJoin(sigs.select(col("id").as("id_b"), col("sig").as("sb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= 2).select("id_a", "id_b", "hamming")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(toSet(banded) === toSet(brute))
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "banded simhash pairs must not fall back to an all-pairs join")
+  }
+
+  test("embedding near-dups: SRP blocking recovers the exact pair set, no cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val aug = emb.unionAll(emb.filter(col("vec_id") % 20 === 0).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      concat(array(element_at(col("v"), 1) + lit(0.5)),
+        expr("slice(v, 2, size(v) - 1)")).as("v")))
+    val blocked = Dedup.embeddingNearDups(aug, "vec_id", "v", 0.8)
+    val exact = Dedup.embeddingNearDupsExact(aug, "vec_id", "v", 0.8)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(toSet(blocked) === toSet(exact))
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "SRP-blocked near-dups must not fall back to an all-pairs join")
+  }
+
   test("ann: LSH bucketing recalls most brute-force top-3 neighbors") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 20)
