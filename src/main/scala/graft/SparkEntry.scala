@@ -112,6 +112,35 @@ object SparkEntry {
       RowOps.lookupReplace(t(s, d, "events"), lk, "event_type", "k", "v")
         .select("event_id", "event_type")
     }),
+    "q_lookup_replace_array" -> ((s, d) => {
+      val lk = s.createDataFrame(Seq(("data", "DATA"), ("the", "THE"))).toDF("k", "v")
+      val doc = t(s, d, "documents").withColumn("toks", split(col("text"), " "))
+      RowOps.lookupReplaceArray(doc, lk, "toks", "k", "v")
+        .select(col("doc_id"), array_join(col("toks"), " ").as("replaced"))
+    }),
+    "q_lookup_replace_mapkeys" -> ((s, d) => {
+      val lk = s.createDataFrame(Seq(("type", "event_kind"))).toDF("k", "v")
+      val e = t(s, d, "events").withColumn("kv",
+        concat(lit("type="), col("event_type"), lit(";user="), col("user_id").cast("string")))
+      val m = RowOps.fieldParse(e, "kv", "kvmap")
+      RowOps.lookupReplaceMapKeys(m, lk, "kvmap", "k", "v")
+        .select(col("event_id"),
+          array_join(sort_array(map_keys(col("kvmap"))), ",").as("keys_csv"),
+          element_at(col("kvmap"), "event_kind").as("kind_val"))
+    }),
+    "q_interval_attach" -> ((s, d) => {
+      val ref = t(s, d, "region").select(
+        col("r_regionkey").cast(LongType).as("rk"),
+        (col("r_regionkey") * lit(100.0)).as("lo"),
+        (col("r_regionkey") * lit(100.0) + lit(150.0)).as("hi"))
+      val ev = t(s, d, "events")
+        .select(col("event_id"), (col("user_id") % 5).as("mk"), col("value"))
+      RowOps.intervalAttach(ev, ref, "mk", "value", "value", "rk", "lo", "hi", "hits")
+        .select(col("event_id"),
+          array_join(transform(col("hits"), h => h.getField("rk").cast("string")), ",")
+            .as("rks"),
+          size(col("hits")).cast(LongType).as("n_hits"))
+    }),
     "q_interval" -> ((s, d) => {
       val ref = t(s, d, "region").select(
         col("r_regionkey").cast(LongType).as("rk"),
@@ -272,8 +301,15 @@ object SparkEntry {
       Multimodal.decodeMeta(Multimodal.syntheticMedia(s, 500)).toDF()),
     "x_media_features" -> ((s, d) => {
       val m = Multimodal.syntheticMedia(s, 500)
+      // feature serialized to fixed-precision csv: (a) arrays are
+      // unsortable in the driver's pandas canonicalization, (b) every
+      // value is integer/32 so %.5f is exact — a DuckDB oracle can
+      // replay the synthetic byte arithmetic byte-for-byte
       Multimodal.validFeatures(Multimodal.decodeMeta(m),
         Multimodal.extractFeatures(m, frames = 2))
+        .withColumn("feature_csv",
+          expr("array_join(transform(feature, x -> format_string('%.5f', x)), ',')"))
+        .drop("feature")
     }),
     "x_uuid5" -> ((s, d) => {
       graft.expr.UuidExprs.register(s)
@@ -321,6 +357,23 @@ object SparkEntry {
       """SELECT event_id,
         |CASE WHEN event_type = 'purchase' THEN 'BUY' WHEN event_type = 'signup' THEN 'NEW'
         |ELSE event_type END AS event_type FROM events""".stripMargin,
+    "q_lookup_replace_array" ->
+      """SELECT doc_id, array_to_string(list_transform(string_split(text, ' '),
+        |  t -> CASE WHEN t = 'data' THEN 'DATA' WHEN t = 'the' THEN 'THE' ELSE t END), ' ') AS replaced
+        |FROM documents""".stripMargin,
+    "q_lookup_replace_mapkeys" ->
+      """SELECT event_id, 'event_kind,user' AS keys_csv, event_type AS kind_val
+        |FROM events""".stripMargin,
+    "q_interval_attach" ->
+      """WITH ref AS (SELECT CAST(r_regionkey AS BIGINT) AS rk,
+        |  r_regionkey * CAST(100 AS DOUBLE) AS lo,
+        |  r_regionkey * CAST(100 AS DOUBLE) + 150 AS hi FROM region)
+        |SELECT e.event_id,
+        |  COALESCE(array_to_string(list_sort(list(r.rk) FILTER (r.rk IS NOT NULL)), ','), '') AS rks,
+        |  CAST(COUNT(r.rk) AS BIGINT) AS n_hits
+        |FROM events e
+        |LEFT JOIN ref r ON (e.user_id % 5) = r.rk AND e.value <= r.hi AND e.value >= r.lo
+        |GROUP BY e.event_id""".stripMargin,
     "q_interval" ->
       """WITH ref AS (SELECT CAST(r_regionkey AS BIGINT) AS rk,
         |  r_regionkey * CAST(100 AS DOUBLE) AS lo,
@@ -375,5 +428,7 @@ object SparkEntry {
     "d_embed_neardup" -> DuckSql.dEmbedNearDup,
     "v_len_hist" -> DuckSql.vLenHist(Seq("content", "path", "lang"), 32),
     "v_drift_lang" -> DuckSql.vDriftLang,
-    "v_salted_hot" -> DuckSql.vSaltedHot)
+    "v_salted_hot" -> DuckSql.vSaltedHot,
+    "x_media_meta" -> DuckSql.xMediaMeta,
+    "x_media_features" -> DuckSql.xMediaFeatures)
 }

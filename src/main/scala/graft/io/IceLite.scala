@@ -36,7 +36,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * }}}
   */
 class IceLite(val root: String) {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+  private implicit val fmts: Formats = DefaultFormats
+
   private def p(parts: String*): Path = Paths.get(root, parts: _*)
+
+  /** Partition/table names come from user data (e.g. the first path
+    * segment of arbitrary repos), so anything used as a path component
+    * is percent-encoded, and anything written into manifest/lineage
+    * JSON goes through a real JSON renderer — a quote or bracket in a
+    * part name must not corrupt the manifest or escape the layout. */
+  // %20 (not URLEncoder's '+') so Hive-style partition discovery
+  // unescapes part= dir values back to the raw name
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
   Files.createDirectories(p("snapshots"))
 
@@ -57,11 +72,11 @@ class IceLite(val root: String) {
     if (!Files.exists(d)) Set.empty
     else Files.list(d).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json")).toSet
+      .map(n => dec(n.stripSuffix(".json"))).toSet
   }
 
   def partDataDir(snap: Long, table: String, part: String): String =
-    p("data", s"snap=$snap", table, s"part=$part").toString
+    p("data", s"snap=$snap", enc(table), s"part=${enc(part)}").toString
 
   private def atomicWrite(target: Path, content: String): Unit = {
     Files.createDirectories(target.getParent)
@@ -78,26 +93,28 @@ class IceLite(val root: String) {
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(partDataDir(snap, name, part))
     }
-    val tbls = tables.keys.toSeq.sorted.map(t => s""""$t"""").mkString("[", ",", "]")
-    atomicWrite(lineageDir(snap).resolve(s"$part.json"),
-      s"""{"snapshot":$snap,"part":"$part","rows":$rowCount,"tables":$tbls}""")
+    val doc = JObject(
+      "snapshot" -> JLong(snap), "part" -> JString(part),
+      "rows" -> JLong(rowCount),
+      "tables" -> JArray(tables.keys.toList.sorted.map(JString(_))))
+    atomicWrite(lineageDir(snap).resolve(s"${enc(part)}.json"),
+      JsonMethods.compact(JsonMethods.render(doc)))
   }
 
   /** Finalize: manifest then pointer swap. */
   def commitSnapshot(snap: Long, parts: Seq[String]): Unit = {
     val parent = currentSnapshotId.getOrElse(0L)
-    val ps = parts.sorted.map(x => s""""$x"""").mkString("[", ",", "]")
+    val doc = JObject(
+      "id" -> JLong(snap), "parent" -> JLong(parent),
+      "parts" -> JArray(parts.sorted.toList.map(JString(_))))
     atomicWrite(p("snapshots", s"v$snap.json"),
-      s"""{"id":$snap,"parent":$parent,"parts":$ps}""")
+      JsonMethods.compact(JsonMethods.render(doc)))
     atomicWrite(p("_current"), snap.toString)
   }
 
   def snapshotParts(snap: Long): Seq[String] = {
     val f = p("snapshots", s"v$snap.json")
-    val s = Files.readString(f)
-    """"parts":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-      .map(_.group(1).split(",").filter(_.nonEmpty).map(_.replaceAll("\"", "")).toSeq)
-      .getOrElse(Seq.empty)
+    (JsonMethods.parse(Files.readString(f)) \ "parts").extract[Seq[String]]
   }
 
   /** Read a table of a committed snapshot across all its partitions. */

@@ -163,12 +163,52 @@ object RowOps {
       .drop("__lk_key", "__lk_val")
   }
 
-  /** `intervalIntersect:` — attach every reference interval overlapping
-    * the row's [start,end] on the same match key
-    * (transform/lookup_interval.go:110-205: per-chromosome interval
-    * trees). Expressed as an equi-join on the match key (hash
-    * partitionable — the interval tree's chromosome index) plus a range
-    * predicate Catalyst evaluates post-probe. */
+  /** Literal map column from a dictionary-sized lookup DataFrame — the
+    * exact analog of the reference loading the whole lookup file into an
+    * in-memory hash (transform/lookup.go:249-281): collected once on the
+    * driver at plan build, then evaluated as a codegen'd map literal on
+    * every executor (no shuffle, no join). Guarded: a lookup too large
+    * to be a plan literal should go through the join-based
+    * [[lookupReplace]]/[[lookupCopy]] instead. */
+  private def litMap(lookup: DataFrame, keyCol: String, valCol: String): Column = {
+    val rows = lookup
+      .select(col(keyCol).cast("string"), col(valCol).cast("string")).collect()
+    require(rows.length <= 100000,
+      s"lookup table too large for a literal map (${rows.length} rows); " +
+        "use the join-based lookupReplace/lookupCopy")
+    map(rows.toIndexedSeq.flatMap(r =>
+      Seq(lit(r.getString(0)), lit(r.getString(1)))): _*)
+  }
+
+  /** `lookup:` with `replace:` over an ARRAY field — each element is
+    * mapped through the table, miss → element unchanged
+    * (transform/lookup.go:190-201: the `[]any` branch of the replace
+    * path). */
+  def lookupReplaceArray(df: DataFrame, lookup: DataFrame, field: String,
+      rightKey: String, rightValue: String): DataFrame = {
+    val m = litMap(lookup, rightKey, rightValue)
+    df.withColumn(field,
+      transform(col(field), x => coalesce(element_at(m, x), x)))
+  }
+
+  /** `lookup:` with `replace:` over a MAP field's KEYS — each key is
+    * mapped through the table, miss → key unchanged, values untouched
+    * (transform/lookup.go:202-214: the `map[string]any` branch rewrites
+    * keys). */
+  def lookupReplaceMapKeys(df: DataFrame, lookup: DataFrame, field: String,
+      rightKey: String, rightValue: String): DataFrame = {
+    val m = litMap(lookup, rightKey, rightValue)
+    df.withColumn(field,
+      map_from_entries(transform(map_entries(col(field)), e =>
+        struct(coalesce(element_at(m, e.getField("key")), e.getField("key")).as("key"),
+          e.getField("value").as("value")))))
+  }
+
+  /** `intervalIntersect:` joined-rows form — one output row per
+    * (row, overlapping ref) pair. Expressed as an equi-join on the match
+    * key (hash partitionable — the interval tree's chromosome index,
+    * transform/lookup_interval.go:110-165) plus a range predicate
+    * Catalyst evaluates post-probe. */
   def intervalIntersect(df: DataFrame, ref: DataFrame,
       matchKey: String, start: String, end: String,
       refMatch: String, refStart: String, refEnd: String): DataFrame =
@@ -176,4 +216,48 @@ object RowOps {
       df(matchKey) === ref(refMatch) &&
         df(start) <= ref(refEnd) && df(end) >= ref(refStart),
       "inner")
+
+  /** `intervalIntersect:` attach form — the reference's actual output
+    * shape (transform/lookup_interval.go:166-205): every row is kept,
+    * ALL intersecting reference rows are attached as a sorted array
+    * field, no intersection → empty array. Left join + groupBy on a
+    * plan-local row id + collect_list; the `when(isNotNull)` wrapper
+    * makes collect_list skip the miss rows (→ []). */
+  def intervalAttach(df: DataFrame, ref: DataFrame,
+      matchKey: String, start: String, end: String,
+      refMatch: String, refStart: String, refEnd: String,
+      attachAs: String): DataFrame = {
+    val withId = df.withColumn("__row_id", monotonically_increasing_id())
+    val joined = withId.join(ref,
+      withId(matchKey) === ref(refMatch) &&
+        withId(start) <= ref(refEnd) && withId(end) >= ref(refStart),
+      "left")
+    val refStruct = struct(ref.columns.toIndexedSeq.map(ref(_)): _*)
+    val leftCols = df.columns.toIndexedSeq
+    val aggs = leftCols.map(c => first(withId(c)).as(c)) :+
+      sort_array(collect_list(when(ref(refMatch).isNotNull, refStruct)))
+        .as(attachAs)
+    joined.groupBy(col("__row_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__row_id")
+  }
+
+  /** JSONPath-style nested set (evaluate/jsonpath.go:9-21 auto-prefixes
+    * `$.`): `projectNested(df, "a.b.c", v)` sets/creates field c inside
+    * struct column a.b via withField — the `project:` analog for nested
+    * targets. */
+  def projectNested(df: DataFrame, path: String, value: Column): DataFrame = {
+    val parts = path.split("\\.")
+    require(parts.length >= 2,
+      s"nested path must be struct.field[.field...], got '$path' (use project)")
+    df.withColumn(parts.head,
+      col(parts.head).withField(parts.tail.mkString("."), value))
+  }
+
+  /** `debug:` — log rows, pass the stream through unchanged
+    * (transform/debug.go:17-20). */
+  def debug(df: DataFrame, numRows: Int = 20): DataFrame = {
+    df.show(numRows, truncate = false)
+    df
+  }
 }

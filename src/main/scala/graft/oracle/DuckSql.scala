@@ -301,6 +301,39 @@ object DuckSql {
       |)
       |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, sim FROM r WHERE rank <= 10""".stripMargin
 
+  // ---- multimodal (Multimodal.syntheticMedia is pure integer byte
+  // arithmetic, so DuckDB replays it from range(500) with no table) ----
+
+  /** Oracle for decodeMeta over the synthetic corpus: header layout and
+    * the corrupt-row rule (id % 13 == 5 → invalid, width/height 0) as
+    * declared in Multimodal.syntheticMedia/StubCodec. */
+  def xMediaMeta: String =
+    """SELECT range AS media_id,
+      |  CASE WHEN range % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+      |  CAST(68 AS BIGINT) AS byte_len,
+      |  CASE WHEN range % 13 = 5 THEN 0 ELSE CAST(16 + range % 64 AS INT) END AS width,
+      |  CASE WHEN range % 13 = 5 THEN 0 ELSE CAST(16 + (range * 7) % 64 AS INT) END AS height,
+      |  range % 13 <> 5 AS valid
+      |FROM range(500)""".stripMargin
+
+  /** Oracle for validFeatures: frame f's feature i (multiplier i+1 on
+    * Spark's 0-based index = i on this 1-based range) is the mean of
+    * ((body_j * i) % 251) over body bytes j = f..f+31, body_j =
+    * (id*131 + j*17) % 251 — integer/32 throughout, so %.5f is exact on
+    * both engines. Corrupt rows (id % 13 = 5) are dropped by the valid
+    * join. */
+  def xMediaFeatures: String =
+    """WITH m AS (SELECT range AS id FROM range(500) WHERE range % 13 <> 5),
+      |f AS (SELECT id, UNNEST([0, 1]) AS frame FROM m)
+      |SELECT id AS media_id, frame,
+      |  CASE WHEN id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+      |  CAST(16 + id % 64 AS INT) AS width,
+      |  CAST(16 + (id * 7) % 64 AS INT) AS height,
+      |  array_to_string(list_transform(range(1, 9), i ->
+      |    printf('%.5f', list_sum(list_transform(range(frame, frame + 32),
+      |      j -> CAST(((id * 131 + j * 17) % 251) * i % 251 AS DOUBLE))) / 32.0)), ',') AS feature_csv
+      |FROM f""".stripMargin
+
   def vDriftKs: String = vDriftKs(FileRules.drift.bucketWidth)
 
   /** Width taken from the same Drift rule object the Spark side reads —

@@ -37,12 +37,16 @@ object Ivf {
       .select("cell", "centroid")
     (1 to iters).foldLeft(c0) { (cents, _) =>
       val assigned = assign(corpus, idCol, vecCol, cents)
-      assigned
+      val refined = assigned
         .select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("m"))
         .groupBy("cell")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-          .as("centroid"))
+          .as("centroid2"))
+      // a cell that received no assignments keeps its previous centroid
+      // (dropping it would silently shrink the effective nCells)
+      cents.join(refined, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("centroid2"), col("centroid")).as("centroid"))
     }
   }
 
@@ -64,8 +68,21 @@ object Ivf {
       vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
       iters: Int = 1): DataFrame = {
     graft.expr.GraftFunctions.register(corpus.sparkSession)
-    val cents = centroids(corpus, idCol, vecCol, nCells, iters)
-      .cache() // K×dim rows, reused for corpus assignment and query probes
+    val spark = corpus.sparkSession
+    // centroids are K×dim — tiny by construction. Materialize them to
+    // the driver and re-plan as a literal DataFrame: the (broadcast)
+    // reuse across corpus assignment and query probes costs nothing,
+    // and no cached blocks leak into a long-lived session (a .cache()
+    // here had no safe unpersist point, since the returned plan is lazy)
+    val centRows = centroids(corpus, idCol, vecCol, nCells, iters).collect().toIndexedSeq
+    val cents = spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
     val cells = assign(corpus, idCol, vecCol, cents)
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
     val probeW = Window.partitionBy("qid").orderBy(col("csim").desc, col("cell"))

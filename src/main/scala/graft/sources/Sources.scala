@@ -23,36 +23,80 @@ object Sources {
       columns: Option[Seq[String]] = None,
       extraColumns: Option[String] = None)
 
-  /** TSV/CSV with sifter semantics. Gzip handled by codec inference. */
-  def table(spark: SparkSession, path: String, spec: TableSpec = TableSpec()): DataFrame = {
-    // Physical line numbers drive rowSkip and header-drop, matching the
-    // reference's sequential single-file scan. zipWithIndex is the one
-    // genuinely order-dependent operation in the engine — RDD use is
-    // confined to tagging line numbers; everything after is columnar.
-    val raw: DataFrame = {
-      val schema = StructType(Seq(StructField("value", StringType),
-        StructField("__line", LongType)))
-      val rdd = spark.read.text(path).rdd.zipWithIndex()
-        .map { case (r, i) => Row(r.getString(0), i) }
-      spark.createDataFrame(rdd, schema)
+  /** Lines of one file with per-file post-comment record numbers —
+    * a sequential scan of exactly one file per call, mirroring the
+    * reference's csv.Reader loop (comments are dropped by the reader
+    * BEFORE rowSkip counts records, tabular_load.go:88-135). The stream
+    * closes when the iterator exhausts. */
+  private def fileRecords(in: java.io.InputStream, comment: String): Iterator[(String, Long)] = {
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    var rec = -1L
+    val it = src.getLines()
+      .filter(l => comment.isEmpty || !l.startsWith(comment))
+      .map { l => rec += 1; (l, rec) }
+    new Iterator[(String, Long)] {
+      def hasNext: Boolean = { val h = it.hasNext; if (!h) src.close(); h }
+      def next(): (String, Long) = it.next()
     }
-    val afterSkip = raw.filter(col("__line") >= spec.rowSkip)
-    val noComment =
-      if (spec.comment.isEmpty) afterSkip
-      else afterSkip.filter(!col("value").startsWith(spec.comment))
+  }
+
+  private def openFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): java.io.InputStream = {
+    val raw = fs.open(p)
+    if (p.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
+  }
+
+  /** TSV/CSV with sifter semantics: `comment` lines dropped first,
+    * `rowSkip` then counts post-comment RECORDS, the header (when no
+    * explicit `columns`) is the first post-skip record — all PER FILE
+    * when `path` is a glob (the reference processes one file per table
+    * step; glob inputs repeat those semantics per file). Each matched
+    * file is one sequential task — the reference's scan model — opened
+    * through the Hadoop FileSystem so distributed storage works; field
+    * split / short-row padding / overflow stay columnar. Quote handling
+    * is plain-split (the reference's LazyQuotes mode for quote-free
+    * data). */
+  def table(spark: SparkSession, path: String, spec: TableSpec = TableSpec()): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    val fs = FileSystem.get(hconf)
+    val files = (fs.globStatus(new HPath(path)) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case st => st
+    }).map(_.getPath.toString).sorted.toIndexedSeq
+    require(files.nonEmpty, s"table source '$path': no files match")
+
+    val comment = spec.comment
+    val rowSkip = spec.rowSkip.toLong
+    val schema = StructType(Seq(StructField("value", StringType),
+      StructField("__rec", LongType)))
+    val rdd = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
+      val p = new HPath(f)
+      fileRecords(openFile(p.getFileSystem(conf.value), p), comment)
+        .filter(_._2 >= rowSkip)
+        .map { case (l, r) => Row(l, r) }
+    }
+    val afterSkip = spark.createDataFrame(rdd, schema)
 
     val (cols: Seq[String], body: DataFrame) = spec.columns match {
-      case Some(cs) => (cs, noComment)
+      case Some(cs) => (cs, afterSkip)
       case None =>
-        // header mode: first non-comment line names the columns
-        // (driver-side single-line read, as the reference does)
-        val hdr = noComment.orderBy(col("__line")).take(1).headOption
-          .getOrElse(throw new IllegalArgumentException(
-            s"table source '$path': no header line (file empty, fully " +
-              "commented, or rowSkip past the end); pass explicit columns"))
-        val names = dedupHeader(
-          hdr.getString(0).split(Pattern.quote(spec.sep), -1).toSeq)
-        (names, noComment.filter(col("__line") > hdr.getLong(1)))
+        // header mode: column NAMES come from the first file that has a
+        // post-skip record (driver-side peek, like the reference's
+        // sequential read); every file's own header record is dropped
+        val hdr = files.iterator.flatMap { f =>
+          val in = openFile(fs, new HPath(f))
+          try {
+            scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .filter(l => comment.isEmpty || !l.startsWith(comment))
+              .slice(spec.rowSkip, spec.rowSkip + 1).toList.headOption
+          } finally in.close()
+        }.take(1).toSeq.headOption.getOrElse(throw new IllegalArgumentException(
+          s"table source '$path': no header record (files empty, fully " +
+            "commented, or rowSkip past the end); pass explicit columns"))
+        val names = dedupHeader(hdr.split(Pattern.quote(spec.sep), -1).toSeq)
+        (names, afterSkip.filter(col("__rec") > rowSkip))
     }
 
     val parts = split(col("value"), Pattern.quote(spec.sep), -1)
@@ -95,16 +139,21 @@ object Sources {
     * becomes `read.format("avro")` behind the same signature). */
   def avro(spark: SparkSession, path: String): DataFrame = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(new HPath(path)) match {
       case null => Array.empty[String]
-      case st => st.map(_.getPath.toUri.getPath)
+      case st => st.map(_.getPath.toString)
     }
     val jsons = spark.sparkContext
       .parallelize(files.toIndexedSeq, math.max(files.length, 1))
       .flatMap { f =>
-        val reader = new org.apache.avro.file.DataFileReader(
-          new java.io.File(f),
+        // Hadoop FS open (not java.io.File): works against distributed
+        // storage from any executor, not just local paths
+        val p = new HPath(f)
+        val reader = new org.apache.avro.file.DataFileStream(
+          p.getFileSystem(conf.value).open(p),
           new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
         try {
           val buf = scala.collection.mutable.ArrayBuffer.empty[String]

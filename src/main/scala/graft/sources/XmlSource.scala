@@ -71,9 +71,15 @@ object XmlSource {
   }
 
   /** One JSON string per element at ancestor-depth `level`
-    * (level=0 → single row for the document root). */
+    * (level=0 → single row for the document root). DTD processing and
+    * external entity resolution are disabled: source XML is untrusted
+    * input, and default StAX settings allow XXE file disclosure and
+    * billion-laughs entity expansion inside executors. */
   def rows(in: InputStream, level: Int): Seq[String] = {
-    val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val factory = XMLInputFactory.newInstance()
+    factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    val r = factory.createXMLStreamReader(in)
     val out = mutable.ArrayBuffer.empty[String]
     try {
       var depth = 0
@@ -95,16 +101,22 @@ object XmlSource {
     out.toSeq
   }
 
-  /** DataFrame over a file/glob, schema inferred from the JSON rows. */
+  /** DataFrame over a file/glob, schema inferred from the JSON rows.
+    * Tasks open files through the Hadoop FileSystem (conf broadcast to
+    * executors), so any distributed store the cluster mounts works —
+    * not just executor-local paths. */
   def xml(spark: SparkSession, path: String, level: Int): DataFrame = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val files = Option(fs.globStatus(new HPath(path)))
-      .getOrElse(Array.empty).map(_.getPath.toUri.getPath).toIndexedSeq
+      .getOrElse(Array.empty).map(_.getPath.toString).toIndexedSeq
     val jsons = spark.sparkContext
       .parallelize(files, math.max(files.length, 1))
       .flatMap { f =>
-        val raw: InputStream = new java.io.FileInputStream(f)
+        val p = new HPath(f)
+        val raw: InputStream = p.getFileSystem(conf.value).open(p)
         val in = if (f.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
         try rows(in, level) finally in.close()
       }

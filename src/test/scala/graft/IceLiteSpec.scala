@@ -34,6 +34,23 @@ class IceLiteSpec extends AnyFunSuite {
     assert(lin.agg(sum("rows")).collect()(0).getLong(0) === files.count())
   }
 
+  test("hostile partition names survive the manifest round-trip") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    val nasty = Seq("""org"x""", "a,b", "c]d[e", "sl/ash", "sp ace")
+    val snap = ice.nextSnapshotId
+    nasty.foreach { part =>
+      ice.commitPartition(snap, part, 1L,
+        Map("t" -> Seq((part, 1L)).toDF("part", "n")))
+    }
+    ice.commitSnapshot(snap, nasty)
+    assert(ice.snapshotParts(snap).sorted === nasty.sorted)
+    assert(ice.completedParts(snap) === nasty.toSet)
+    val back = ice.readTable(spark, snap, "t")
+    assert(back.select("part").collect().map(_.getString(0)).sorted === nasty.sorted.toArray)
+  }
+
   test("kill between partitions -> resume skips completed, verdicts identical") {
     val root = freshRoot()
     intercept[CheckpointedValidation.SimulatedCrash] {

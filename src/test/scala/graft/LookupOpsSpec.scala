@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.RowOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference-semantics tests for the round-2 RowOps additions: lookup
+  * replace over array elements and map keys (transform/lookup.go:154-214),
+  * intervalIntersect's attach-as-array output shape
+  * (transform/lookup_interval.go:166-205), and the nested project set
+  * (evaluate/jsonpath.go:9-21). */
+class LookupOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  lazy val lk = Seq(("a", "A"), ("b", "B")).toDF("k", "v")
+
+  test("lookupReplaceArray: hit elements mapped, misses unchanged, order kept") {
+    val df = Seq((1L, Seq("a", "x", "b", "a")), (2L, Seq.empty[String]))
+      .toDF("id", "xs")
+    val out = RowOps.lookupReplaceArray(df, lk, "xs", "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq("A", "x", "B", "A"))
+    assert(out(2L) === Seq.empty)
+  }
+
+  test("lookupReplaceMapKeys: keys rewritten, values untouched, misses kept") {
+    val df = Seq((1L, Map("a" -> "1", "z" -> "2"))).toDF("id", "m")
+    val out = RowOps.lookupReplaceMapKeys(df, lk, "m", "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getMap[String, String](1)).toMap
+    assert(out(1L).toMap === Map("A" -> "1", "z" -> "2"))
+  }
+
+  test("intervalAttach: all overlaps attached sorted, miss -> empty array, dup rows kept") {
+    val ref = Seq(("c1", 0.0, 10.0, "r1"), ("c1", 5.0, 20.0, "r2"),
+      ("c2", 0.0, 100.0, "r3")).toDF("rm", "rs", "re", "rname")
+    // two identical rows must each keep their own attachment (no merge)
+    val rows = Seq(("c1", 7.0, 8.0), ("c1", 7.0, 8.0), ("c1", 50.0, 60.0),
+      ("c9", 1.0, 2.0)).toDF("m", "s", "e")
+    val out = RowOps.intervalAttach(rows, ref, "m", "s", "e", "rm", "rs", "re", "hits")
+      .withColumn("names", expr("transform(hits, h -> h.rname)"))
+    val got = out.select("m", "s", "names").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getSeq[String](2)))
+    assert(got.count { case (m, s, ns) => m == "c1" && s == 7.0 && ns == Seq("r1", "r2") } === 2)
+    assert(got.exists { case (m, s, ns) => m == "c1" && s == 50.0 && ns.isEmpty })
+    assert(got.exists { case (m, _, ns) => m == "c9" && ns.isEmpty })
+    assert(got.length === 4)
+  }
+
+  test("projectNested: sets and creates fields inside a struct column") {
+    val df = Seq((1L, ("x", 2L))).toDF("id", "s")
+    val out = RowOps.projectNested(
+      RowOps.projectNested(df, "s._1", lit("y")), "s.extra", lit(9L))
+    val r = out.select("s._1", "s._2", "s.extra").collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) === (("y", 2L, 9L)))
+    intercept[IllegalArgumentException](RowOps.projectNested(df, "flat", lit(1)))
+  }
+
+  test("debug: passes rows through unchanged") {
+    val df = Seq((1L, "a")).toDF("id", "x")
+    assert(RowOps.debug(df, 1).collect() === df.collect())
+  }
+}

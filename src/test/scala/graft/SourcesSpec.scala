@@ -45,6 +45,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.orderBy("k").collect().map(_.getString(0)).toSeq === Seq("x", "y"))
   }
 
+  test("table: glob applies header-drop, comments, and rowSkip PER FILE") {
+    val d = Files.createTempDirectory("multi")
+    // comment lines must NOT count toward rowSkip (csv.Reader drops them
+    // before the skip counter, tabular_load.go:88-135)
+    Files.writeString(d.resolve("a.tsv"),
+      "# preamble a\nskipme\nid\tv\n1\tx\n")
+    Files.writeString(d.resolve("b.tsv"),
+      "skipme\n# comment inside\nid\tv\n2\ty\n3\tz\n")
+    val df = Sources.table(spark, d.toString + "/*.tsv", TableSpec(rowSkip = 1))
+    assert(df.columns.toSeq === Seq("id", "v"))
+    val got = df.orderBy("id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(("1", "x"), ("2", "y"), ("3", "z"))) // no 'id' data rows
+  }
+
   test("table: duplicate header names deduped (buildUniqueArray)") {
     assert(Sources.dedupHeader(Seq("a", "b", "a", "a")) ===
       Seq("a", "b", "a_1", "a_2"))
@@ -57,6 +71,33 @@ class SourcesSpec extends AnyFunSuite {
     out.write("a,b\n1,2\n".getBytes("UTF-8")); out.close()
     val df = Sources.table(spark, f.toString, TableSpec(sep = ","))
     assert(df.collect()(0).toSeq === Seq("1", "2"))
+  }
+
+  test("sqldump: CREATE columns + multi-row INSERT -> {table, data} rows") {
+    val dump =
+      """-- dump preamble
+        |CREATE TABLE `genes` (
+        |  `id` int NOT NULL,
+        |  `symbol` varchar(32) DEFAULT NULL,
+        |  `descr` text,
+        |  PRIMARY KEY (`id`)
+        |);
+        |CREATE TABLE ignored (x int);
+        |INSERT INTO `genes` VALUES (1,'TP53','tumor protein; it''s famous'),(2,'BRCA1',NULL);
+        |INSERT INTO `genes` (`id`, `symbol`) VALUES (3, 'O\'Neil gene');
+        |INSERT INTO ignored VALUES (99);
+        |""".stripMargin
+    val p = tmpFile("d.sql", dump)
+    val df = graft.sources.SqlDump.load(spark, p, tables = Seq("genes"))
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getMap[String, String](1).toMap))
+    assert(rows.length === 3)
+    assert(rows.forall(_._1 === "genes"))
+    val byId = rows.map(_._2).map(m => m("id") -> m).toMap
+    assert(byId("1") === Map("id" -> "1", "symbol" -> "TP53",
+      "descr" -> "tumor protein; it's famous"))
+    assert(byId("2") === Map("id" -> "2", "symbol" -> "BRCA1")) // NULL absent
+    assert(byId("3") === Map("id" -> "3", "symbol" -> "O'Neil gene"))
   }
 
   test("ndjson and multiline json doc") {
@@ -88,6 +129,20 @@ class SourcesSpec extends AnyFunSuite {
       .collect()(0)
     assert(out.getString(0) === "2ed6657d-e927-568b-95e1-2665a8aea6a2")
     assert(out.getString(1) === "5df41881-3aed-3515-88a7-2f4a814cf09e")
+  }
+
+  test("uuid5 golden rows: x_uuid5's repo/path@commit shape vs python uuid.uuid5") {
+    // goldens precomputed with CPython: uuid.uuid5(uuid.NAMESPACE_URL, name)
+    UuidExprs.register(spark)
+    val goldens = Seq(
+      "org0/repo_a/src/main.rs@c0ffee01" -> "56a2e9c5-d0ba-575f-98ca-e45213cdbe1f",
+      "hello world" -> "7b3d66ac-cb60-5154-8edf-0bcfd0c418b3",
+      "" -> "1b4db7eb-4057-5ddf-91e0-36dec72071f5",
+      "graft/engine@deadbeef" -> "0f04bfdb-757e-54c3-bcab-147610350e8a")
+    val out = goldens.map(_._1).toDF("name")
+      .select($"name", UuidExprs.uuid5(lit(NameUuid.NamespaceUrl), $"name").as("u"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    goldens.foreach { case (name, want) => assert(out(name) === want, s"for '$name'") }
   }
 
   test("uuid5 via SQL registration; null-safe") {
