@@ -290,7 +290,7 @@ object SparkEntry {
     "x_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        10, planes = 4, tables = 8)
+        10, planes = 4, tables = 16)
     }),
     "x_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")

@@ -51,30 +51,25 @@ object Dedup {
     * once (polynomial over chars), then combine consecutive triples.
     * Word grams stay distinctive even over small vocabularies where
     * char grams degenerate into every-doc-shares-every-shingle (which
-    * turns LSH banding quadratic). */
+    * turns LSH banding quadratic). One codegen'd call per row
+    * ([[graft.expr.WordShingles]] — bit-identical to the SQL-lambda
+    * formulation the oracle replays, which interpreted at ~tokens×3
+    * lambda evaluations per row). */
   def withWordShingles(df: DataFrame, textCol: String): DataFrame = {
-    // codegen'd PolyHash per token (identical fold to the SQL-lambda
-    // formulation the oracle replays, minus the per-char array)
     graft.expr.GraftFunctions.register(df.sparkSession)
-    df
-      .withColumn("__th",
-        expr(s"transform(split(trim($textCol), '\\\\s+'), t -> polyhash(t))"))
-      .withColumn("shingles",
-        when(size(col("__th")) < 3, array().cast("array<bigint>"))
-          .otherwise(expr(
-            s"""array_distinct(transform(sequence(1, size(__th) - 2),
-               |  i -> ((element_at(__th, i) * 131 + element_at(__th, i + 1)) % $P * 131
-               |        + element_at(__th, i + 2)) % $P))""".stripMargin)))
-      .drop("__th")
+    df.withColumn("shingles", call_function("word_shingles", col(textCol)))
   }
 
   /** MinHash signature: sig[i] = min over shingles of (a_i*x + b_i) mod P
-    * with fixed odd multipliers — k permutation approximations. */
-  def withMinhashSignature(df: DataFrame, numHashes: Int = 16): DataFrame =
-    df.withColumn("sig", expr(
-      s"""transform(sequence(0, ${numHashes - 1}),
-         |  i -> array_min(transform(shingles,
-         |         x -> ((2 * i + 1) * x + 7 * i + 3) % $P)))""".stripMargin))
+    * with fixed odd multipliers — k permutation approximations
+    * ([[graft.expr.MinHashSig]], one codegen'd pass over the shingle
+    * array instead of 16 interpreted array_min lambdas). */
+  def withMinhashSignature(df: DataFrame, numHashes: Int = 16): DataFrame = {
+    require(numHashes == graft.expr.MinHashSig.NumHashes,
+      "MinHashSig is compiled for 16 hashes")
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    df.withColumn("sig", call_function("minhash_sig", col("shingles")))
+  }
 
   /** Banded LSH candidate pairs: split the signature into `bands` bands,
     * hash each band, self-join docs sharing a (band, hash) bucket.
@@ -110,24 +105,34 @@ object Dedup {
 
   /** SimHash near-dup pairs: Hamming distance of the signatures ≤
     * `maxHamming`. Banded-signature blocking, NOT a cross join: the
-    * 16-bit signature splits into 4 bands of 4 bits; by pigeonhole, any
-    * pair with ≤ 3 differing bits has at least one identical band, so a
-    * shuffled self-equi-join on (band, band_value) generates every
-    * qualifying candidate — the result is EXACT (same rows as the
-    * all-pairs form), but the O(n²) pair space is never materialized.
+    * 16-bit signature splits into `maxHamming + 1` bands (widths as
+    * equal as 16 allows); by pigeonhole, a pair with ≤ maxHamming
+    * differing bits has at least one identical band, so a shuffled
+    * self-equi-join on (band, band_value) generates every qualifying
+    * candidate — the result is EXACT (same rows as the all-pairs form),
+    * but the O(n²) pair space is never materialized. Using exactly
+    * maxHamming+1 bands keeps each band as wide (selective) as
+    * exactness allows: for maxHamming=2 that is 6/5/5 bits = 64/32/32
+    * bucket values per band, 4-5x fewer candidates than 4-bit bands.
     * Verification (`bit_count(sa^sb) <= maxHamming`) runs inside the
-    * candidate set only. At 100 TB the residual risk is bucket skew from
-    * exact-duplicate signatures (all 4 bands collide); AQE skew-join
-    * splitting covers it, and exact dups should be removed by [[exact]]
-    * upstream anyway. */
+    * candidate set only. At 100 TB the residual risk is bucket skew
+    * from exact-duplicate signatures (every band collides); AQE
+    * skew-join splitting covers it, and exact dups should be removed by
+    * [[exact]] upstream anyway. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3,
-      s"banded blocking over 4x4-bit bands is exact only for maxHamming <= 3, got $maxHamming")
+    val bands = maxHamming + 1
+    require(bands <= 16, s"maxHamming=$maxHamming needs more bands than bits")
+    val w = 16 / bands
+    val extra = 16 % bands // first `extra` bands get one more bit
+    val offsets = (0 until bands).map(b => b * w + math.min(b, extra))
+    val widths = (0 until bands).map(b => w + (if (b < extra) 1 else 0))
+    val bandExprs = offsets.zip(widths).map { case (off, wid) =>
+      s"shiftright(sig, $off) % ${1L << wid}"
+    }.mkString("array(", ", ", ")")
     val sigs = simhashDf(df, textCol, "sig").select(col(idCol).as("id"), col("sig"))
     val banded = sigs.select(col("id"), col("sig"),
-      posexplode(expr("transform(sequence(0, 3), b -> shiftright(sig, b * 4) % 16)"))
-        .as(Seq("band", "bv")))
+      posexplode(expr(bandExprs)).as(Seq("band", "bv")))
     val a = banded.select(col("band"), col("bv"), col("id").as("id_a"), col("sig").as("sa"))
     val b = banded.select(col("band"), col("bv"), col("id").as("id_b"), col("sig").as("sb"))
     a.join(b, Seq("band", "bv"))
@@ -138,28 +143,28 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicates: pairs above a cosine threshold,
-    * blocked by multi-table sign-random-projection buckets
+    * blocked by MULTIPROBE multi-table sign-random-projection buckets
     * ([[graft.sim.Ann.srpBucket]] — the same deterministic hyperplanes
-    * the ANN path uses). Candidates = pairs sharing a (table, bucket)
-    * cell in ANY of the `tables` independent plane sets; exact cosine is
-    * verified only inside candidates. One shuffle on the (table, bucket)
-    * key; the corpus is replicated `tables`× into the shuffle (the
-    * classic memory-for-recall LSH trade) and the O(n²) pair space is
-    * never materialized.
+    * the ANN path uses). One side additionally probes every 1-bit-flip
+    * neighbor of its bucket, so a pair is a candidate when its two
+    * bucket codes differ in ≤ 1 plane in ANY table — multiprobe buys
+    * the recall of many more tables at the cost of `planes`+1 probe
+    * rows instead of whole extra corpus replications (Lv et al.,
+    * multi-probe LSH). Only (table, bucket, id) rows go through the
+    * candidate shuffle; vectors are fetched by id AFTER pair dedup, so
+    * the wide rows never amplify.
     *
-    * Recall: a pair at angle θ shares one table's bucket with prob
-    * (1-θ/π)^planes, so the miss probability is
-    * (1-(1-θ/π)^planes)^tables — ≈ 8e-6 per pair at cosine 0.8 with the
-    * defaults, and vanishing for the near-1 cosines real near-dups have.
-    * Deterministic (fixed hyperplanes), so results are reproducible
-    * run-over-run; PipelineOpsSpec asserts exact agreement with the
-    * all-pairs form on the test corpus. Raise `planes` as corpus size
-    * grows to keep buckets small; raise `tables` to push recall up. */
+    * Miss probability per pair at angle θ and defaults (12 planes, 16
+    * tables, 1-bit probing): (1 - P[≤1 plane of 12 splits])^16 — ~1e-5
+    * at cosine 0.8, vanishing for the near-1 cosines real near-dups
+    * have. Deterministic (fixed hyperplanes); PipelineOpsSpec asserts
+    * exact agreement with the all-pairs form on the test corpus. Raise
+    * `planes` as the corpus grows to keep buckets small; raise `tables`
+    * to push recall. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 4, tables: Int = 16): DataFrame = {
-    // norms hoisted out of pair scoring: one fold per vector instead of
-    // two per pair (lambda folds are interpreted, so this matters)
+      threshold: Double, planes: Int = 12, tables: Int = 16): DataFrame = {
     graft.expr.GraftFunctions.register(emb.sparkSession)
+    // norms hoisted out of pair scoring: one fold per vector
     def norm(v: String) = sqrt(call_function("dotp", col(v), col(v)))
     val base = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
@@ -167,13 +172,23 @@ object Dedup {
     val bucketed = base
       .withColumn("tbl", explode(expr(s"sequence(0, ${tables - 1})")))
       .withColumn("bucket", graft.sim.Ann.srpBucket("v", planes, "tbl"))
-    val a = bucketed.select(col("tbl"), col("bucket"),
-      col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = bucketed.select(col("tbl"), col("bucket"),
-      col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("tbl", "bucket"))
+      .select("tbl", "bucket", "id")
+    val probes = bucketed
+      .withColumn("bucket", explode(expr(
+        s"""concat(array(bucket),
+           |  transform(sequence(0, ${planes - 1}),
+           |            b -> bucket ^ shiftleft(cast(1 as bigint), b)))""".stripMargin)))
+      .select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val cand = probes
+      .join(bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
+        Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("id_b"))
       .withColumn("sim", round(
         call_function("dotp", col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)

@@ -48,7 +48,15 @@ object GraftFunctions {
     (FunctionIdentifier("srp_bucket"),
       new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SrpBucket(es(0), es(1), es(2))))
+        SrpBucket(es(0), es(1), es(2))),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShingles(es.head)),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSig(es.head)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

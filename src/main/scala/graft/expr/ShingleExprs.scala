@@ -1,0 +1,104 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd word-trigram shingle hashes: tokenize on whitespace,
+  * [[PolyHash]] each token, fold consecutive triples, distinct in
+  * first-occurrence order — bit-identical to the SQL-lambda formulation
+  * in graft.dedup.Dedup (same trim+split, same polynomial fold, same
+  * array_distinct semantics) that the DuckDB oracle replays, but one
+  * generated call per row instead of interpreted nested higher-order
+  * functions over every token.
+  */
+case class WordShingles(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.shingles(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.WordShingles.shingles($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  val P: Long = 1000000007L
+
+  def shingles(u: UTF8String): ArrayData = {
+    val tokens = u.toString.trim.split("\\s+")
+    val n = tokens.length
+    if (n < 3) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = PolyHash.hash(UTF8String.fromString(tokens(i)))
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i + 2 < n) {
+      seen.add(((th(i) * 131 + th(i + 1)) % P * 131 + th(i + 2)) % P)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd 16-hash MinHash signature over a shingle array:
+  * sig(i) = min over shingles of ((2i+1)*x + 7i+3) mod P — the same
+  * fixed permutation family as the SQL-lambda formulation; an empty
+  * shingle set yields all-null (array_min of an empty array is null),
+  * matching both the lambda form and the DuckDB oracle. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.sig(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.MinHashSig.sig($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  val P: Long = 1000000007L
+  val NumHashes = 16
+
+  def sig(sh: ArrayData): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0)
+      return new GenericArrayData(Array.fill[Any](NumHashes)(null))
+    val out = new Array[Long](NumHashes)
+    var i = 0
+    while (i < NumHashes) {
+      val a = 2L * i + 1
+      val b = 7L * i + 3
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = (a * sh.getLong(j) + b) % P
+        if (v < best) best = v
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

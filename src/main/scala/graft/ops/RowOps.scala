@@ -205,17 +205,23 @@ object RowOps {
   }
 
   /** `intervalIntersect:` joined-rows form — one output row per
-    * (row, overlapping ref) pair. Expressed as an equi-join on the match
-    * key (hash partitionable — the interval tree's chromosome index,
-    * transform/lookup_interval.go:110-165) plus a range predicate
-    * Catalyst evaluates post-probe. */
+    * (row, overlapping ref) pair. The reference materializes the whole
+    * interval reference into per-worker RAM trees
+    * (transform/lookup_interval.go:110-165), so the ref side gets a
+    * broadcast hint: no shuffle of the (usually huge) probe side, and
+    * no skew when the match key has few distinct values (chromosomes!).
+    * A ref too big to broadcast falls back automatically (Spark ignores
+    * the hint above the driver limits) to the shuffled equi-join on the
+    * match key plus a post-probe range predicate. */
   def intervalIntersect(df: DataFrame, ref: DataFrame,
       matchKey: String, start: String, end: String,
-      refMatch: String, refStart: String, refEnd: String): DataFrame =
-    df.join(ref,
-      df(matchKey) === ref(refMatch) &&
-        df(start) <= ref(refEnd) && df(end) >= ref(refStart),
+      refMatch: String, refStart: String, refEnd: String): DataFrame = {
+    val r = broadcast(ref)
+    df.join(r,
+      df(matchKey) === r(refMatch) &&
+        df(start) <= r(refEnd) && df(end) >= r(refStart),
       "inner")
+  }
 
   /** `intervalIntersect:` attach form — the reference's actual output
     * shape (transform/lookup_interval.go:166-205): every row is kept,
@@ -228,11 +234,12 @@ object RowOps {
       refMatch: String, refStart: String, refEnd: String,
       attachAs: String): DataFrame = {
     val withId = df.withColumn("__row_id", monotonically_increasing_id())
-    val joined = withId.join(ref,
-      withId(matchKey) === ref(refMatch) &&
-        withId(start) <= ref(refEnd) && withId(end) >= ref(refStart),
+    val ref2 = broadcast(ref) // same rationale as intervalIntersect
+    val joined = withId.join(ref2,
+      withId(matchKey) === ref2(refMatch) &&
+        withId(start) <= ref2(refEnd) && withId(end) >= ref2(refStart),
       "left")
-    val refStruct = struct(ref.columns.toIndexedSeq.map(ref(_)): _*)
+    val refStruct = struct(ref.columns.toIndexedSeq.map(ref2(_)): _*)
     val leftCols = df.columns.toIndexedSeq
     val aggs = leftCols.map(c => first(withId(c)).as(c)) :+
       sort_array(collect_list(when(ref(refMatch).isNotNull, refStruct)))

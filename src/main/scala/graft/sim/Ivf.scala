@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,33 +8,47 @@ import org.apache.spark.sql.functions._
   * corpus into K coarse cells around centroids, probe only the
   * `nprobe` cells nearest each query, exact cosine re-rank inside.
   *
-  * Everything is DataFrame ops: centroid refinement is
-  * posexplode→groupBy→rebuild (a shuffle per Lloyd iteration, K×dim
-  * tiny output), assignment is a broadcast cross-score against K
-  * centroids, and the probe join shuffles on the cell id — the corpus
-  * is touched once per query batch, never O(n²). Deterministic
-  * throughout: seeds are strided picks, no RNG.
+  * Centroids are K×dim — tiny by construction — so they live as a PLAN
+  * LITERAL (array-of-arrays), pre-normalized on the driver: cell
+  * assignment and query probing are pure projections (argmax / top-n
+  * over K dot products per row), no crossJoin, no window, no shuffle.
+  * The only shuffles are the Lloyd refinement aggregation (K×dim
+  * output) and the probe join on the cell id. Deterministic
+  * throughout: seeds are the k smallest ids, no RNG.
   */
 object Ivf {
 
-  private def asDouble(c: org.apache.spark.sql.Column) =
-    transform(c, x => x.cast("double"))
+  private def asDouble(c: Column) = transform(c, x => x.cast("double"))
 
-  /** K strided seed vectors refined by `iters` Lloyd steps.
-    * Returns (cell, centroid: array<double>). */
+  /** `(negsim, cell)` structs of a vector column against the centroid
+    * literal, ascending sort = best cell first (ties → lowest cell). */
+  private def cellRanking(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    val centsLit = typedlit(cents)
+    array_sort(transform(sequence(lit(0), lit(cents.size - 1)), i =>
+      struct(
+        (-call_function("dotp", vec, element_at(centsLit, i + 1))).as("negsim"),
+        i.as("cell"))))
+  }
+
+  private def normalize(v: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** K strided seed vectors refined by `iters` Lloyd steps, materialized
+    * to the driver. Returns (cell, centroid) with UNIT-NORM centroids
+    * (cosine argmax over unit centroids = dot-product argmax). */
   def centroids(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 1): DataFrame = {
+      k: Int, iters: Int = 1): Seq[(Int, Seq[Double])] = {
     graft.expr.GraftFunctions.register(corpus.sparkSession)
     // Seeds: the k smallest ids — TakeOrderedAndProject (per-partition
-    // heaps, no global sort), deterministic for ANY id space (dense,
-    // hashed, offset); the Lloyd step below does the spreading. The
-    // window ranks only the k seed rows.
-    val c0 = corpus
+    // heaps, no global sort), deterministic for ANY id space; the Lloyd
+    // step does the spreading.
+    val c0: Seq[(Int, Seq[Double])] = corpus
       .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("centroid"))
-      .orderBy(col("cid"))
-      .limit(k)
-      .withColumn("cell", row_number().over(Window.orderBy("cid")) - 1)
-      .select("cell", "centroid")
+      .orderBy(col("cid")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, normalize(r.getSeq[Double](1))) }.toIndexedSeq
     (1 to iters).foldLeft(c0) { (cents, _) =>
       val assigned = assign(corpus, idCol, vecCol, cents)
       val refined = assigned
@@ -42,25 +56,23 @@ object Ivf {
         .groupBy("cell", "pos").agg(avg("x").as("m"))
         .groupBy("cell")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-          .as("centroid2"))
+          .as("centroid"))
+        .collect().map(r => r.getInt(0) -> normalize(r.getSeq[Double](1))).toMap
       // a cell that received no assignments keeps its previous centroid
       // (dropping it would silently shrink the effective nCells)
-      cents.join(refined, Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("centroid2"), col("centroid")).as("centroid"))
+      cents.map { case (cell, c) => (cell, refined.getOrElse(cell, c)) }
     }
   }
 
-  /** Nearest-cell assignment: (nid, nv, cell). */
+  /** Nearest-cell assignment: (nid, nv, cell). One narrow projection —
+    * argmax over the centroid literal. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame): DataFrame = {
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
     graft.expr.GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
-    val scored = c.crossJoin(broadcast(cents))
-      .withColumn("sim", Ann.cosine("nv", "centroid"))
-    val w = Window.partitionBy("nid").orderBy(col("sim").desc, col("cell"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("nid", "nv", "cell")
+    corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+      .withColumn("cell",
+        element_at(cellRanking(col("nv"), cents.sortBy(_._1).map(_._2)), 1)
+          .getField("cell"))
   }
 
   /** Approximate top-k: probe the `nprobe` best cells per query. */
@@ -68,29 +80,14 @@ object Ivf {
       vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
       iters: Int = 1): DataFrame = {
     graft.expr.GraftFunctions.register(corpus.sparkSession)
-    val spark = corpus.sparkSession
-    // centroids are K×dim — tiny by construction. Materialize them to
-    // the driver and re-plan as a literal DataFrame: the (broadcast)
-    // reuse across corpus assignment and query probes costs nothing,
-    // and no cached blocks leak into a long-lived session (a .cache()
-    // here had no safe unpersist point, since the returned plan is lazy)
-    val centRows = centroids(corpus, idCol, vecCol, nCells, iters).collect().toIndexedSeq
-    val cents = spark.createDataFrame(
-      spark.sparkContext.parallelize(centRows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cell",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("centroid",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType)))))
+    val cents = centroids(corpus, idCol, vecCol, nCells, iters)
+    val ordered = cents.sortBy(_._1).map(_._2)
     val cells = assign(corpus, idCol, vecCol, cents)
-    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
-    val probeW = Window.partitionBy("qid").orderBy(col("csim").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("csim", Ann.cosine("qv", "centroid"))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nprobe)
-      .select("qid", "qv", "cell")
+    val probes = queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell", explode(
+        transform(slice(cellRanking(col("qv"), ordered), 1, nprobe),
+          s => s.getField("cell"))))
     val cand = probes.join(cells, Seq("cell"))
       .filter(col("nid") =!= col("qid"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))

@@ -39,10 +39,19 @@ object Sinks {
     }
 
   /** outputs.graph — vertex + edge NDJSON files (output_graph.go:55-124
-    * writes <name>.vertex.json.gz / <name>.edge.json.gz). */
+    * writes <name>.vertex.json.gz / <name>.edge.json.gz). `edgeFix` is
+    * the optional pre-write edge rewrite hook (output_graph.go:84-90
+    * runs a user function over each edge before emission). */
   def graph(vertices: DataFrame, edges: DataFrame, dir: String,
-      gzip: Boolean = true): Unit = {
+      gzip: Boolean = true,
+      edgeFix: DataFrame => DataFrame = identity): Unit = {
     ndjson(vertices, s"$dir/vertex.json", gzip)
-    ndjson(edges, s"$dir/edge.json", gzip)
+    ndjson(edgeFix(edges), s"$dir/edge.json", gzip)
   }
+
+  /** stdout loader — `name\tjson` lines to stdout (loader/stdout.go:14-30).
+    * A debugging sink: collects to the driver, exactly like the
+    * reference's single-process writer; not for large outputs. */
+  def stdout(df: DataFrame, name: String): Unit =
+    df.toJSON.collect().foreach(j => println(s"$name\t$j"))
 }

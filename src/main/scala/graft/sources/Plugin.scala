@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The reference's generic escape hatch: external commands speaking
+  * NDJSON.
+  *
+  *  - [[source]] — run a command, parse its stdout NDJSON as rows
+  *    (extractors/plugin_load.go:18-82). One process = one task, like
+  *    the reference's single reader goroutine.
+  *  - [[transform]] / [[transformRaw]] — pipe rows through a command:
+  *    each PARTITION spawns one process, streams its rows to stdin as
+  *    NDJSON, and yields stdout NDJSON rows (transform/plugin.go:29-88;
+  *    the reference runs exactly one process on one stream — per
+  *    partition is the distributed generalization, same contract as
+  *    Hadoop streaming). The command must therefore be row-wise or
+  *    partition-associative, and must be installed on executors.
+  *
+  * stdin is fed from a separate thread (the reference uses a goroutine)
+  * so neither pipe can deadlock; stderr is inherited. Malformed output
+  * lines fail the task rather than being silently logged-and-dropped —
+  * an engine that feeds training pipelines should not eat rows.
+  */
+object Plugin {
+
+  /** Stream NDJSON through `command` within each partition; returns the
+    * raw stdout lines. */
+  def transformRaw(df: DataFrame, command: Seq[String]): Dataset[String] = {
+    import df.sparkSession.implicits._
+    df.toJSON.mapPartitions(pipeThrough(command, _))
+  }
+
+  /** [[transformRaw]] parsed with an explicit output schema (from_json;
+    * stays one fused pass, no inference job). */
+  def transform(df: DataFrame, command: Seq[String], outSchema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    transformRaw(df, command)
+      .select(from_json(col("value"), outSchema).as("r")).select("r.*")
+  }
+
+  /** Run `command` once (a single task), parse stdout NDJSON rows with
+    * schema inference. */
+  def source(spark: SparkSession, command: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val lines = spark.sparkContext.parallelize(Seq(command), 1)
+      .flatMap(cmd => pipeThrough(cmd, Iterator.empty))
+    spark.read.json(spark.createDataset(lines))
+  }
+
+  /** Spawn `command`, feed `in` lines to stdin from a writer thread,
+    * iterate stdout lines. */
+  private def pipeThrough(command: Seq[String], in: Iterator[String]): Iterator[String] = {
+    import java.io.{BufferedReader, InputStreamReader}
+    val pb = new ProcessBuilder(command: _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val writer = new Thread(() => {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
+      try {
+        in.foreach { l => w.write(l); w.write('\n') }
+      } finally w.close()
+    }, "graft-plugin-stdin")
+    writer.setDaemon(true)
+    writer.start()
+    val r = new BufferedReader(new InputStreamReader(proc.getInputStream, "UTF-8"))
+    new Iterator[String] {
+      private var nextLine: String = advance()
+      private def advance(): String = {
+        val l = r.readLine()
+        if (l == null) {
+          writer.join()
+          val code = proc.waitFor()
+          if (code != 0)
+            throw new RuntimeException(
+              s"plugin command ${command.mkString(" ")} exited with $code")
+        }
+        l
+      }
+      def hasNext: Boolean = nextLine != null
+      def next(): String = {
+        val l = nextLine
+        nextLine = advance()
+        l
+      }
+    }.filter(_.nonEmpty)
+  }
+}

@@ -9,12 +9,15 @@ class IvfSpec extends AnyFunSuite {
 
   lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
 
-  test("centroids: K cells, right dimensionality, deterministic") {
-    val c1 = Ivf.centroids(emb, "vec_id", "embedding", 8).collect()
-    val c2 = Ivf.centroids(emb, "vec_id", "embedding", 8).collect()
+  test("centroids: K cells, right dimensionality, unit norm, deterministic") {
+    val c1 = Ivf.centroids(emb, "vec_id", "embedding", 8)
+    val c2 = Ivf.centroids(emb, "vec_id", "embedding", 8)
     assert(c1.length === 8)
-    assert(c1.head.getSeq[Double](1).size === 64)
-    assert(c1.map(_.getSeq[Double](1)).toSeq === c2.map(_.getSeq[Double](1)).toSeq)
+    assert(c1.head._2.size === 64)
+    assert(c1.map(_._2) === c2.map(_._2))
+    c1.foreach { case (_, c) =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
   }
 
   test("assignment covers the corpus, each vector exactly one cell") {

@@ -100,6 +100,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(byId("3") === Map("id" -> "3", "symbol" -> "O'Neil gene"))
   }
 
+  test("plugin source: external command stdout NDJSON becomes rows") {
+    val df = graft.sources.Plugin.source(spark,
+      Seq("/bin/sh", "-c", """printf '{"a":1,"b":"x"}\n{"a":2,"b":"y"}\n'"""))
+    val got = df.orderBy("a").collect().map(r => (r.getAs[Long]("a"), r.getAs[String]("b")))
+    assert(got.toSeq === Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("plugin transform: rows pipe through an external command per partition") {
+    import org.apache.spark.sql.types._
+    val df = spark.range(100).toDF("id").repartition(4)
+    // sed rewrites the NDJSON field name — a real (if tiny) external transform
+    val out = graft.sources.Plugin.transform(df,
+      Seq("sed", "s/\"id\"/\"doubled\"/"),
+      StructType(Seq(StructField("doubled", LongType))))
+    assert(out.agg(org.apache.spark.sql.functions.sum("doubled")).collect()(0).getLong(0) === 4950L)
+    assert(out.count() === 100)
+  }
+
+  test("plugin transform: non-zero exit fails the task loudly") {
+    val df = spark.range(2).toDF("id")
+    val ex = intercept[Exception] {
+      graft.sources.Plugin.transformRaw(df, Seq("/bin/sh", "-c", "exit 3")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("ndjson and multiline json doc") {
     val nd = tmpFile("d.ndjson", """{"a":1,"b":"x"}""" + "\n" + """{"a":2,"b":"y"}""" + "\n")
     assert(Sources.ndjson(spark, nd).count() === 2)
