@@ -1,0 +1,270 @@
+package graft.sources
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** SQLite source (extractors/sqlite_load.go:13-65) with NO driver jar:
+  * a minimal read-only parser of the public SQLite file format
+  * (https://www.sqlite.org/fileformat2.html) — header, table B-trees
+  * (interior/leaf pages), record serial types, and overflow-page
+  * chains. Enough to read every row of a named table, which is what
+  * the reference's `query` is used for (it scans all values through
+  * sql.NullString, so every column is a nullable STRING and SQL NULL
+  * is a missing value — here a null cell, the fixed-schema analog).
+  * Projections/filters compose in Spark on top.
+  *
+  * Like the reference (single-threaded database/sql scan), the file is
+  * parsed sequentially on the driver — SQLite inputs in sifter
+  * playbooks are reference lookup tables, not the big corpus. An
+  * `INTEGER PRIMARY KEY` column is the rowid alias: stored as NULL in
+  * the record, materialized from the rowid, per the format spec.
+  * WITHOUT ROWID tables and indexes are not supported.
+  */
+object SqliteSource {
+
+  def table(spark: SparkSession, path: String, tableName: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new HPath(path)
+    val len = fs.getFileStatus(p).getLen
+    require(len <= (1L << 31) - 1, s"sqlite file too large to buffer: $len bytes")
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    val db = new Db(bytes)
+    val (cols, affinities, ipkIdx, rootPage) = db.tableInfo(tableName)
+    val rows = db.tableRows(rootPage).map { case (rowid, vals) =>
+      Row(cols.indices.map { i =>
+        if (i == ipkIdx) rowid.toString
+        else if (i < vals.length) vals(i).map {
+          // REAL affinity: SQLite stores integral reals as integers on
+          // disk and converts back on read — so must we
+          case l: Long if affinities(i) == 'R' => l.toDouble.toString
+          case l: Long => l.toString
+          case d: Double => d.toString
+          case s: String => s
+        }.orNull
+        else null
+      }: _*)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(cols.map(c => StructField(c, StringType))))
+  }
+
+  /** List of (name, sql) for all tables in the file. */
+  def tables(spark: SparkSession, path: String): Seq[(String, String)] = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new HPath(path)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    new Db(bytes).masterRows.collect {
+      case ("table", name, _, sql) => (name, sql)
+    }
+  }
+
+  private final class Db(bytes: Array[Byte]) {
+    require(bytes.length >= 100 &&
+      new String(bytes, 0, 15, "UTF-8") == "SQLite format 3",
+      "not a SQLite 3 database file")
+    private val pageSizeRaw = u16(16)
+    val pageSize: Int = if (pageSizeRaw == 1) 65536 else pageSizeRaw
+    private val reserved = bytes(20) & 0xff
+    val usable: Int = pageSize - reserved
+
+    private def u8(off: Int): Int = bytes(off) & 0xff
+    private def u16(off: Int): Int = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    private def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+
+    /** (value, bytesConsumed) big-endian 7-bit varint, 9th byte = 8 bits. */
+    private def varint(off: Int): (Long, Int) = {
+      var v = 0L
+      var i = 0
+      while (i < 8) {
+        val b = bytes(off + i)
+        v = (v << 7) | (b & 0x7fL)
+        if ((b & 0x80) == 0) return (v, i + 1)
+        i += 1
+      }
+      ((v << 8) | (bytes(off + 8) & 0xffL), 9)
+    }
+
+    private def pageOff(page: Long): Int = ((page - 1) * pageSize).toInt
+
+    /** Full payload of a leaf-table cell, following overflow chains. */
+    private def payload(off0: Int, total: Long): (Array[Byte], Int) = {
+      val x = usable - 35
+      val inline: Int =
+        if (total <= x) total.toInt
+        else {
+          val m = (usable - 12) * 32 / 255 - 23
+          val k = m + ((total - m) % (usable - 4)).toInt
+          if (k <= x) k else m
+        }
+      val out = new Array[Byte](total.toInt)
+      System.arraycopy(bytes, off0, out, 0, inline)
+      var done = inline
+      var cellEnd = off0 + inline
+      if (inline < total) {
+        var over = u32(off0 + inline)
+        cellEnd = off0 + inline + 4
+        while (over != 0 && done < total) {
+          val po = pageOff(over)
+          over = u32(po)
+          val take = math.min(usable - 4, total.toInt - done)
+          System.arraycopy(bytes, po + 4, out, done, take)
+          done += take
+        }
+      }
+      (out, cellEnd)
+    }
+
+    /** Decode a record into per-column values (None = SQL NULL; Long /
+      * Double / String otherwise — stringified by the caller with
+      * column affinity applied, matching the reference's
+      * scan-everything-as-NullString through the sqlite engine). */
+    private def record(payload: Array[Byte]): IndexedSeq[Option[Any]] = {
+      def pvarint(off: Int): (Long, Int) = {
+        var v = 0L
+        var i = 0
+        while (i < 8) {
+          val b = payload(off + i)
+          v = (v << 7) | (b & 0x7fL)
+          if ((b & 0x80) == 0) return (v, i + 1)
+          i += 1
+        }
+        ((v << 8) | (payload(off + 8) & 0xffL), 9)
+      }
+      val (hlen, h0) = pvarint(0)
+      val types = mutable.ArrayBuffer.empty[Long]
+      var ho = h0
+      while (ho < hlen) {
+        val (t, n) = pvarint(ho)
+        types += t
+        ho += n
+      }
+      var bo = hlen.toInt
+      def sint(n: Int): Long = {
+        var v: Long = payload(bo).toLong // Byte -> Long sign-extends
+        var i = 1
+        while (i < n) { v = (v << 8) | (payload(bo + i) & 0xffL); i += 1 }
+        v
+      }
+      types.map { t =>
+        val (v: Option[Any], sz: Int) = t match {
+          case 0 => (None, 0)
+          case 1 => (Some(sint(1)), 1)
+          case 2 => (Some(sint(2)), 2)
+          case 3 => (Some(sint(3)), 3)
+          case 4 => (Some(sint(4)), 4)
+          case 5 => (Some(sint(6)), 6)
+          case 6 => (Some(sint(8)), 8)
+          case 7 =>
+            val bits = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (payload(bo + i) & 0xffL))
+            (Some(java.lang.Double.longBitsToDouble(bits)), 8)
+          case 8 => (Some(0L), 0)
+          case 9 => (Some(1L), 0)
+          case n if n >= 12 && n % 2 == 0 =>
+            val l = ((n - 12) / 2).toInt
+            (Some(new String(payload, bo, l, "UTF-8")), l)
+          case n if n >= 13 =>
+            val l = ((n - 13) / 2).toInt
+            (Some(new String(payload, bo, l, "UTF-8")), l)
+          case other => sys.error(s"unsupported serial type $other")
+        }
+        bo += sz
+        v
+      }.toIndexedSeq
+    }
+
+    /** All (rowid, values) of the table b-tree rooted at `page`. */
+    def tableRows(page: Long): Seq[(Long, IndexedSeq[Option[Any]])] = {
+      val out = mutable.ArrayBuffer.empty[(Long, IndexedSeq[Option[Any]])]
+      def walk(pg: Long): Unit = {
+        val base = pageOff(pg)
+        val hdr = if (pg == 1) base + 100 else base
+        val ptype = u8(hdr)
+        val ncells = u16(hdr + 3)
+        ptype match {
+          case 13 => // leaf table
+            var i = 0
+            while (i < ncells) {
+              val cell = base + u16(hdr + 8 + 2 * i)
+              val (plen, n1) = varint(cell)
+              val (rowid, n2) = varint(cell + n1)
+              val (pl, _) = payload(cell + n1 + n2, plen)
+              out += ((rowid, record(pl)))
+              i += 1
+            }
+          case 5 => // interior table
+            var i = 0
+            while (i < ncells) {
+              walk(u32(base + u16(hdr + 12 + 2 * i)))
+              i += 1
+            }
+            walk(u32(hdr + 8)) // right-most pointer
+          case other => sys.error(s"unexpected page type $other in table b-tree")
+        }
+      }
+      walk(page)
+      out.toSeq
+    }
+
+    /** sqlite_master rows: (type, name, rootpage, sql). */
+    def masterRows: Seq[(String, String, Long, String)] =
+      tableRows(1).map { case (_, vals) =>
+        def s(i: Int) = vals.lift(i).flatten.map(_.toString).getOrElse("")
+        val root = vals.lift(3).flatten.collect { case l: Long => l }.getOrElse(0L)
+        (s(0), s(1), root, s(4))
+      }
+
+    /** (columns, per-column affinity, integer-primary-key index or -1,
+      * rootpage). Affinity follows the spec's type-name determination
+      * rules in order: INT > CHAR/CLOB/TEXT > BLOB/none > REAL/FLOA/
+      * DOUB > NUMERIC. */
+    def tableInfo(name: String): (Seq[String], IndexedSeq[Char], Int, Long) = {
+      val m = masterRows.find(r => r._1 == "table" && r._2 == name)
+        .getOrElse(sys.error(s"table '$name' not found in sqlite file"))
+      val cols = SqlDump.createTable(m._4)
+        .map(_._2)
+        .getOrElse(sys.error(s"cannot parse CREATE TABLE for '$name'"))
+      val ipkRx = "(?is)INTEGER\\s+PRIMARY\\s+KEY".r
+      // COLUMN defs only (constraint clauses like `PRIMARY KEY (id)`
+      // are not columns and don't count toward indices)
+      val open = m._4.indexOf('(')
+      val body = m._4.substring(open + 1, m._4.lastIndexOf(')'))
+      val nonCols = Set("PRIMARY", "KEY", "UNIQUE", "CONSTRAINT", "INDEX", "FOREIGN", "CHECK")
+      val colDefs = splitDefs(body).map(_.trim).filter(d =>
+        d.nonEmpty && !nonCols(d.split("\\s+")(0).toUpperCase))
+      val ipk = colDefs.indexWhere(d => ipkRx.findFirstIn(d).isDefined)
+      def affinity(d: String): Char = {
+        val t = d.split("\\s+").drop(1).mkString(" ").toUpperCase
+        if (t.contains("INT")) 'I'
+        else if (t.contains("CHAR") || t.contains("CLOB") || t.contains("TEXT")) 'T'
+        else if (t.isEmpty || t.contains("BLOB")) 'B'
+        else if (t.contains("REAL") || t.contains("FLOA") || t.contains("DOUB")) 'R'
+        else 'N'
+      }
+      (cols, colDefs.map(affinity).toIndexedSeq, ipk, m._3)
+    }
+
+    private def splitDefs(s: String): Seq[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0
+      s.foreach {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      out += cur.toString
+      out.toSeq
+    }
+  }
+}

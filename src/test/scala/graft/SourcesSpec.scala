@@ -126,6 +126,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("sqlite: multi-page b-tree, overflow chain, NULLs, IPK rowid alias") {
+    val p = getClass.getResource("/fixture.sqlite").getPath
+    assert(graft.sources.SqliteSource.tables(spark, p).map(_._1).toSet ===
+      Set("genes", "tiny"))
+    val df = graft.sources.SqliteSource.table(spark, p, "genes")
+    assert(df.columns.toSeq === Seq("id", "symbol", "score", "descr", "blobcol"))
+    assert(df.count() === 3002)
+    val byId = df.collect().map(r => r.getString(0) ->
+      (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(byId("1") === (("GENE00000", "0.0", "désc_")))          // ipk from rowid
+    assert(byId("4")._2 === null)                                  // NULL real
+    assert(byId("6")._3 === null)                                  // NULL text
+    assert(byId("43")._1 === "GENE00042")                          // interior-page row
+    val big = byId("100000")
+    assert(big._1 === "BIGONE" && big._2 === "-2.25")
+    assert(big._3.length === 5 + 20000 && big._3.startsWith("LONG:abcdefghij")) // overflow
+    val tiny = graft.sources.SqliteSource.table(spark, p, "tiny")
+      .collect().map(r => r.getString(0) -> (r.getString(1))).toMap
+    assert(tiny("a") === "1")
+    assert(tiny("b") === "-32769") // 3-byte signed int serial type
+    assert(tiny("c") === null)
+  }
+
   test("ndjson and multiline json doc") {
     val nd = tmpFile("d.ndjson", """{"a":1,"b":"x"}""" + "\n" + """{"a":2,"b":"y"}""" + "\n")
     assert(Sources.ndjson(spark, nd).count() === 2)
