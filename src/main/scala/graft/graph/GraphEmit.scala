@@ -72,16 +72,18 @@ object GraphEmit {
       .withColumn("_id", md5(concat(col("_from"), lit(">"), col("_to"), lit("#"), col("_label"))))
 
   /** graphcheck: edges whose destination vertex does not exist.
-    * Same join policy as [[graft.validate.Referential]]: broadcast the
-    * vertex-id side only when its cardinality fits, else a shuffled
-    * anti-join (the vertex set includes one id per file row, so at
-    * 10^12 files broadcast is never an option). */
+    * The vertex-id side includes one id per file row, so at 10^12 files
+    * it is NOT broadcast-sized and probing its cardinality with a
+    * count() would compute the (expensive) vertex dedup twice. Default
+    * policy: plan the shuffled anti-join and let AQE convert it to a
+    * broadcast join at runtime from the REAL shuffle size — the same
+    * decision the old driver-side probe made, without the extra job.
+    * `broadcastVertices` remains as an explicit override for stats-fed
+    * callers. */
   def orphanEdges(edges: DataFrame, vertices: DataFrame,
       broadcastVertices: Option[Boolean] = None): DataFrame = {
     val ids = vertices.select(col("_id").as("__vid")).distinct()
-    val doBroadcast = broadcastVertices.getOrElse(
-      ids.count() <= graft.validate.Referential.BroadcastMaxRows)
-    val right = if (doBroadcast) broadcast(ids) else ids
+    val right = if (broadcastVertices.contains(true)) broadcast(ids) else ids
     edges.join(right, edges("_to") === col("__vid"), "left_anti")
       .select("_id", "_from", "_to", "_label")
   }

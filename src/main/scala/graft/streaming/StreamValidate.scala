@@ -72,6 +72,20 @@ object StreamValidate {
         })
   }
 
+  /** Streaming exact dedup on a digest key with bounded state:
+    * dropDuplicatesWithinWatermark keeps only the keys whose event time
+    * is still inside the watermark horizon, so state does NOT grow with
+    * the corpus — the streaming face of [[graft.dedup.Dedup.exact]]
+    * (the reference's `distinct` badger KV grows unboundedly,
+    * transform/distinct.go:24-53; the watermark is the scale answer).
+    * Columns: the input plus a `digest` column used as the dedup key. */
+  def streamingDedup(rows: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    rows
+      .withColumn("digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("digest")
+
   def toMemorySink(df: DataFrame, name: String,
       outputMode: String): DataStreamWriter[Row] =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode)

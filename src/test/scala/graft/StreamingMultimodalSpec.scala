@@ -31,6 +31,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup with watermark drops in-horizon duplicates, bounded state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sdedup").toString
+    // two copies of each text in one batch -> exactly one survivor each
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .limit(50).select(col("doc_id"), col("text"))
+      .withColumn("ts", expr(
+        "timestamp'2026-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)"))
+    docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 1000))
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP").parquet(dir)
+    val q = StreamValidate.toMemorySink(
+      StreamValidate.streamingDedup(stream, "text", "ts"),
+      "dedup_stream", "append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT COUNT(*) c, COUNT(DISTINCT digest) d FROM dedup_stream")
+        .collect()(0)
+      assert(got.getLong(0) === 50) // one survivor per distinct text
+      assert(got.getLong(1) === 50)
+    } finally q.stop()
+  }
+
   test("windowed event aggregation with watermark produces sane windows") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     // batch execution of the same streaming transform (plan reuse both ways)
