@@ -28,8 +28,9 @@ object Multimodal {
   /** Deterministic fake codec. Header layout (for the synthetic fixture):
     * bytes 0-1 magic 'G','M'; byte 2 width; byte 3 height. Everything
     * else is treated as payload. A real decoder (javax.imageio, ffmpeg
-    * bindings, ...) replaces exactly this object.
-    */
+    * bindings, ...) replaces exactly this object — [[HeaderCodec]]
+    * already does so for PNG/BMP/WAV, whose metadata is pure byte
+    * arithmetic. */
   object StubCodec {
     def decodeMeta(payload: Array[Byte]): (Int, Int, Boolean) =
       if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'M')

@@ -223,6 +223,40 @@ object RowOps {
       "inner")
   }
 
+  /** Scale path for interval joins whose ref side is too big to
+    * broadcast AND whose match key has too few distinct values to
+    * spread a shuffle (five chromosomes over a thousand reducers):
+    * both sides explode the bins their interval covers
+    * (`floor(x / binWidth)`), the join runs on (match, bin) — a
+    * high-cardinality composite key — and the exact range predicate
+    * filters inside the bin. A pair overlapping several bins would
+    * surface once per shared bin, so the join also requires
+    * `bin = greatest(floor(start/w), floor(refStart/w))` — the larger
+    * of the two interval starts lies inside both intervals, so exactly
+    * ONE shared bin satisfies it: every qualifying pair appears exactly
+    * once, no distinct pass. Same rows as [[intervalIntersect]]
+    * (RowOpsSpec asserts equality); pick binWidth ≈ the typical
+    * interval length so explosion factors stay small. */
+  def intervalIntersectBinned(df: DataFrame, ref: DataFrame,
+      matchKey: String, start: String, end: String,
+      refMatch: String, refStart: String, refEnd: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bins(lo: Column, hi: Column) =
+      explode(sequence(floor(lo / binWidth).cast("long"),
+        floor(hi / binWidth).cast("long")))
+    val l = df.withColumn("__binl", bins(df(start), df(end)))
+    val r = ref.withColumn("__binr", bins(ref(refStart), ref(refEnd)))
+    l.join(r,
+      l(matchKey) === r(refMatch) && col("__binl") === col("__binr") &&
+        l(start) <= r(refEnd) && l(end) >= r(refStart) &&
+        col("__binl") === greatest(
+          floor(l(start) / binWidth).cast("long"),
+          floor(r(refStart) / binWidth).cast("long")),
+      "inner")
+      .drop("__binl", "__binr")
+  }
+
   /** `intervalIntersect:` attach form — the reference's actual output
     * shape (transform/lookup_interval.go:166-205): every row is kept,
     * ALL intersecting reference rows are attached as a sorted array

@@ -47,6 +47,27 @@ class LookupOpsSpec extends AnyFunSuite {
     assert(got.length === 4)
   }
 
+  test("intervalIntersectBinned: identical rows to the broadcast form, each pair once") {
+    val ref = Seq(("c1", 0.0, 10.0, "r1"), ("c1", 5.0, 20.0, "r2"),
+      ("c1", -7.5, -2.0, "rneg"), ("c2", 0.0, 100.0, "r3"))
+      .toDF("rm", "rs", "re", "rname")
+    val rows = Seq(("c1", 7.0, 8.0), ("c1", -3.0, 6.0), ("c1", 9.5, 30.0),
+      ("c1", 50.0, 60.0), ("c2", 99.0, 200.0), ("c9", 1.0, 2.0))
+      .toDF("m", "s", "e")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("m", "s", "e", "rname").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getString(3)))
+        .sorted.toSeq
+    val exact = canon(RowOps.intervalIntersect(rows, ref, "m", "s", "e", "rm", "rs", "re"))
+    assert(exact.nonEmpty)
+    // several widths, including ones far smaller/larger than the intervals
+    Seq(0.5, 3.0, 10.0, 1000.0).foreach { w =>
+      val binned = canon(RowOps.intervalIntersectBinned(
+        rows, ref, "m", "s", "e", "rm", "rs", "re", w))
+      assert(binned === exact, s"binWidth=$w")
+    }
+  }
+
   test("projectNested: sets and creates fields inside a struct column") {
     val df = Seq((1L, ("x", 2L))).toDF("id", "s")
     val out = RowOps.projectNested(

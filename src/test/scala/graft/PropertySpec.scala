@@ -87,4 +87,46 @@ class PropertySpec extends AnyFunSuite {
       assert(out.zip(names).forall { case (o, n) => o.startsWith(n) })
     }
   }
+
+  test("sqldump: arbitrary strings survive SQL-quoting round trips") {
+    import graft.sources.SqlDump
+    // values containing quotes, semicolons, newlines, comment markers —
+    // everything the statement splitter and literal parser must not trip on
+    val hostile = Gen.listOfN(8, Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(20)),
+      Gen.const("it's; a -- trap"), Gen.const("a''b"), Gen.const("line\nbreak"),
+      Gen.const("""back\slash"""), Gen.const("/* not a comment */")))
+    samples(hostile, 30).foreach { vals =>
+      val quoted = vals.map(v => "'" + v.replace("\\", "\\\\").replace("'", "''") + "'")
+      val dump =
+        s"""CREATE TABLE t (${vals.indices.map(i => s"c$i text").mkString(", ")});
+           |INSERT INTO t VALUES (${quoted.mkString(", ")});""".stripMargin
+      val rows = SqlDump.parse(dump)
+      assert(rows.length === 1)
+      val got = rows.head._2
+      vals.zipWithIndex.foreach { case (v, i) =>
+        assert(got.get(s"c$i") === Some(v), s"column c$i of $vals")
+      }
+    }
+  }
+
+  test("interval binned == broadcast form over random intervals and widths") {
+    val iv = for {
+      m <- Gen.oneOf("c1", "c2")
+      a <- Gen.chooseNum(-50.0, 50.0)
+      len <- Gen.chooseNum(0.0, 30.0)
+    } yield (m, a, a + len)
+    samples(Gen.zip(Gen.listOfN(25, iv), Gen.listOfN(10, iv), Gen.oneOf(0.7, 5.0, 40.0)), 6)
+      .foreach { case (ls, rs, w) =>
+        val l = ls.toDF("m", "s", "e")
+        val r = rs.toDF("rm", "rs", "re")
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.select("m", "s", "e", "rs", "re").collect()
+            .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2),
+              x.getDouble(3), x.getDouble(4))).sorted.toSeq
+        assert(canon(RowOps.intervalIntersectBinned(l, r, "m", "s", "e", "rm", "rs", "re", w))
+          === canon(RowOps.intervalIntersect(l, r, "m", "s", "e", "rm", "rs", "re")),
+          s"width $w")
+      }
+  }
 }

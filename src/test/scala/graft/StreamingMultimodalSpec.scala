@@ -81,6 +81,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ok.forall(_.byte_len === 68L))
   }
 
+  test("HeaderCodec: real PNG/BMP/WAV headers decode without any media library") {
+    import graft.multimodal.HeaderCodec
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // PNG: signature + IHDR(len 13): width 640, height 480
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0) // depth/color/... + (unchecked) CRC
+    val p = HeaderCodec.decode(1, png)
+    assert((p.format, p.width, p.height, p.valid) === (("png", 640, 480, true)))
+    // BMP: BITMAPINFOHEADER, width 320, TOP-DOWN height -200 -> 200
+    val bmp = "BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(320) ++ le32(-200 & 0xffffffffL) ++ le16(1) ++ le16(24) ++
+      Array.fill[Byte](20)(0)
+    val b = HeaderCodec.decode(2, bmp)
+    assert((b.format, b.width, b.height, b.valid) === (("bmp", 320, 200, true)))
+    // WAV: a JUNK chunk BEFORE fmt (the walker must not assume offsets)
+    val wav = "RIFF".getBytes ++ le32(60) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(4) ++ Array.fill[Byte](4)(0) ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(176400) ++ le16(4) ++ le16(16)
+    val w = HeaderCodec.decode(3, wav)
+    assert((w.format, w.channels, w.sample_rate, w.valid) === (("wav", 2, 44100, true)))
+    // garbage stays invalid, never throws
+    val g = HeaderCodec.decode(4, Array[Byte](1, 2, 3))
+    assert((g.format, g.valid) === (("unknown", false)))
+  }
+
+  test("HeaderCodec.decodeMeta: sniffing works per partition over mixed payloads") {
+    import spark.implicits._
+    import graft.multimodal.{HeaderCodec, Multimodal}
+    val mixed = Multimodal.syntheticMedia(spark, 20) // 'GM' + corrupt rows
+    val out = HeaderCodec.decodeMeta(mixed)
+    val byFormat = out.groupBy("format").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFormat("gm") === 18) // ids 5 and 18 are the planted corrupt rows
+    assert(byFormat("unknown") === 2)
+  }
+
   test("extractFeatures: frame sampling fans out 1->N with fixed dim") {
     val feats = Multimodal.extractFeatures(media, frames = 3)
     assert(feats.count() === 600)
