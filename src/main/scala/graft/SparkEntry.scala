@@ -151,6 +151,19 @@ object SparkEntry {
       RowOps.intervalIntersect(ev, ref, "mk", "value", "value", "rk", "lo", "hi")
         .select("event_id", "rk")
     }),
+    "q_interval_binned" -> ((s, d) => {
+      // same rows as q_interval, computed by the binned scale path
+      // (high-cardinality (match, bin) join key instead of broadcast)
+      val ref = t(s, d, "region").select(
+        col("r_regionkey").cast(LongType).as("rk"),
+        (col("r_regionkey") * lit(100.0)).as("lo"),
+        (col("r_regionkey") * lit(100.0) + lit(150.0)).as("hi"))
+      val ev = t(s, d, "events")
+        .select(col("event_id"), (col("user_id") % 5).as("mk"), col("value"))
+      RowOps.intervalIntersectBinned(ev, ref, "mk", "value", "value",
+        "rk", "lo", "hi", binWidth = 50.0)
+        .select("event_id", "rk")
+    }),
     "q_agg_reduce" -> ((s, d) =>
       t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
@@ -375,6 +388,12 @@ object SparkEntry {
         |LEFT JOIN ref r ON (e.user_id % 5) = r.rk AND e.value <= r.hi AND e.value >= r.lo
         |GROUP BY e.event_id""".stripMargin,
     "q_interval" ->
+      """WITH ref AS (SELECT CAST(r_regionkey AS BIGINT) AS rk,
+        |  r_regionkey * CAST(100 AS DOUBLE) AS lo,
+        |  r_regionkey * CAST(100 AS DOUBLE) + 150 AS hi FROM region)
+        |SELECT e.event_id, r.rk FROM events e
+        |JOIN ref r ON (e.user_id % 5) = r.rk AND e.value <= r.hi AND e.value >= r.lo""".stripMargin,
+    "q_interval_binned" ->
       """WITH ref AS (SELECT CAST(r_regionkey AS BIGINT) AS rk,
         |  r_regionkey * CAST(100 AS DOUBLE) AS lo,
         |  r_regionkey * CAST(100 AS DOUBLE) + 150 AS hi FROM region)

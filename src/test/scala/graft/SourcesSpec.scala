@@ -59,6 +59,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(("1", "x"), ("2", "y"), ("3", "z"))) // no 'id' data rows
   }
 
+  test("tableNative: splittable fast path matches table() on well-formed files") {
+    val d = Files.createTempDirectory("native")
+    Files.writeString(d.resolve("a.tsv"), "id\tv\n# mid comment\n1\tx\n2\ty\n")
+    Files.writeString(d.resolve("b.tsv"), "id\tv\n3\tz\n")
+    val glob = d.toString + "/*.tsv"
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v").collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(canon(Sources.tableNative(spark, glob)) ===
+      canon(Sources.table(spark, glob)))
+    assert(canon(Sources.tableNative(spark, glob)) ===
+      Seq(("1", "x"), ("2", "y"), ("3", "z")))
+  }
+
   test("table: duplicate header names deduped (buildUniqueArray)") {
     assert(Sources.dedupHeader(Seq("a", "b", "a", "a")) ===
       Seq("a", "b", "a_1", "a_2"))
