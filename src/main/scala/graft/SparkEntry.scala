@@ -28,6 +28,29 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** documents + planted near-dups (every 25th doc re-appended with a
+    * ' zz' suffix) — the shared corpus of the dedup queries, mirrored
+    * by the oracle's `aug` CTE. */
+  private def augDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    docs.unionAll(docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text")))
+  }
+
+  /** MinHash-LSH candidates verified at jaccard >= 0.8 over [[augDocs]]. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.withWordShingles(augDocs(s, d), "text")
+      .select(col("doc_id"), col("shingles"))
+    val cand = Dedup.lshCandidatePairs(Dedup.withMinhashSignature(sh), "doc_id")
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
+      .withColumn("jaccard", Dedup.jaccardCol(col("sa"), col("sb")))
+      .filter(col("jaccard") >= 0.8)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Flagship: full verdict grid of the validation engine on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     Verdicts.compute(spark,
@@ -217,14 +240,10 @@ object SparkEntry {
     // ---- dedup (training-data ops) ----
     "d_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
-    "d_minhash_pairs" -> ((s, d) => {
-      val docs = t(s, d, "documents").select("doc_id", "text")
-      val aug = docs.unionAll(docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" zz")).as("text")))
+    "d_minhash_pairs" -> ((s, d) =>
       Dedup.lshCandidatePairs(
-        Dedup.withMinhashSignature(Dedup.withWordShingles(aug, "text")), "doc_id")
-    }),
+        Dedup.withMinhashSignature(Dedup.withWordShingles(augDocs(s, d), "text")),
+        "doc_id")),
     "d_simhash" -> ((s, d) =>
       Dedup.simhashDf(t(s, d, "documents"), "text", "simhash16")
         .select("doc_id", "simhash16")),
@@ -242,20 +261,12 @@ object SparkEntry {
       RowOps.fieldProcess(doc, "toks", Seq("doc_id", "lang"), "tok")
         .filter(length(col("tok")) > 5)
     }),
-    "d_jaccard_verify" -> ((s, d) => {
-      val docs = t(s, d, "documents").select("doc_id", "text")
-      val aug = docs.unionAll(docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" zz")).as("text")))
-      val sh = Dedup.withWordShingles(aug, "text").select(col("doc_id"), col("shingles"))
-      val cand = Dedup.lshCandidatePairs(
-        Dedup.withMinhashSignature(sh), "doc_id")
-      cand
-        .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
-        .withColumn("jaccard", Dedup.jaccardCol(col("sa"), col("sb")))
-        .filter(col("jaccard") >= 0.8)
-        .select("id_a", "id_b", "jaccard")
+    "d_jaccard_verify" -> ((s, d) => jaccardPairs(s, d)),
+    "d_dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(jaccardPairs(s, d))),
+    "d_dedup_survivors" -> ((s, d) => {
+      val clusters = Dedup.nearDupClusters(jaccardPairs(s, d))
+      Dedup.survivors(augDocs(s, d), "doc_id", clusters).select("doc_id")
     }),
     "v_len_hist" -> ((s, d) =>
       LengthHistogram.compute(FilesTable.files(s, d),
@@ -267,13 +278,8 @@ object SparkEntry {
     }),
     "v_salted_hot" -> ((s, d) =>
       SaltedAgg.countByKey(FilesTable.files(s, d), Seq("repo"))),
-    "d_simhash_pairs" -> ((s, d) => {
-      val docs = t(s, d, "documents").select("doc_id", "text")
-      val aug = docs.unionAll(docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" zz")).as("text")))
-      Dedup.simhashPairs(aug, "doc_id", "text", maxHamming = 2)
-    }),
+    "d_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(augDocs(s, d), "doc_id", "text", maxHamming = 2)),
     "d_embed_neardup" -> ((s, d) => {
       val e = t(s, d, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -444,6 +450,8 @@ object SparkEntry {
       s"SELECT event_type AS col_name,\n$cols\nFROM events WHERE user_id < 5 GROUP BY 1"
     },
     "d_jaccard_verify" -> DuckSql.dJaccardVerify,
+    "d_dedup_clusters" -> DuckSql.dDedupClusters,
+    "d_dedup_survivors" -> DuckSql.dDedupSurvivors,
     "d_embed_neardup" -> DuckSql.dEmbedNearDup,
     "v_len_hist" -> DuckSql.vLenHist(Seq("content", "path", "lang"), 32),
     "v_drift_lang" -> DuckSql.vDriftLang,

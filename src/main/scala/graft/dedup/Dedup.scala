@@ -220,4 +220,55 @@ object Dedup {
       .otherwise(round(
         size(array_intersect(a, b)).cast("double") /
           size(array_union(a, b)).cast("double"), 6))
+
+  /** Near-dup CLUSTERS from a verified pair list: connected components
+    * by iterative min-label propagation — label(x) := min(label(x),
+    * min over neighbors' labels) until fixpoint. Output: one row per
+    * node appearing in `pairs`, with `cluster_id` = the smallest id in
+    * its component (the canonical survivor).
+    *
+    * Scale shape: each iteration is one shuffled join + aggregation;
+    * iterations = O(component diameter), and near-dup components are
+    * shallow (pairs come from a similarity threshold, which is nearly
+    * transitive). Lineage is cut with localCheckpoint per iteration so
+    * plans don't grow; convergence is detected with a single
+    * sum(label) aggregate — labels only ever decrease, so an unchanged
+    * sum IS the fixpoint (no except/anti-join pass needed). */
+  def nearDupClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 30): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("label")).collect()(0).getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("label").as("nbr_label"))
+      labels = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = labels.agg(sum("label")).collect()(0).getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters iterations")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Dedup survivors: every id in `corpus` except clustered non-minimum
+    * members — i.e. keep one representative (the smallest id) per
+    * near-dup cluster plus everything unclustered. Left anti-join on
+    * the (small relative to corpus) loser set. */
+  def survivors(corpus: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val losers = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__loser"))
+    corpus.join(losers, corpus(idCol) === col("__loser"), "left_anti")
+  }
 }

@@ -199,6 +199,41 @@ object DuckSql {
        |WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
        |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) >= 0.8""".stripMargin
 
+  /** Jaccard-verified pair CTEs (cand + jp) appended to [[minhashCtes]]. */
+  private def jaccardPairsCte: String =
+    s""", cand AS (
+       |$minhashPairsSelect
+       |), jp AS (
+       |  SELECT p.id_a, p.id_b FROM cand p
+       |  JOIN sh a ON a.doc_id = p.id_a
+       |  JOIN sh b ON b.doc_id = p.id_b
+       |  WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) >= 0.8
+       |)""".stripMargin
+
+  /** Connected components over the verified pairs via a recursive CTE:
+    * reach(id, r) = ids reachable from r; min reachable id = the
+    * cluster label, replaying the engine's min-label propagation. */
+  private def clusterCtes: String =
+    minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + jaccardPairsCte +
+      s""", edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION SELECT id_b, id_a FROM jp
+         |), reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+         |), clusters AS (
+         |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+         |)""".stripMargin
+
+  def dDedupClusters: String = clusterCtes + "\nSELECT id, cluster_id FROM clusters"
+
+  def dDedupSurvivors: String = clusterCtes +
+    """
+      |SELECT doc_id FROM aug
+      |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin
+
   def qFieldProcess: String =
     """SELECT doc_id, lang, tok FROM
       |  (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents)

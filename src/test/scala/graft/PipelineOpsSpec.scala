@@ -70,6 +70,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(scored((1L, 3L)) === 0.0)
   }
 
+  test("nearDupClusters: min-label components; survivors keep one per cluster") {
+    // chain 1-2-3, pair 7-8, triangle 10-11-12 (+edge to 13): diameters > 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (12L, 13L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+    val corpus = (1L to 15L).toDF("doc_id")
+    val kept = Dedup.survivors(corpus, "doc_id",
+      Dedup.nearDupClusters(pairs)).collect().map(_.getLong(0)).sorted
+    // losers 2,3,8,11,12,13 dropped; isolated docs untouched
+    assert(kept.toSeq === Seq(1L, 4L, 5L, 6L, 7L, 9L, 10L, 14L, 15L))
+  }
+
   test("simhash: identical text => identical signature; disjoint differs") {
     val df = Seq((1L, "spark table scan merge"), (2L, "spark table scan merge"),
       (3L, "zq xv wk yj")).toDF("doc_id", "text")
