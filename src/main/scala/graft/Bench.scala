@@ -50,7 +50,8 @@ object Bench {
     val recall: Map[String, Double] =
       try {
         val exact = pairs("s_ann_topk")
-        Map(
+        if (exact.isEmpty) Map.empty // avoid NaN (invalid JSON) on 0/0
+        else Map(
           "ann_lsh" -> exact.count(pairs("x_ann_lsh").contains).toDouble / exact.size,
           "ann_ivf" -> exact.count(pairs("x_ann_ivf").contains).toDouble / exact.size)
       } catch { case _: Throwable => Map.empty }

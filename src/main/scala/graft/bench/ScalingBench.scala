@@ -95,6 +95,70 @@ object ScalingBench {
     (n, phases.toSeq)
   }
 
+  /** Deduplication corpus: `rep` copies per seed doc, each copy made
+    * DISTINCT by five copy-specific suffix tokens (so unrelated copies
+    * fall well under the jaccard threshold and LSH candidate volume
+    * stays linear), plus a planted ' zz' near-dup for 5% of docs —
+    * realistic shape: mostly-unique corpus, bounded near-dup fraction. */
+  def prepareDedup(spark: SparkSession, sfDir: String, rep: Int, workDir: String): String = {
+    val path = s"$workDir/dedup_rep$rep.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(64)
+        .select(col("doc_id"), col("text"),
+          explode(expr(s"sequence(0, ${rep - 1})")).as("rep"))
+      val id = col("doc_id") * rep + col("rep")
+      val base = d.select(id.as("doc_id"),
+        concat(col("text"),
+          lit(" u"), (id % 1000003).cast("string"),
+          lit(" v"), (id % 999983).cast("string"),
+          lit(" w"), ((id * 7) % 1000033).cast("string"),
+          lit(" x"), ((id * 13) % 999979).cast("string"),
+          lit(" y"), ((id * 31) % 1000037).cast("string")).as("text"))
+      base.unionAll(base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+        .write.parquet(path)
+    }
+    path
+  }
+
+  /** The measured dedup-pipeline pass: exact digest dedup, then word
+    * shingles → MinHash signatures → banded LSH candidates → exact
+    * Jaccard verification — the training-data extension's hot path,
+    * measured with the same N vs 4N protocol as validation. SimHash
+    * pairing is deliberately NOT in this job: a 16-bit signature space
+    * saturates at this corpus size (see Dedup.simhashPairs), which
+    * measures a degenerate quadratic regime rather than the engine. */
+  def dedupPass(spark: SparkSession, filesPath: String): (Long, Seq[(String, Double)]) = {
+    import graft.dedup.Dedup
+    val docs = spark.read.parquet(filesPath)
+    val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def phase[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      phases += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
+    val n = phase("count")(docs.count())
+    phase("exact")(Dedup.exact(docs, "doc_id", "text").count())
+    val sh = Dedup.withWordShingles(docs, "text").select(col("doc_id"), col("shingles"))
+    val cand = Dedup.lshCandidatePairs(Dedup.withMinhashSignature(sh), "doc_id")
+    phase("jaccard_verify")(cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
+      .filter(Dedup.jaccardCol(col("sa"), col("sb")) >= 0.8)
+      .count())
+    (n, phases.toSeq)
+  }
+
+  def pass(job: String, spark: SparkSession, filesPath: String): (Long, Seq[(String, Double)]) =
+    job match {
+      case "validate" => validatePass(spark, filesPath)
+      case "dedup" => dedupPass(spark, filesPath)
+      case other => sys.error(s"unknown scaling job: $other")
+    }
+
   def session(cores: Int): SparkSession = {
     val s = graft.GraftSession.builder(s"local[$cores]", cores)
       .appName(s"scaling-bench-$cores")
@@ -105,17 +169,18 @@ object ScalingBench {
 
   /** In-process measurement: warm-up pass, then `iters` passes; report
     * the fastest (least-noise) with its phase breakdown. */
-  def timed(cores: Int, filesPath: String, iters: Int = 4): (Long, Double) = {
+  def timed(cores: Int, filesPath: String, iters: Int = 4,
+      job: String = "validate"): (Long, Double) = {
     val spark = session(cores)
     try {
-      validatePass(spark, filesPath) // warm-up: JIT + codegen + file listing
+      pass(job, spark, filesPath) // warm-up: JIT + codegen + file listing
       val runs = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        val (n, phases) = validatePass(spark, filesPath)
+        val (n, phases) = pass(job, spark, filesPath)
         (n, (System.nanoTime() - t0) / 1e9, phases)
       }
       val (n, dt, phases) = runs.minBy(_._2)
-      System.err.println(s"[scaling] local[$cores] best=${dt}s of " +
+      System.err.println(s"[scaling:$job] local[$cores] best=${dt}s of " +
         runs.map(r => f"${r._2}%.2f").mkString("/") + " " +
         phases.map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
       (n, dt)
@@ -125,7 +190,8 @@ object ScalingBench {
   /** Run one level in a freshly forked JVM (isolates JIT/codegen-cache/GC
     * state between levels — sequential sessions in one JVM showed multi-x
     * run-to-run variance). Child prints `RESULT n sec`. */
-  def forkLevel(cores: Int, filesPath: String): (Long, Double) = {
+  def forkLevel(cores: Int, filesPath: String, job: String = "validate",
+      iters: Int = 4): (Long, Double) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -139,7 +205,8 @@ object ScalingBench {
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(s"-Xmx$mem",
       "-Dspark.ui.enabled=false", "-cp", System.getProperty("java.class.path"),
-      "graft.bench.ScalingBench", "--single", cores.toString, filesPath)
+      "graft.bench.ScalingBench", "--single", cores.toString, filesPath,
+      job, iters.toString)
     val out = new StringBuilder
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
     val reader = new java.io.BufferedReader(
@@ -163,12 +230,20 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--single")) {
-      val (n, dt) = timed(args(1).toInt, args(2))
+      val (n, dt) = timed(args(1).toInt, args(2),
+        iters = args.lift(4).map(_.toInt).getOrElse(4),
+        job = args.lift(3).getOrElse("validate"))
       println(s"RESULT $n $dt")
       return
     }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val rep = args.lift(1).map(_.toInt).getOrElse(800)
+    // job selection: validate (the north-rule pass) or dedup (the
+    // training-data hot path); dedup uses a smaller corpus + fewer
+    // passes because the MinHash stage is ~40x heavier per row
+    val job = sys.env.getOrElse("SPARK_GRAFT_BENCH_JOB", "validate")
+    val iters = if (job == "dedup") 2 else 4
+    val rep = args.lift(1).map(_.toInt)
+      .getOrElse(if (job == "dedup") 100 else 800)
     // N=4 vs 4N=16: this sandbox's 32 advertised vCPUs saturate at ~16
     // effective cores under sustained load (verified with both raw
     // parallel `sha256sum` processes and a pure-codegen Spark probe —
@@ -179,14 +254,18 @@ object ScalingBench {
     val hiCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_HI", "16").toInt
     val filesPath = {
       val s = session(hiCores)
-      try prepare(s, sfDir, rep, "/tmp/graft_bench") finally s.stop()
+      try {
+        if (job == "dedup") prepareDedup(s, sfDir, rep, "/tmp/graft_bench")
+        else prepare(s, sfDir, rep, "/tmp/graft_bench")
+      } finally s.stop()
     }
     // interleave the levels over several forked rounds and take each
     // level's minimum: host-tenancy noise on this sandbox varies on the
     // minute scale, so adjacent lo/hi rounds see comparable conditions
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
     val results = (1 to rounds).map { _ =>
-      (forkLevel(loCores, filesPath), forkLevel(hiCores, filesPath))
+      (forkLevel(loCores, filesPath, job, iters),
+        forkLevel(hiCores, filesPath, job, iters))
     }
     val (n1, t1) = results.map(_._1).minBy(_._2)
     val (n2, t2) = results.map(_._2).minBy(_._2)
@@ -194,20 +273,29 @@ object ScalingBench {
     val (thr1, thr2) = (n1 / t1, n2 / t2)
     val eff = (thr2 / thr1) / (hiCores.toDouble / loCores)
     val json =
-      f"""{"metric":"scaling","files":$n1,"sf":"$sfDir","rep":$rep,""" +
+      f"""{"metric":"scaling_$job","files":$n1,"sf":"$sfDir","rep":$rep,""" +
         f""""cores_lo":$loCores,"cores_hi":$hiCores,""" +
         f""""throughput_lo":$thr1%.1f,"throughput_hi":$thr2%.1f,""" +
         f""""sec_lo":$t1%.2f,"sec_hi":$t2%.2f,"scaling_efficiency":$eff%.3f}"""
     println(json)
+    val jobDescr = job match {
+      case "validate" =>
+        """Job: full validation pass (row-rule violations + sha256 invariant,
+          |uniqueness on (repo,path,commit), referential anti-join, per-column
+          |profile in HLL mode, KS drift)""".stripMargin
+      case _ =>
+        """Job: dedup pipeline pass (exact digest dedup, then word shingles →
+          |MinHash signatures → banded LSH candidates → exact Jaccard
+          |verification, over a mostly-unique corpus with 5% planted
+          |near-dups)""".stripMargin
+    }
     val md =
-      f"""# BENCH — measured scaling (north rule evidence)
+      f"""## Scaling — $job job
          |
-         |Job: full validation pass (row-rule violations + sha256 invariant,
-         |uniqueness on (repo,path,commit), referential anti-join, per-column
-         |profile in HLL mode, KS drift) over ${n1}%,d deterministic file rows
+         |$jobDescr over ${n1}%,d deterministic file rows
          |derived from `$sfDir/documents.parquet` (replication $rep).
-         |Each level runs in its own forked JVM (1 warm-up + 4 measured
-         |passes, fastest kept); levels are interleaved over 2 rounds and
+         |Each level runs in its own forked JVM (1 warm-up + $iters measured
+         |passes, fastest kept); levels are interleaved over $rounds rounds and
          |the per-level minimum reported, because host-tenancy noise on
          |this sandbox varies on the minute scale.
          |
@@ -219,7 +307,7 @@ object ScalingBench {
          |for ANY workload). The N->4N criterion is therefore evidenced
          |inside the range the host can physically provide.
          |
-         || parallelism | wall sec | throughput (files/sec) |
+         || parallelism | wall sec | throughput (rows/sec) |
          ||---|---|---|
          || local[$loCores] (N)  | $t1%.2f | $thr1%,.0f |
          || local[$hiCores] (4N) | $t2%.2f | $thr2%,.0f |
@@ -231,6 +319,28 @@ object ScalingBench {
          |""".stripMargin
     val dir = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), md)
+    java.nio.file.Files.writeString(dir.resolve(s"scaling_$job.md"), md)
+    assembleBaseline(dir)
+  }
+
+  /** BENCH/BASELINE.md = header + every generated scaling_<job>.md +
+    * the manually maintained NOTES.md (all three are version-controlled)
+    * — so re-running one job never clobbers the other sections or the
+    * notes. If the per-section files are missing (fresh checkout where
+    * only BASELINE.md survived), leave BASELINE.md untouched rather
+    * than clobbering committed evidence with a partial assembly. */
+  def assembleBaseline(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val names = Seq("scaling_validate.md", "scaling_dedup.md", "NOTES.md")
+    val parts = names.map(dir.resolve)
+      .filter(Files.exists(_))
+      .map(Files.readString)
+    if (parts.size >= 2)
+      Files.writeString(dir.resolve("BASELINE.md"),
+        "# BENCH — measured scaling (north rule evidence)\n\n" +
+          parts.mkString("\n---\n\n"))
+    else
+      System.err.println(s"[scaling] BASELINE.md left untouched: only " +
+        s"${parts.size} of ${names.size} section files present")
   }
 }

@@ -32,8 +32,23 @@ case class WordShingles(child: Expression) extends UnaryExpression {
 object WordShingles {
   val P: Long = 1000000007L
 
+  /** Tokenize exactly like `split(trim(s), '\\s+')` in Spark SQL (and
+    * the DuckDB oracle's TRIM + string_split_regex): SQL trim strips
+    * SPACES only (Java's String.trim strips all control chars ≤ U+0020)
+    * and SQL split keeps trailing empty tokens (Java's default split
+    * drops them — pass limit -1). A doc ending in '\t' must yield the
+    * trailing "" token both engines produce, or shingle sets silently
+    * diverge from the oracle. */
+  def sqlTokens(s: String): Array[String] = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e).split("\\s+", -1)
+  }
+
   def shingles(u: UTF8String): ArrayData = {
-    val tokens = u.toString.trim.split("\\s+")
+    val tokens = sqlTokens(u.toString)
     val n = tokens.length
     if (n < 3) return new GenericArrayData(Array.empty[Long])
     val th = new Array[Long](n)

@@ -29,8 +29,9 @@ case class SimHash16(child: Expression) extends UnaryExpression {
 
 object SimHash16 {
   def hash(u: UTF8String): Long = {
-    // trim + split on \s+ — matches split(trim(text), '\s+') semantics
-    val tokens = u.toString.trim.split("\\s+")
+    // SQL-faithful trim + split (space-only trim, trailing empties
+    // kept) — see WordShingles.sqlTokens for why Java's defaults differ
+    val tokens = WordShingles.sqlTokens(u.toString)
     val n = tokens.length
     val ones = new Array[Int](16)
     var t = 0

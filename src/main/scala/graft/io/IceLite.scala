@@ -120,7 +120,9 @@ class IceLite(val root: String) {
   /** Read a table of a committed snapshot across all its partitions. */
   def readTable(spark: SparkSession, snap: Long, table: String): DataFrame = {
     val dirs = snapshotParts(snap).map(partDataDir(snap, table, _))
-    spark.read.option("basePath", p("data", s"snap=$snap", table).toString)
+    // basePath must be the ENCODED table dir (an ancestor of the data
+    // paths partDataDir wrote), or encoded table names become unreadable
+    spark.read.option("basePath", p("data", s"snap=$snap", enc(table)).toString)
       .parquet(dirs: _*)
   }
 

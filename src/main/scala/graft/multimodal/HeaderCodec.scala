@@ -62,14 +62,18 @@ object HeaderCodec {
           b.length.toLong, valid = true)
     case "wav" =>
       // walk RIFF chunks for 'fmt ' (never assume a fixed offset: LIST
-      // or JUNK chunks legitimately precede it)
-      var off = 12
+      // or JUNK chunks legitimately precede it). Chunk sizes are
+      // UNTRUSTED input: keep them as Long (u32 can exceed Int.MaxValue)
+      // and force forward progress, or a crafted size of ~0xFFFFFFF8
+      // would loop this task forever / step backwards.
+      var off = 12L
       while (off + 8 <= b.length) {
-        val id = new String(b, off, 4, "US-ASCII")
-        val sz = leU32(b, off + 4).toInt
+        val o = off.toInt
+        val id = new String(b, o, 4, "US-ASCII")
+        val sz = leU32(b, o + 4)
         if (id == "fmt " && off + 8 + 16 <= b.length)
           return Meta(mediaId, "wav", 0, 0,
-            leU16(b, off + 10), leU32(b, off + 12).toInt, b.length.toLong, valid = true)
+            leU16(b, o + 10), leU32(b, o + 12).toInt, b.length.toLong, valid = true)
         off += 8 + sz + (sz & 1) // chunks are word-aligned
       }
       Meta(mediaId, "wav", 0, 0, 0, 0, b.length.toLong, valid = false)

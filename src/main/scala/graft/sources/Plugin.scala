@@ -40,11 +40,16 @@ object Plugin {
   }
 
   /** Run `command` once (a single task), parse stdout NDJSON rows with
-    * schema inference. */
+    * schema inference. The output RDD is cached BEFORE inference:
+    * read.json's schema pass is its own job, and without the cache the
+    * command would re-execute for every downstream action — fatal for
+    * slow or non-idempotent plugins (the reference runs its extractor
+    * exactly once). */
   def source(spark: SparkSession, command: Seq[String]): DataFrame = {
     import spark.implicits._
     val lines = spark.sparkContext.parallelize(Seq(command), 1)
       .flatMap(cmd => pipeThrough(cmd, Iterator.empty))
+      .cache()
     spark.read.json(spark.createDataset(lines))
   }
 

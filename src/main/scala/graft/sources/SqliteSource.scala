@@ -253,15 +253,31 @@ object SqliteSource {
       (cols, colDefs.map(affinity).toIndexedSeq, ipk, m._3)
     }
 
+    /** Top-level comma split, paren- AND quote-aware (a DEFAULT 'x,y'
+      * literal must not produce a phantom column def that shifts the
+      * affinity/IPK indices off the quote-aware column-name parse). */
     private def splitDefs(s: String): Seq[String] = {
       val out = mutable.ArrayBuffer.empty[String]
       val cur = new StringBuilder
       var depth = 0
-      s.foreach {
-        case '(' => depth += 1; cur += '('
-        case ')' => depth -= 1; cur += ')'
-        case ',' if depth == 0 => out += cur.toString; cur.clear()
-        case c => cur += c
+      var quote: Char = 0
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (quote != 0) {
+          cur += c
+          if (c == quote) {
+            if (i + 1 < s.length && s.charAt(i + 1) == quote) { cur += quote; i += 1 }
+            else quote = 0
+          }
+        } else c match {
+          case '\'' | '"' | '`' => quote = c; cur += c
+          case '(' => depth += 1; cur += '('
+          case ')' => depth -= 1; cur += ')'
+          case ',' if depth == 0 => out += cur.toString; cur.clear()
+          case other => cur += other
+        }
+        i += 1
       }
       out += cur.toString
       out.toSeq

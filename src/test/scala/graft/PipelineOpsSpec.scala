@@ -85,6 +85,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 4L, 5L, 6L, 7L, 9L, 10L, 14L, 15L))
   }
 
+  test("nearDupClusters: pointer jumping converges a 300-node chain in O(log) rounds") {
+    val chain = (1000L until 1299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(chain, maxIters = 12).collect()
+    assert(got.length === 300)
+    assert(got.forall(_.getLong(1) === 1000L)) // one component, min label
+  }
+
   test("simhash: identical text => identical signature; disjoint differs") {
     val df = Seq((1L, "spark table scan merge"), (2L, "spark table scan merge"),
       (3L, "zq xv wk yj")).toDF("doc_id", "text")

@@ -88,6 +88,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("word_shingles/simhash16 match the SQL-lambda formulation on hostile whitespace") {
+    GraftFunctions.register(spark)
+    val P = 1000000007L
+    val hostile = Seq("a b c", "\ta b c\t", "a  b\nc ", "  x  ", "", " ",
+      "one\ttwo  three\n", "ab") ++
+      samples(Gen.listOfN(6, Gen.oneOf("tok", " ", "\t", "\n", "zz")), 40)
+        .map(_.mkString)
+    val df = hostile.toDF("text")
+    val sqlShingles = expr(
+      s"""CASE WHEN size(split(trim(text), '\\\\s+')) < 3 THEN array()
+         |ELSE array_distinct(transform(sequence(1, size(split(trim(text), '\\\\s+')) - 2),
+         |  i -> ((polyhash(element_at(split(trim(text), '\\\\s+'), i)) * 131
+         |         + polyhash(element_at(split(trim(text), '\\\\s+'), i + 1))) % $P * 131
+         |        + polyhash(element_at(split(trim(text), '\\\\s+'), i + 2))) % $P))
+         |END""".stripMargin).cast("array<bigint>")
+    val sqlSimhash = expr(
+      s"""aggregate(sequence(0, 15), 0L, (acc, b) -> acc + CASE WHEN
+         |  2 * size(filter(transform(split(trim(text), '\\\\s+'), t -> polyhash(t)),
+         |                  h -> (h div shiftleft(1L, b)) % 2 = 1))
+         |    >= size(split(trim(text), '\\\\s+'))
+         |  THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin)
+    val rows = df.select(
+      expr("sort_array(word_shingles(text))").as("cg_sh"),
+      sort_array(sqlShingles).as("sql_sh"),
+      expr("simhash16(text)").as("cg_sim"), sqlSimhash.as("sql_sim"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"shingles for ${r.getString(4)}")
+      assert(r.getLong(2) === r.getLong(3), s"simhash for '${r.getString(4)}'")
+    }
+  }
+
   test("sqldump: arbitrary strings survive SQL-quoting round trips") {
     import graft.sources.SqlDump
     // values containing quotes, semicolons, newlines, comment markers —

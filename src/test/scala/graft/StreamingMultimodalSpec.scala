@@ -108,6 +108,11 @@ class MultimodalSpec extends AnyFunSuite {
     // garbage stays invalid, never throws
     val g = HeaderCodec.decode(4, Array[Byte](1, 2, 3))
     assert((g.format, g.valid) === (("unknown", false)))
+    // malicious chunk size (0xFFFFFFF8 = -8 as i32) must terminate, not loop
+    val evil = "RIFF".getBytes ++ le32(60) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(0xFFFFFFF8L) ++ Array.fill[Byte](8)(0)
+    val e = HeaderCodec.decode(5, evil)
+    assert((e.format, e.valid) === (("wav", false)))
   }
 
   test("HeaderCodec.decodeMeta: sniffing works per partition over mixed payloads") {
