@@ -96,10 +96,12 @@ object ScalingBench {
   }
 
   /** Deduplication corpus: `rep` copies per seed doc, each copy made
-    * DISTINCT by five copy-specific suffix tokens (so unrelated copies
-    * fall well under the jaccard threshold and LSH candidate volume
-    * stays linear), plus a planted ' zz' near-dup for 5% of docs —
-    * realistic shape: mostly-unique corpus, bounded near-dup fraction. */
+    * FULLY distinct by suffixing every token with a copy-specific tag
+    * (a few appended tokens would leave long copies sharing most
+    * shingles, so all C(rep,2) pairs per seed would still collide in
+    * LSH and candidates would go quadratic in rep) — plus a planted
+    * ' zz' near-dup for 5% of docs. Realistic shape: mostly-unique
+    * corpus, bounded near-dup fraction, linear candidate volume. */
   def prepareDedup(spark: SparkSession, sfDir: String, rep: Int, workDir: String): String = {
     val path = s"$workDir/dedup_rep$rep.parquet"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
@@ -107,14 +109,10 @@ object ScalingBench {
         .repartition(64)
         .select(col("doc_id"), col("text"),
           explode(expr(s"sequence(0, ${rep - 1})")).as("rep"))
-      val id = col("doc_id") * rep + col("rep")
+      val id = col("doc_id") * lit(rep) + col("rep")
       val base = d.select(id.as("doc_id"),
-        concat(col("text"),
-          lit(" u"), (id % 1000003).cast("string"),
-          lit(" v"), (id % 999983).cast("string"),
-          lit(" w"), ((id * 7) % 1000033).cast("string"),
-          lit(" x"), ((id * 13) % 999979).cast("string"),
-          lit(" y"), ((id * 31) % 1000037).cast("string")).as("text"))
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1x"), (id % 100003).cast("string"))).as("text"))
       base.unionAll(base.filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 1000000000L).as("doc_id"),
           concat(col("text"), lit(" zz")).as("text")))

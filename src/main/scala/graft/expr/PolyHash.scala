@@ -31,8 +31,12 @@ object PolyHash {
   final val Mult = 131L
 
   /** Static entry point shared by interpreted eval and generated code. */
-  def hash(u: UTF8String): Long = {
-    val s = u.toString
+  def hash(u: UTF8String): Long = hashString(u.toString)
+
+  /** Same fold over a JVM String directly — for callers that already
+    * hold decoded text (WordShingles/SimHash16 tokenizers), avoiding a
+    * String -> UTF8String encode + decode round trip per token. */
+  def hashString(s: String): Long = {
     var acc = 0L
     var i = 0
     while (i < s.length) {

@@ -7,12 +7,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd word-trigram shingle hashes: tokenize on whitespace,
-  * [[PolyHash]] each token, fold consecutive triples, distinct in
-  * first-occurrence order — bit-identical to the SQL-lambda formulation
-  * in graft.dedup.Dedup (same trim+split, same polynomial fold, same
-  * array_distinct semantics) that the DuckDB oracle replays, but one
-  * generated call per row instead of interpreted nested higher-order
-  * functions over every token.
+  * [[PolyHash]] each token, fold consecutive triples, distinct (sorted
+  * order). The element SET is identical to the SQL-lambda
+  * `array_distinct(transform(...))` formulation the DuckDB oracle
+  * replays — same trim+split semantics, same polynomial fold — and
+  * every consumer is a set function; one generated call per row
+  * replaces interpreted nested higher-order functions over every
+  * token.
   */
 case class WordShingles(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -47,27 +48,44 @@ object WordShingles {
     s.substring(b, e).split("\\s+", -1)
   }
 
-  def shingles(u: UTF8String): ArrayData = {
-    val tokens = sqlTokens(u.toString)
-    val n = tokens.length
-    if (n < 3) return new GenericArrayData(Array.empty[Long])
-    val th = new Array[Long](n)
+  /** Polynomial hash of every token of `s` under SQL split semantics.
+    * Primitive arrays only — this runs once per document per pass, and
+    * boxed-collection churn here measurably hurts multi-core scaling
+    * (GC contention). */
+  def tokenHashes(s: String): Array[Long] = {
+    val tokens = sqlTokens(s)
+    val th = new Array[Long](tokens.length)
     var i = 0
-    while (i < n) {
-      th(i) = PolyHash.hash(UTF8String.fromString(tokens(i)))
+    while (i < tokens.length) {
+      th(i) = PolyHash.hashString(tokens(i))
       i += 1
     }
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    i = 0
+    th
+  }
+
+  /** Distinct trigram hashes, SORTED (not first-occurrence) order: every
+    * consumer — minhash, jaccard intersect/union, the oracle's
+    * list_min/list_intersect — is a set function, so only the element
+    * SET must match the SQL array_distinct formulation. Sort+dedup on a
+    * primitive array avoids per-element boxing. */
+  def shingles(u: UTF8String): ArrayData = {
+    val th = tokenHashes(u.toString)
+    val n = th.length
+    if (n < 3) return new GenericArrayData(Array.empty[Long])
+    val tri = new Array[Long](n - 2)
+    var i = 0
     while (i + 2 < n) {
-      seen.add(((th(i) * 131 + th(i + 1)) % P * 131 + th(i + 2)) % P)
+      tri(i) = ((th(i) * 131 + th(i + 1)) % P * 131 + th(i + 2)) % P
       i += 1
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    new GenericArrayData(out)
+    java.util.Arrays.sort(tri)
+    var uniq = 1
+    i = 1
+    while (i < tri.length) {
+      if (tri(i) != tri(i - 1)) { tri(uniq) = tri(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(tri, uniq))
   }
 }
 

@@ -31,12 +31,12 @@ object SimHash16 {
   def hash(u: UTF8String): Long = {
     // SQL-faithful trim + split (space-only trim, trailing empties
     // kept) — see WordShingles.sqlTokens for why Java's defaults differ
-    val tokens = WordShingles.sqlTokens(u.toString)
-    val n = tokens.length
+    val th = WordShingles.tokenHashes(u.toString)
+    val n = th.length
     val ones = new Array[Int](16)
     var t = 0
     while (t < n) {
-      val h = PolyHash.hash(UTF8String.fromString(tokens(t)))
+      val h = th(t)
       var b = 0
       while (b < 16) {
         if (((h >> b) & 1L) == 1L) ones(b) += 1
