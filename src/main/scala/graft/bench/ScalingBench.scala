@@ -140,13 +140,21 @@ object ScalingBench {
     }
     val n = phase("count")(docs.count())
     phase("exact")(Dedup.exact(docs, "doc_id", "text").count())
-    val sh = Dedup.withWordShingles(docs, "text").select(col("doc_id"), col("shingles"))
-    val cand = Dedup.lshCandidatePairs(Dedup.withMinhashSignature(sh), "doc_id")
-    phase("jaccard_verify")(cand
-      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
-      .filter(Dedup.jaccardCol(col("sa"), col("sb")) >= 0.8)
-      .count())
+    // the shingle table feeds three consumers (signatures + both sides
+    // of the verify join) — persist it once, as a production pipeline
+    // would, instead of recomputing the corpus-wide tokenize+hash 3x
+    val sh = Dedup.withWordShingles(docs, "text")
+      .select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      phase("shingle")(sh.count())
+      val cand = Dedup.lshCandidatePairs(Dedup.withMinhashSignature(sh), "doc_id")
+      phase("jaccard_verify")(cand
+        .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
+        .filter(Dedup.jaccardCol(col("sa"), col("sb")) >= 0.8)
+        .count())
+    } finally sh.unpersist(blocking = true)
     (n, phases.toSeq)
   }
 
