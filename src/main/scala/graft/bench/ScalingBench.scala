@@ -58,8 +58,14 @@ object ScalingBench {
     * job is to validate an EXISTING table, so the benchmark reads
     * parquet — like the Iceberg scan it stands in for — rather than
     * re-deriving (and re-hashing) the input inside every action. */
+  /** /tmp cache key must include the INPUT, not just the replication —
+    * otherwise switching sfDir silently measures the previous corpus
+    * while reporting the new one. */
+  private def corpusTag(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+
   def prepare(spark: SparkSession, sfDir: String, rep: Int, workDir: String): String = {
-    val path = s"$workDir/files_rep$rep.parquet"
+    val path = s"$workDir/files_${corpusTag(sfDir)}_rep$rep.parquet"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
       scaledFiles(spark, sfDir, rep).write.parquet(path)
       // the manifest is its own (small) table in the real system, not
@@ -103,7 +109,7 @@ object ScalingBench {
     * ' zz' near-dup for 5% of docs. Realistic shape: mostly-unique
     * corpus, bounded near-dup fraction, linear candidate volume. */
   def prepareDedup(spark: SparkSession, sfDir: String, rep: Int, workDir: String): String = {
-    val path = s"$workDir/dedup_rep$rep.parquet"
+    val path = s"$workDir/dedup_${corpusTag(sfDir)}_rep$rep.parquet"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
       val d = spark.read.parquet(s"$sfDir/documents.parquet")
         .repartition(64)
@@ -148,12 +154,19 @@ object ScalingBench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       phase("shingle")(sh.count())
+      // candidates persisted + materialized under their OWN phase so the
+      // reported breakdown attributes minhash/banding/join cost to LSH,
+      // not to the verify stage
       val cand = Dedup.lshCandidatePairs(Dedup.withMinhashSignature(sh), "doc_id")
-      phase("jaccard_verify")(cand
-        .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
-        .filter(Dedup.jaccardCol(col("sa"), col("sb")) >= 0.8)
-        .count())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        phase("lsh_candidates")(cand.count())
+        phase("jaccard_verify")(cand
+          .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
+          .filter(Dedup.jaccardCol(col("sa"), col("sb")) >= 0.8)
+          .count())
+      } finally cand.unpersist(blocking = true)
     } finally sh.unpersist(blocking = true)
     (n, phases.toSeq)
   }
@@ -298,7 +311,7 @@ object ScalingBench {
     val md =
       f"""## Scaling — $job job
          |
-         |$jobDescr over ${n1}%,d deterministic file rows
+         |$jobDescr over ${n1}%,d deterministic rows
          |derived from `$sfDir/documents.parquet` (replication $rep).
          |Each level runs in its own forked JVM (1 warm-up + $iters measured
          |passes, fastest kept); levels are interleaved over $rounds rounds and
@@ -341,12 +354,13 @@ object ScalingBench {
     val parts = names.map(dir.resolve)
       .filter(Files.exists(_))
       .map(Files.readString)
-    if (parts.size >= 2)
+    if (parts.size == names.size)
       Files.writeString(dir.resolve("BASELINE.md"),
         "# BENCH — measured scaling (north rule evidence)\n\n" +
           parts.mkString("\n---\n\n"))
     else
       System.err.println(s"[scaling] BASELINE.md left untouched: only " +
-        s"${parts.size} of ${names.size} section files present")
+        s"${parts.size} of ${names.size} section files present " +
+        "(assembling a subset would drop committed evidence)")
   }
 }

@@ -71,9 +71,12 @@ object HeaderCodec {
         val o = off.toInt
         val id = new String(b, o, 4, "US-ASCII")
         val sz = leU32(b, o + 4)
-        if (id == "fmt " && off + 8 + 16 <= b.length)
+        if (id == "fmt " && off + 8 + 16 <= b.length) {
+          val rate = leU32(b, o + 12) // untrusted u32: > Int range = garbage
           return Meta(mediaId, "wav", 0, 0,
-            leU16(b, o + 10), leU32(b, o + 12).toInt, b.length.toLong, valid = true)
+            leU16(b, o + 10), math.min(rate, Int.MaxValue).toInt,
+            b.length.toLong, valid = rate <= Int.MaxValue)
+        }
         off += 8 + sz + (sz & 1) // chunks are word-aligned
       }
       Meta(mediaId, "wav", 0, 0, 0, 0, b.length.toLong, valid = false)

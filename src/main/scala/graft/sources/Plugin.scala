@@ -40,16 +40,20 @@ object Plugin {
   }
 
   /** Run `command` once (a single task), parse stdout NDJSON rows with
-    * schema inference. The output RDD is cached BEFORE inference:
-    * read.json's schema pass is its own job, and without the cache the
-    * command would re-execute for every downstream action — fatal for
+    * schema inference. The output RDD is persisted (MEMORY_AND_DISK —
+    * memory-only caching is all-or-nothing per partition and would
+    * silently re-execute an oversized output) BEFORE inference:
+    * read.json's schema pass is its own job, and without the persist
+    * the command would re-run for every downstream action — fatal for
     * slow or non-idempotent plugins (the reference runs its extractor
-    * exactly once). */
+    * exactly once). The persisted block lives until the session ends or
+    * the caller unpersists `df.rdd` — the price of run-once semantics
+    * for an arbitrary external command. */
   def source(spark: SparkSession, command: Seq[String]): DataFrame = {
     import spark.implicits._
     val lines = spark.sparkContext.parallelize(Seq(command), 1)
       .flatMap(cmd => pipeThrough(cmd, Iterator.empty))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     spark.read.json(spark.createDataset(lines))
   }
 

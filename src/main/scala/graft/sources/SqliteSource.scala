@@ -223,24 +223,32 @@ object SqliteSource {
         (s(0), s(1), root, s(4))
       }
 
+    private def unquoteIdent(s: String): String =
+      s.trim.stripPrefix("`").stripSuffix("`")
+        .stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("[").stripSuffix("]")
+
     /** (columns, per-column affinity, integer-primary-key index or -1,
-      * rootpage). Affinity follows the spec's type-name determination
-      * rules in order: INT > CHAR/CLOB/TEXT > BLOB/none > REAL/FLOA/
-      * DOUB > NUMERIC. */
+      * rootpage). Names, affinities, AND the ipk index all derive from
+      * the SAME splitDefs pass — SQLite has no backslash string escapes,
+      * so reusing a MySQL-dialect parser (SqlDump) for the names could
+      * split differently around literals like DEFAULT 'C:\' and
+      * misalign the indices. Affinity follows the spec's type-name
+      * determination rules in order: INT > CHAR/CLOB/TEXT > BLOB/none >
+      * REAL/FLOA/DOUB > NUMERIC. */
     def tableInfo(name: String): (Seq[String], IndexedSeq[Char], Int, Long) = {
       val m = masterRows.find(r => r._1 == "table" && r._2 == name)
         .getOrElse(sys.error(s"table '$name' not found in sqlite file"))
-      val cols = SqlDump.createTable(m._4)
-        .map(_._2)
-        .getOrElse(sys.error(s"cannot parse CREATE TABLE for '$name'"))
       val ipkRx = "(?is)INTEGER\\s+PRIMARY\\s+KEY".r
       // COLUMN defs only (constraint clauses like `PRIMARY KEY (id)`
       // are not columns and don't count toward indices)
       val open = m._4.indexOf('(')
+      require(open >= 0, s"cannot parse CREATE TABLE for '$name'")
       val body = m._4.substring(open + 1, m._4.lastIndexOf(')'))
       val nonCols = Set("PRIMARY", "KEY", "UNIQUE", "CONSTRAINT", "INDEX", "FOREIGN", "CHECK")
       val colDefs = splitDefs(body).map(_.trim).filter(d =>
         d.nonEmpty && !nonCols(d.split("\\s+")(0).toUpperCase))
+      val cols = colDefs.map(d => unquoteIdent(d.split("\\s+")(0)))
       val ipk = colDefs.indexWhere(d => ipkRx.findFirstIn(d).isDefined)
       def affinity(d: String): Char = {
         val t = d.split("\\s+").drop(1).mkString(" ").toUpperCase
