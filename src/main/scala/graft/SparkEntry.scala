@@ -76,6 +76,11 @@ object SparkEntry {
       DriftCheck.ks(f, length(col("content")), col("doc_id") % 2 === 0,
         FileRules.drift.bucketWidth)
     }),
+    "v_drift_psi" -> ((s, d) => {
+      val f = FilesTable.files(s, d)
+      DriftCheck.psi(f, length(col("content")), col("doc_id") % 2 === 0,
+        FileRules.drift.bucketWidth)
+    }),
 
     // ---- sifter operator inventory (SURVEY.md §2.2-2.4) ----
     "q_project" -> ((s, d) => {
@@ -346,6 +351,7 @@ object SparkEntry {
     "v_ref_orphans" -> DuckSql.vRefOrphans,
     "v_profile" -> DuckSql.vProfile(profiledCols),
     "v_drift_ks" -> DuckSql.vDriftKs,
+    "v_drift_psi" -> DuckSql.vDriftPsi,
     "q_project" ->
       """SELECT n_nationkey AS id, 'nation:' || n_name AS label,
         |printf('key=%d region=%d', n_nationkey, n_regionkey) AS descr FROM nation""".stripMargin,

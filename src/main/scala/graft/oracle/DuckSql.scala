@@ -371,6 +371,21 @@ object DuckSql {
 
   def vDriftKs: String = vDriftKs(FileRules.drift.bucketWidth)
 
+  /** PSI over the same content-length histogram as the KS check,
+    * ε-floored probabilities (mirrors DriftCheck.psi). */
+  def vDriftPsi: String = cte +
+    s""", hist AS (
+       |  SELECT CAST(FLOOR(LENGTH(content) / ${FileRules.drift.bucketWidth}) AS BIGINT) AS bucket,
+       |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+       |    SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS c1
+       |  FROM files_all GROUP BY 1
+       |), p AS (
+       |  SELECT GREATEST(CAST(c0 AS DOUBLE) / SUM(c0) OVER (), CAST(0.000001 AS DOUBLE)) AS p0,
+       |         GREATEST(CAST(c1 AS DOUBLE) / SUM(c1) OVER (), CAST(0.000001 AS DOUBLE)) AS p1
+       |  FROM hist
+       |)
+       |SELECT ROUND(SUM((p1 - p0) * LN(p1 / p0)), 9) AS psi FROM p""".stripMargin
+
   /** Width taken from the same Drift rule object the Spark side reads —
     * a config edit cannot desynchronize the two sides. */
   def vDriftKs(bucketWidth: Int): String = cte +

@@ -203,6 +203,27 @@ object DriftCheck {
       .agg(round(max(abs(col("cdf0") - col("cdf1"))), 9).as("ks_stat"))
   }
 
+  /** Population stability index over the same bucketed histogram as
+    * [[ks]]: Σ (p1 - p0) * ln(p1 / p0) per bucket — the industry drift
+    * score for training-data monitoring (rule of thumb: < 0.1 stable,
+    * > 0.25 shifted). Zero-count buckets on either side use the
+    * standard ε-floor so the log stays finite; one aggregation pass +
+    * a tiny histogram reduction, same scale shape as [[ks]]. */
+  def psi(df: DataFrame, value: Column, baseline: Column, bucketWidth: Int,
+      eps: Double = 1e-6): DataFrame = {
+    val hist = df
+      .select(floor(value / bucketWidth).cast(LongType).as("bucket"),
+        when(baseline, 1L).otherwise(0L).as("is_base"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("is_base")).as("c0"), sum(lit(1L) - col("is_base")).as("c1"))
+    val all = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .select(
+        greatest(col("c0").cast(DoubleType) / sum(col("c0")).over(all), lit(eps)).as("p0"),
+        greatest(col("c1").cast(DoubleType) / sum(col("c1")).over(all), lit(eps)).as("p1"))
+      .agg(round(sum((col("p1") - col("p0")) * log(col("p1") / col("p0"))), 9).as("psi"))
+  }
+
   /** Total-variation distance between the categorical distributions of
     * `value` on the baseline side vs the rest: sum |p0 - p1| / 2 over
     * categories, from one aggregation pass (the drift check for

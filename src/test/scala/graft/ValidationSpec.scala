@@ -115,6 +115,19 @@ class ValidationSpec extends AnyFunSuite {
     assert(far > 0.9)
   }
 
+  test("drift: PSI near zero for identical halves, large for a shift") {
+    import spark.implicits._
+    val base = (1 to 2000).map(i => (i, 100 + (i % 50))).toDF("id", "len")
+    val same = DriftCheck.psi(base, col("len"), col("id") % 2 === 0, 8)
+      .collect()(0).getDouble(0)
+    assert(same < 0.01, s"psi on identical halves: $same")
+    val shifted = base.withColumn("len",
+      when(col("id") % 2 === 0, col("len") + 200).otherwise(col("len")))
+    val far = DriftCheck.psi(shifted, col("len"), col("id") % 2 === 0, 8)
+      .collect()(0).getDouble(0)
+    assert(far > 1.0, s"psi on disjoint halves: $far") // fully separated buckets
+  }
+
   test("verdicts: full grid covers every org x rule; 24 failing cells") {
     val v = Verdicts.compute(spark, files, FileRules.rowRules).cache()
     val orgs = files.select(Verdicts.org(col("repo"))).distinct().count()
