@@ -121,6 +121,7 @@ object Referential {
   */
 object Profile {
   def columns(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nn"),
@@ -154,6 +155,7 @@ object Profile {
   * oracle-comparable form. */
 object ProfileSinglePass {
   def columns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     graft.expr.GraftFunctions.register(df.sparkSession)
     val aggs = cols.map(c => call_function("col_profile", col(c)).as(s"${c}__pr"))
     val row = df.agg(aggs.head, aggs.tail: _*)
@@ -161,6 +163,36 @@ object ProfileSinglePass {
     row.select(expr(s"stack(${cols.size}, $stackArgs) as (col_name, pr)"))
       .select(col("col_name"), col("pr.n_rows"), col("pr.n_null"),
         col("pr.n_distinct_est"), col("pr.min_len"), col("pr.max_len"))
+  }
+
+  /** Per-column LENGTH quantiles in one aggregation pass
+    * (percentile_approx — a mergeable per-partition sketch, the scale
+    * companion of [[LengthHistogram]]'s full distribution): long-form
+    * (col_name, p, len). Approximate by construction (accuracy 1/1e4),
+    * so ScalaTest-verified against exact quantiles rather than
+    * oracle-compared. Typed Column API throughout (column names are
+    * never interpolated into SQL text); an all-null column keeps its
+    * rows with null lengths rather than vanishing. */
+  def lengthQuantiles(df: DataFrame, cols: Seq[String],
+      probs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(cols.nonEmpty, "lengthQuantiles needs at least one column")
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probabilities must be in [0, 1]: $probs")
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      percentile_approx(length(col(c)), typedlit(probs), lit(10000)).as(s"__q_$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val nullQs = array(probs.map(_ => lit(null).cast(LongType)): _*)
+    val entries = explode(array(cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"),
+        coalesce(col(s"__q_$i").cast("array<bigint>"), nullQs).as("qs"))
+    }: _*))
+    row.select(entries.as("e"))
+      .select(col("e.col_name").as("col_name"),
+        posexplode(col("e.qs")).as(Seq("i", "len")))
+      .select(col("col_name"),
+        element_at(typedlit(probs), col("i") + 1).as("p"),
+        col("len"))
   }
 }
 

@@ -115,6 +115,26 @@ class ValidationSpec extends AnyFunSuite {
     assert(far > 0.9)
   }
 
+  test("profile: one-pass length quantiles track exact percentiles") {
+    val q = ProfileSinglePass.lengthQuantiles(files, Seq("content", "path"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(q.size === 6)
+    val exact = files.selectExpr("percentile(length(content), 0.5)")
+      .collect()(0).getDouble(0)
+    assert(math.abs(q(("content", 0.5)) - exact) <= exact * 0.02 + 2)
+    assert(q(("content", 0.5)) <= q(("content", 0.9)))
+    assert(q(("content", 0.9)) <= q(("content", 0.99)))
+    // an all-null column keeps its rows (null lengths), never vanishes
+    import spark.implicits._
+    val withNull = Seq(("a", null: String), ("bb", null: String)).toDF("x", "y")
+    val qs = ProfileSinglePass.lengthQuantiles(withNull, Seq("x", "y"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(qs.size === 6)
+    assert(qs(("y", 0.5)) === -1L)
+    assert(qs(("x", 0.5)) >= 1L)
+  }
+
   test("drift: PSI near zero for identical halves, large for a shift") {
     import spark.implicits._
     val base = (1 to 2000).map(i => (i, 100 + (i % 50))).toDF("id", "len")
