@@ -150,6 +150,39 @@ object Dedup {
       .select("id_a", "id_b", "hamming").distinct()
   }
 
+  /** 64-bit SimHash near-dup pairs — the corpus-scale variant (the
+    * 16-bit space saturates ≈10^4 docs; see [[simhashPairs]]). Same
+    * exact pigeonhole banding, maxHamming+1 bands over 64 bits (e.g.
+    * 22/21/21 bits for ≤2 — selective enough for 10^9+ docs per band
+    * value). Backed by the codegen'd [[graft.expr.SimHash64]]; not
+    * DuckDB-replayable (wrapping u64 arithmetic), so verified in
+    * ScalaTest against the all-pairs form instead of the oracle. */
+  def simhashPairs64(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    require(bands <= 64, s"maxHamming=$maxHamming needs more bands than bits")
+    val w = 64 / bands
+    val extra = 64 % bands
+    val offsets = (0 until bands).map(b => b * w + math.min(b, extra))
+    val widths = (0 until bands).map(b => w + (if (b < extra) 1 else 0))
+    val bandExprs = offsets.zip(widths).map { case (off, wid) =>
+      val mask = if (wid == 64) -1L else (1L << wid) - 1
+      s"shiftrightunsigned(sig, $off) & $mask"
+    }.mkString("array(", ", ", ")")
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val sigs = df.select(col(idCol).as("id"),
+      call_function("simhash64", col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(expr(bandExprs)).as(Seq("band", "bv")))
+    val a = banded.select(col("band"), col("bv"), col("id").as("id_a"), col("sig").as("sa"))
+    val b = banded.select(col("band"), col("bv"), col("id").as("id_b"), col("sig").as("sb"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
   /** Embedding-cosine near-duplicates: pairs above a cosine threshold,
     * blocked by MULTIPROBE multi-table sign-random-projection buckets
     * ([[graft.sim.Ann.srpBucket]] — the same deterministic hyperplanes

@@ -56,7 +56,11 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHashSig(es.head)))
+        MinHashSig(es.head)),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(es.head)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

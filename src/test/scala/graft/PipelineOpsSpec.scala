@@ -92,6 +92,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.forall(_.getLong(1) === 1000L)) // one component, min label
   }
 
+  test("simhash64: banded pairs match all-pairs; wide sigs separate unrelated docs") {
+    graft.expr.GraftFunctions.register(spark)
+    val base = docs.select("doc_id", "text").filter(col("doc_id") < 200)
+    val aug = base.unionAll(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text")))
+    val banded = Dedup.simhashPairs64(aug, "doc_id", "text", maxHamming = 3)
+    val sigs = aug.select(col("doc_id").as("id"),
+      call_function("simhash64", col("text")).as("sig"))
+    val brute = sigs.select(col("id").as("id_a"), col("sig").as("sa"))
+      .crossJoin(sigs.select(col("id").as("id_b"), col("sig").as("sb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= 3).select("id_a", "id_b", "hamming")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pairs = toSet(banded)
+    assert(pairs === toSet(brute))
+    // a majority of the 20 planted near-dups sit within hamming 3 of 64
+    // (appending one token flips few majority votes), and the organic
+    // tail is small — unlike 16-bit sigs, where this corpus size would
+    // produce hundreds of birthday collisions
+    assert(pairs.nonEmpty)
+    val planted = pairs.count { case (a, b, _) => b == a + 1000000 }
+    assert(planted >= 10, s"recovered only $planted of 20 planted pairs")
+    assert(pairs.size < 50, s"organic collision tail too large: ${pairs.size}")
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("simhash: identical text => identical signature; disjoint differs") {
     val df = Seq((1L, "spark table scan merge"), (2L, "spark table scan merge"),
       (3L, "zq xv wk yj")).toDF("doc_id", "text")
