@@ -36,11 +36,19 @@ object Bench {
       try force(SparkEntry.queries(w)(spark, sfDir)) catch { case _: Throwable => () }
     }
 
+    // a failed query must stay visible in the output (a swallowed error
+    // would masquerade as a suspiciously fast timing): elapsed time is
+    // NEGATED on failure and the name lands in an `errors` array
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { force(fn(spark, sfDir)); true }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getMessage}"); false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) dt else -dt)
     }
+    val errors = results.collect { case (n, t) if t < 0 => n }
 
     // recall@10 of the approximate ANN queries vs the exact baseline
     def pairs(name: String): Set[(Long, Long)] =
@@ -60,8 +68,9 @@ object Bench {
       .mkString("{", ",", "}")
     val rc = recall.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$rc,"sf":"$sfDir"}""")
+    val total = results.map(r => math.abs(r._2)).sum
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$rc,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -311,6 +311,12 @@ object SparkEntry {
     }),
     // rows-only queries (no SQL-expressible oracle): approximate ops
     // verified in ScalaTest against their exact baselines instead
+    "x_simhash64_pairs" -> ((s, d) =>
+      // the production-width near-dup path (16-bit sigs saturate ~10^4
+      // docs); not DuckDB-replayable (wrapping u64 arithmetic) — exact
+      // banding is certified in PipelineOpsSpec vs the all-pairs form
+      // at 400 docs and vs constructed ground truth at 10^5 docs
+      Dedup.simhashPairs64(augDocs(s, d), "doc_id", "text", maxHamming = 2)),
     "x_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",

@@ -127,13 +127,14 @@ object ScalingBench {
     path
   }
 
-  /** The measured dedup-pipeline pass: exact digest dedup, then word
-    * shingles → MinHash signatures → banded LSH candidates → exact
-    * Jaccard verification — the training-data extension's hot path,
-    * measured with the same N vs 4N protocol as validation. SimHash
-    * pairing is deliberately NOT in this job: a 16-bit signature space
-    * saturates at this corpus size (see Dedup.simhashPairs), which
-    * measures a degenerate quadratic regime rather than the engine. */
+  /** The measured dedup-pipeline pass: exact digest dedup, 64-bit
+    * SimHash banded pairing, then word shingles → MinHash signatures →
+    * banded LSH candidates → exact Jaccard verification — the
+    * training-data extension's hot path, measured with the same N vs 4N
+    * protocol as validation. SimHash runs at PRODUCTION width (64-bit,
+    * Dedup.simhashPairs64): the 16-bit teaching form saturates at this
+    * corpus size (see Dedup.simhashPairs) and would measure a
+    * degenerate quadratic regime rather than the engine. */
   def dedupPass(spark: SparkSession, filesPath: String): (Long, Seq[(String, Double)]) = {
     import graft.dedup.Dedup
     val docs = spark.read.parquet(filesPath)
@@ -146,6 +147,8 @@ object ScalingBench {
     }
     val n = phase("count")(docs.count())
     phase("exact")(Dedup.exact(docs, "doc_id", "text").count())
+    phase("simhash64_pairs")(
+      Dedup.simhashPairs64(docs, "doc_id", "text", maxHamming = 2).count())
     // the shingle table feeds three consumers (signatures + both sides
     // of the verify join) — persist it once, as a production pipeline
     // would, instead of recomputing the corpus-wide tokenize+hash 3x
@@ -303,10 +306,10 @@ object ScalingBench {
           |uniqueness on (repo,path,commit), referential anti-join, per-column
           |profile in HLL mode, KS drift)""".stripMargin
       case _ =>
-        """Job: dedup pipeline pass (exact digest dedup, then word shingles →
-          |MinHash signatures → banded LSH candidates → exact Jaccard
-          |verification, over a mostly-unique corpus with 5% planted
-          |near-dups)""".stripMargin
+        """Job: dedup pipeline pass (exact digest dedup, 64-bit SimHash banded
+          |pairing, then word shingles → MinHash signatures → banded LSH
+          |candidates → exact Jaccard verification, over a mostly-unique
+          |corpus with 5% planted near-dups)""".stripMargin
     }
     val md =
       f"""## Scaling — $job job

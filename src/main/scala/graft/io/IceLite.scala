@@ -48,9 +48,17 @@ class IceLite(val root: String) {
     * JSON goes through a real JSON renderer — a quote or bracket in a
     * part name must not corrupt the manifest or escape the layout. */
   // %20 (not URLEncoder's '+') so Hive-style partition discovery
-  // unescapes part= dir values back to the raw name
-  private def enc(s: String): String =
+  // unescapes part= dir values back to the raw name. URLEncoder leaves
+  // '*' and '.' alone, but spark.read.parquet treats '*?{}[]' as glob
+  // metacharacters — a part name containing them would otherwise match
+  // arbitrary sibling directories at read time, so they are
+  // percent-encoded too (Hive unescaping is plain %XX, so this stays
+  // round-trippable).
+  private def enc(s: String): String = {
+    val globChars = Set('*', '?', '{', '}', '[', ']')
     java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+      .flatMap(c => if (globChars(c)) f"%%${c.toInt}%02X" else c.toString)
+  }
   private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
   Files.createDirectories(p("snapshots"))

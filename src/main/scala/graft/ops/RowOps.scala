@@ -69,10 +69,17 @@ object RowOps {
       from_json(col(field), org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)))
 
   /** `fieldParse:` — parse `k1=v1;k2=v2` string into a map
-    * (transform/field_parse.go:24-55). */
+    * (transform/field_parse.go:24-55). A bare key with no assign
+    * (`...;flag;...`) becomes `flag -> true` in the reference
+    * (field_parse.go:44-47); str_to_map yields a null value there, so
+    * nulls are rewritten to "true" (the map is string-typed — the
+    * honest analog of the reference's boolean). A key with an EMPTY
+    * value (`k=`) stays "" in both engines. */
   def fieldParse(df: DataFrame, field: String, dst: String,
       sep: String = ";", assign: String = "="): DataFrame =
-    df.withColumn(dst, str_to_map(col(field), lit(sep), lit(assign)))
+    df.withColumn(dst,
+      transform_values(str_to_map(col(field), lit(sep), lit(assign)),
+        (_, v) => coalesce(v, lit("true"))))
 
   /** `split:` — split string field on separator into array, in place
     * (transform/split.go:19-31). */
@@ -260,10 +267,47 @@ object RowOps {
   /** `intervalIntersect:` attach form — the reference's actual output
     * shape (transform/lookup_interval.go:166-205): every row is kept,
     * ALL intersecting reference rows are attached as a sorted array
-    * field, no intersection → empty array. Left join + groupBy on a
-    * plan-local row id + collect_list; the `when(isNotNull)` wrapper
-    * makes collect_list skip the miss rows (→ []). */
+    * field, no intersection → empty array.
+    *
+    * Scale shape: the reference materializes the whole interval table
+    * into per-worker RAM trees, i.e. the ref side is dictionary-sized
+    * by contract. The same assumption here makes the attach a
+    * ZERO-SHUFFLE projection — the ref rows are collected once at plan
+    * build into a literal struct array (the [[litMap]]/IVF-centroid
+    * trick) and each probe row filters it in place. The previous shape
+    * (row-id + left join + groupBy/collect_list) shuffled the ENTIRE
+    * probe side on a synthetic key; at 100 TB that is the whole corpus
+    * through the exchange for a per-row lookup. A ref larger than
+    * `maxLiteralRefRows` falls back to that join+aggregate shape. */
   def intervalAttach(df: DataFrame, ref: DataFrame,
+      matchKey: String, start: String, end: String,
+      refMatch: String, refStart: String, refEnd: String,
+      attachAs: String, maxLiteralRefRows: Int = 100000): DataFrame = {
+    val fields = ref.schema.fields.toIndexedSeq
+    val collected = ref.limit(maxLiteralRefRows + 1).collect()
+    if (collected.length <= maxLiteralRefRows) {
+      val refsLit =
+        if (collected.isEmpty)
+          array().cast(org.apache.spark.sql.types.ArrayType(ref.schema))
+        else array(collected.toIndexedSeq.map(row =>
+          struct(fields.zipWithIndex.map { case (f, i) =>
+            lit(row.get(i)).cast(f.dataType).as(f.name)
+          }: _*)): _*)
+      // null match keys / bounds never attach (`===`/`<=` are null-
+      // rejecting), matching the join path's left-join-miss behavior
+      df.withColumn(attachAs, sort_array(filter(refsLit, r =>
+        col(matchKey) === r.getField(refMatch) &&
+          col(start) <= r.getField(refEnd) && col(end) >= r.getField(refStart))))
+    } else intervalAttachJoined(df, ref, matchKey, start, end,
+      refMatch, refStart, refEnd, attachAs)
+  }
+
+  /** Join+aggregate fallback of [[intervalAttach]] for a ref too large
+    * to be a plan literal: left broadcast join on a plan-local row id,
+    * then groupBy + collect_list (the `when(isNotNull)` wrapper makes
+    * collect_list skip the miss rows → []). Shuffles the probe side —
+    * only correct to prefer when the ref genuinely cannot broadcast. */
+  def intervalAttachJoined(df: DataFrame, ref: DataFrame,
       matchKey: String, start: String, end: String,
       refMatch: String, refStart: String, refEnd: String,
       attachAs: String): DataFrame = {

@@ -61,11 +61,17 @@ object Ann {
   def srpBucket(vecCol: String, planes: Int, tblCol: String): Column =
     call_function("srp_bucket", col(vecCol), col(tblCol), lit(planes))
 
-  /** Approximate top-k: standard multi-table SRP-LSH — `tables`
-    * independent plane sets, candidates = union over tables of same
-    * (table, bucket) cells, then exact cosine re-rank. One shuffle on
-    * the (table, bucket) key; corpus is replicated `tables`× into the
-    * shuffle (the classic memory-for-recall LSH trade), never O(n²). */
+  /** Approximate top-k: MULTIPROBE multi-table SRP-LSH — `tables`
+    * independent plane sets, and each query additionally probes every
+    * 1-bit-flip neighbor of its bucket (Lv et al., multi-probe LSH —
+    * the same trick [[graft.dedup.Dedup.embeddingNearDups]] uses), so a
+    * neighbor is a candidate when its code differs from the query's in
+    * ≤ 1 plane in ANY table. Probing happens on the QUERY side: the
+    * corpus contributes exactly `tables` rows per vector to the shuffle
+    * (unchanged), while the tiny query side fans out ×(planes+1) —
+    * recall of many more tables at no extra corpus cost. Candidates
+    * then exact-cosine re-rank. One shuffle on (table, bucket); never
+    * O(n²). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Int = 8, tables: Int = 4): DataFrame = {
@@ -75,6 +81,10 @@ object Ann {
       .withColumn("bucket", srpBucket("nv", planes, "tbl"))
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"), tbl)
       .withColumn("bucket", srpBucket("qv", planes, "tbl"))
+      .withColumn("bucket", explode(expr(
+        s"""concat(array(bucket),
+           |  transform(sequence(0, ${planes - 1}),
+           |            b -> bucket ^ shiftleft(cast(1 as bigint), b)))""".stripMargin)))
     val cand = c.join(q, Seq("tbl", "bucket"))
       .filter(col("nid") =!= col("qid"))
       .dropDuplicates("qid", "nid")

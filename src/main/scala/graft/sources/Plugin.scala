@@ -64,11 +64,17 @@ object Plugin {
     val pb = new ProcessBuilder(command: _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
+    // if the upstream iterator throws mid-stream, the plugin sees a clean
+    // EOF and exits 0 — without re-throwing here the task would SUCCEED on
+    // rows derived from partial input (silent data loss; Spark's own piped
+    // RDD propagates its child-thread exception for the same reason)
+    @volatile var writerFailure: Throwable = null
     val writer = new Thread(() => {
       val w = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
       try {
-        in.foreach { l => w.write(l); w.write('\n') }
+        try in.foreach { l => w.write(l); w.write('\n') }
+        catch { case t: Throwable => writerFailure = t }
       } finally w.close()
     }, "graft-plugin-stdin")
     writer.setDaemon(true)
@@ -80,6 +86,9 @@ object Plugin {
         val l = r.readLine()
         if (l == null) {
           writer.join()
+          if (writerFailure != null)
+            throw new RuntimeException(
+              s"plugin stdin feed failed mid-stream; output discarded", writerFailure)
           val code = proc.waitFor()
           if (code != 0)
             throw new RuntimeException(

@@ -57,10 +57,12 @@ object Sources {
     * is plain-split (the reference's LazyQuotes mode for quote-free
     * data). */
   def table(spark: SparkSession, path: String, spec: TableSpec = TableSpec()): DataFrame = {
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.hadoop.fs.{Path => HPath}
     val hconf = spark.sparkContext.hadoopConfiguration
     val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
-    val fs = FileSystem.get(hconf)
+    // resolve against the PATH's filesystem (not the default one): a
+    // fully-qualified s3a://... glob must not be listed via file:
+    val fs = new HPath(path).getFileSystem(hconf)
     val files = (fs.globStatus(new HPath(path)) match {
       case null => Array.empty[org.apache.hadoop.fs.FileStatus]
       case st => st
@@ -165,10 +167,10 @@ object Sources {
     * sizes sifter handles (a real deployment adds spark-avro and this
     * becomes `read.format("avro")` behind the same signature). */
   def avro(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.hadoop.fs.{Path => HPath}
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(new HPath(path)) match {
       case null => Array.empty[String]
       case st => st.map(_.getPath.toString)

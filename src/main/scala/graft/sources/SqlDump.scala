@@ -25,10 +25,10 @@ object SqlDump {
 
   def load(spark: SparkSession, path: String,
       tables: Seq[String] = Seq.empty): DataFrame = {
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.hadoop.fs.{Path => HPath}
     val hconf = spark.sparkContext.hadoopConfiguration
     val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
-    val fs = FileSystem.get(hconf)
+    val fs = new HPath(path).getFileSystem(hconf)
     val files = (fs.globStatus(new HPath(path)) match {
       case null => Array.empty[org.apache.hadoop.fs.FileStatus]
       case st => st

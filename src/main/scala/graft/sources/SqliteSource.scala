@@ -24,9 +24,9 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 object SqliteSource {
 
   def table(spark: SparkSession, path: String, tableName: String): DataFrame = {
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    import org.apache.hadoop.fs.{Path => HPath}
     val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val len = fs.getFileStatus(p).getLen
     require(len <= (1L << 31) - 1, s"sqlite file too large to buffer: $len bytes")
     val bytes = new Array[Byte](len.toInt)
@@ -55,9 +55,9 @@ object SqliteSource {
 
   /** List of (name, sql) for all tables in the file. */
   def tables(spark: SparkSession, path: String): Seq[(String, String)] = {
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    import org.apache.hadoop.fs.{Path => HPath}
     val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
     val in = fs.open(p)
     try in.readFully(0, bytes) finally in.close()
@@ -246,10 +246,10 @@ object SqliteSource {
       require(open >= 0, s"cannot parse CREATE TABLE for '$name'")
       val body = m._4.substring(open + 1, m._4.lastIndexOf(')'))
       val nonCols = Set("PRIMARY", "KEY", "UNIQUE", "CONSTRAINT", "INDEX", "FOREIGN", "CHECK")
-      val colDefs = splitDefs(body).map(_.trim).filter(d =>
-        d.nonEmpty && !nonCols(d.split("\\s+")(0).toUpperCase))
+      val allDefs = splitDefs(body).map(_.trim).filter(_.nonEmpty)
+      val (constraintDefs, colDefs) =
+        allDefs.partition(d => nonCols(d.split("\\s+")(0).toUpperCase))
       val cols = colDefs.map(d => unquoteIdent(d.split("\\s+")(0)))
-      val ipk = colDefs.indexWhere(d => ipkRx.findFirstIn(d).isDefined)
       def affinity(d: String): Char = {
         val t = d.split("\\s+").drop(1).mkString(" ").toUpperCase
         if (t.contains("INT")) 'I'
@@ -258,7 +258,23 @@ object SqliteSource {
         else if (t.contains("REAL") || t.contains("FLOA") || t.contains("DOUB")) 'R'
         else 'N'
       }
-      (cols, colDefs.map(affinity).toIndexedSeq, ipk, m._3)
+      val affinities = colDefs.map(affinity).toIndexedSeq
+      // rowid alias: inline `x INTEGER PRIMARY KEY` OR a single-column
+      // table-level `[CONSTRAINT n] PRIMARY KEY(x)` over an INTEGER
+      // column — both store the value as NULL and mean the rowid, per
+      // the format spec; treating only the inline form would emit nulls
+      val inlineIpk = colDefs.indexWhere(d => ipkRx.findFirstIn(d).isDefined)
+      val pkConstraintRx = "(?is)PRIMARY\\s+KEY\\s*\\(([^)]*)\\)".r
+      val ipk =
+        if (inlineIpk >= 0) inlineIpk
+        else constraintDefs.iterator
+          .flatMap(pkConstraintRx.findFirstMatchIn(_))
+          .map(_.group(1).split(',').map(unquoteIdent).toSeq)
+          .collectFirst { case Seq(single)
+            if cols.indexOf(single) >= 0 && affinities(cols.indexOf(single)) == 'I' =>
+            cols.indexOf(single)
+          }.getOrElse(-1)
+      (cols, affinities, ipk, m._3)
     }
 
     /** Top-level comma split, paren- AND quote-aware (a DEFAULT 'x,y'

@@ -106,10 +106,10 @@ object XmlSource {
     * executors), so any distributed store the cluster mounts works —
     * not just executor-local paths. */
   def xml(spark: SparkSession, path: String, level: Int): DataFrame = {
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.hadoop.fs.{Path => HPath}
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = Option(fs.globStatus(new HPath(path)))
       .getOrElse(Array.empty).map(_.getPath.toString).toIndexedSeq
     val jsons = spark.sparkContext

@@ -47,6 +47,26 @@ class LookupOpsSpec extends AnyFunSuite {
     assert(got.length === 4)
   }
 
+  test("intervalAttach: literal path is zero-shuffle and equals the joined fallback") {
+    val ref = Seq(("c1", 0.0, 10.0, "r1"), ("c1", 5.0, 20.0, "r2"),
+      ("c2", 0.0, 100.0, "r3")).toDF("rm", "rs", "re", "rname")
+    val rows = Seq(("c1", 7.0, 8.0), ("c1", 50.0, 60.0), ("c9", 1.0, 2.0),
+      (null, 5.0, 6.0)).toDF("m", "s", "e")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("names", expr("transform(hits, h -> h.rname)"))
+        .select("m", "s", "names").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getSeq[String](2).toList))
+        .sortBy(t => (Option(t._1).getOrElse(""), t._2)).toSeq
+    val literal = RowOps.intervalAttach(rows, ref, "m", "s", "e", "rm", "rs", "re", "hits")
+    val joined = RowOps.intervalAttachJoined(rows, ref, "m", "s", "e", "rm", "rs", "re", "hits")
+    assert(canon(literal) === canon(joined))
+    // the whole point of the literal path: the probe side must not move
+    // through an exchange for a per-row lookup against a tiny ref
+    val plan = literal.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"literal intervalAttach must be a zero-shuffle projection:\n$plan")
+  }
+
   test("intervalIntersectBinned: identical rows to the broadcast form, each pair once") {
     val ref = Seq(("c1", 0.0, 10.0, "r1"), ("c1", 5.0, 20.0, "r2"),
       ("c1", -7.5, -2.0, "rneg"), ("c2", 0.0, 100.0, "r3"))

@@ -122,6 +122,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("simhash64 at 1e5 docs: banded pairing recovers exactly the constructed truth set") {
+    // certifies the production-width path AT the corpus scale it exists
+    // for. All-pairs verification is O(n^2)-impossible here, so ground
+    // truth is constructed instead: 1e5 docs with fully-disjoint token
+    // sets (unrelated signatures are ~uniform u64s — P[hamming<=2] per
+    // pair ~ 2.1e3/2^64, so organic pairs are impossible even across
+    // 5e9 pairs), plus a planted near-dup copy (one appended token) for
+    // every 100th doc. The truth set = planted pairs whose true hamming
+    // is <= 2, computed directly on the 1000 planted pairs.
+    graft.expr.GraftFunctions.register(spark)
+    val n = 100000L
+    val base = spark.range(n).select(col("id").as("doc_id"),
+      expr("array_join(transform(sequence(1, 30), " +
+        "j -> concat('t', cast(id * 31 + j as string))), ' ')").as("text"))
+    val aug = base.unionAll(base.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text")))
+    val truth = base.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"),
+        call_function("simhash64", col("text")).as("sa"),
+        call_function("simhash64", concat(col("text"), lit(" zz"))).as("sb"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= 2)
+      .select(col("doc_id"), (col("doc_id") + 10000000L).as("id_b"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.simhashPairs64(aug, "doc_id", "text", maxHamming = 2)
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === truth)
+    // the construction must actually plant within-threshold pairs, or
+    // the equality above would pass vacuously on two empty sets
+    assert(truth.size >= 20, s"only ${truth.size} planted pairs within hamming 2")
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("simhash: identical text => identical signature; disjoint differs") {
     val df = Seq((1L, "spark table scan merge"), (2L, "spark table scan merge"),
       (3L, "zq xv wk yj")).toDF("doc_id", "text")

@@ -187,6 +187,13 @@ class RowOpsSpec extends AnyFunSuite {
     assert(m === "2")
   }
 
+  test("fieldParse: bare key -> true, empty value stays empty (field_parse.go:44-47)") {
+    val df = Seq("a=1;flag;empty=;z=9").toDF("kv")
+    val m = RowOps.fieldParse(df, "kv", "m").select($"m")
+      .collect()(0).getMap[String, String](0).toMap
+    assert(m === Map("a" -> "1", "flag" -> "true", "empty" -> "", "z" -> "9"))
+  }
+
   test("lookupCopy: shared column names never collide or drop main columns") {
     val main = Seq((1, "keep-me", "k1"), (2, "keep-too", "k2")).toDF("id", "name", "key")
     val lk = Seq(("k1", "lk-name", "extra1")).toDF("key", "name", "extra")
