@@ -323,4 +323,44 @@ object Dedup {
       .select(col("id").as("__loser"))
     corpus.join(losers, corpus(idCol) === col("__loser"), "left_anti")
   }
+
+  /** The shared intermediates + outputs of one [[pipeline]] run. The
+    * shingle and verified-pair tables stay persisted until
+    * [[DedupResult.unpersist]] — callers materialize what they need,
+    * then release. */
+  final case class DedupResult(
+      shingles: DataFrame, pairs: DataFrame,
+      clusters: DataFrame, survivors: DataFrame) {
+    def unpersist(): Unit = {
+      pairs.unpersist(blocking = false)
+      shingles.unpersist(blocking = false)
+    }
+  }
+
+  /** Production near-dup pipeline entry point: shingles are computed
+    * ONCE and persisted, feed the MinHash signatures AND both sides of
+    * the Jaccard verification; verified pairs are persisted once and
+    * feed clustering AND (via clusters) survivor selection. The
+    * per-operator driver queries recompute these stages independently
+    * by design (each must be oracle-checkable in isolation); a real
+    * pipeline over a 100 TB corpus must never tokenize+hash the corpus
+    * three times — this is the entry point that doesn't
+    * (mirrors what [[graft.bench.ScalingBench.dedupPass]] measures). */
+  def pipeline(docs: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.8): DedupResult = {
+    import org.apache.spark.storage.StorageLevel
+    val sh = withWordShingles(docs, textCol)
+      .select(col(idCol).as("doc_id"), col("shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidatePairs(withMinhashSignature(sh), "doc_id")
+    val pairs = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
+      .withColumn("jaccard", jaccardCol(col("sa"), col("sb")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b", "jaccard")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cl = nearDupClusters(pairs)
+    DedupResult(sh, pairs, cl, survivors(docs, idCol, cl))
+  }
 }

@@ -137,4 +137,43 @@ class IceLite(val root: String) {
   /** Lineage across all snapshots as a DataFrame (metrics/audit table). */
   def lineage(spark: SparkSession): DataFrame =
     spark.read.json(p("lineage").toString + "/snap=*/*.json")
+
+  /** Ids of all committed snapshots (manifest present), ascending. */
+  def committedSnapshotIds: Seq[Long] = {
+    val d = p("snapshots")
+    if (!Files.exists(d)) Seq.empty
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong
+      }.toSeq.sorted
+  }
+
+  /** Expire superseded snapshots, keeping the most recent `retain`
+    * committed ones (the current snapshot is always kept). Deletes each
+    * expired snapshot's data directories, lineage records, and
+    * manifest; time-travel reads of retained ids keep working, reads of
+    * expired ids fail on the missing manifest. An in-progress
+    * UNcommitted snapshot (lineage without manifest — the resume state)
+    * is never touched: it is the checkpoint, not history. Returns the
+    * expired ids. */
+  def expireSnapshots(retain: Int = 1): Seq[Long] = {
+    require(retain >= 1, "retain must keep at least the current snapshot")
+    val committed = committedSnapshotIds
+    val keep = committed.takeRight(retain).toSet ++ currentSnapshotId
+    val expire = committed.filterNot(keep)
+    expire.foreach { id =>
+      deleteRecursively(p("data", s"snap=$id"))
+      deleteRecursively(lineageDir(id))
+      Files.deleteIfExists(p("snapshots", s"v$id.json"))
+    }
+    expire
+  }
+
+  private def deleteRecursively(path: Path): Unit = {
+    if (Files.exists(path)) {
+      Files.walk(path).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
 }

@@ -1,0 +1,388 @@
+package graft.pipeline
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.ops.RowOps
+import graft.sinks.Sinks
+import graft.sources.{Sources, SqlDump, SqliteSource, XmlSource}
+
+/** Loader for reference-style YAML playbooks (playbook/load.go:26-75):
+  * `params` / `inputs` / `pipelines` / `outputs` parse into the existing
+  * [[Playbook]] DSL, each step mapping onto the RowOps/Sources/Sinks
+  * inventory — so a sifter-shaped playbook file runs unmodified on the
+  * Spark engine. Field names follow the reference's `json:"..."` tags
+  * (transform/interface.go:58-80, extractors/interface.go:16-25,
+  * playbook/load.go:20-37).
+  *
+  * Templating: `{{params.x}}` resolves at load time from YAML defaults
+  * overridden by the caller's map (config/params); any other
+  * `{{path}}` placeholder becomes a column reference at plan-build time
+  * (the handlebars row context, evaluate/template.go) — a mixed string
+  * compiles to a codegen'd `concat` of literals and columns.
+  *
+  * Arbitrary-code surfaces (map/flatmap/reduce python|gpython, plugin)
+  * are rejected with a clear error: they are declared out of scope
+  * (VERDICT §2.7); everything else either loads or names the step it
+  * cannot express.
+  */
+object YamlPlaybook {
+
+  // ---------- YAML plumbing ----------
+
+  private def asMap(o: Any): Map[String, Any] = o match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, v) => k.toString -> v }.toMap
+    case _ => Map.empty
+  }
+  private def asSeq(o: Any): Seq[Any] = o match {
+    case l: java.util.List[_] => l.asScala.toSeq
+    case null => Seq.empty
+    case x => Seq(x)
+  }
+  private def str(o: Any): String = Option(o).map(_.toString).getOrElse("")
+
+  final case class Loaded(playbook: Playbook, name: String, outdir: String)
+
+  def loadFile(path: String, params: Map[String, String] = Map.empty): Loaded =
+    load(java.nio.file.Files.readString(java.nio.file.Paths.get(path)),
+      java.nio.file.Paths.get(path).toAbsolutePath.getParent.toString, params)
+
+  def load(yaml: String, baseDir: String,
+      params: Map[String, String] = Map.empty): Loaded = {
+    val root = asMap(new org.yaml.snakeyaml.Yaml().load[Any](yaml))
+
+    // params: YAML defaults overridden by caller values (config.Params)
+    val defaults = asMap(root.getOrElse("params", null)).map { case (k, v) =>
+      k -> str(asMap(v).getOrElse("default", v))
+    }
+    val p = defaults ++ params
+    def subst(s: String): String =
+      "\\{\\{\\s*params\\.([A-Za-z0-9_]+)\\s*\\}\\}".r.replaceAllIn(s, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          p.getOrElse(m.group(1), sys.error(s"undefined param: ${m.group(1)}"))))
+    def resolvePath(s: String): String = {
+      val sub = subst(s)
+      if (sub.startsWith("/") || sub.contains("://")) sub else s"$baseDir/$sub"
+    }
+
+    // any remaining {{path}} is a row-context template -> Column
+    def colTemplate(s: String): Column = {
+      val rx = "\\{\\{\\s*([^}]+?)\\s*\\}\\}".r
+      val sub = subst(s)
+      val lits = rx.split(sub)
+      val fields = rx.findAllMatchIn(sub).map(_.group(1).stripPrefix("row.")).toSeq
+      if (fields.isEmpty) lit(sub)
+      else {
+        val pieces = lits.toSeq.map(l => Option(l).filter(_.nonEmpty).map(lit))
+          .zipAll(fields.map(f => Some(col(f))), None, None)
+          .flatMap { case (a, b) => Seq(a, b).flatten }
+        if (pieces.size == 1) pieces.head else concat(pieces.map(_.cast("string")): _*)
+      }
+    }
+
+    val inputs: Map[String, SparkSession => DataFrame] =
+      asMap(root.getOrElse("inputs", null)).map { case (name, raw) =>
+        name -> inputLoader(name, asMap(raw), resolvePath)
+      }
+
+    val pipelines: Map[String, Pipeline] =
+      asMap(root.getOrElse("pipelines", null)).map { case (name, raw) =>
+        val stepMaps = asSeq(raw).map(asMap)
+        require(stepMaps.nonEmpty, s"pipeline '$name' has no steps")
+        val from = str(stepMaps.head.getOrElse("from",
+          sys.error(s"pipeline '$name': first step must be `from:` (playbook/execute.go)")))
+        val steps = stepMaps.tail.map(m => stepFn(name, m, resolvePath, subst, colTemplate))
+        name -> Pipeline(from, steps)
+      }
+
+    val outdir = resolvePath(str(root.getOrElse("outdir", ".")))
+    val outputs: Map[String, (String, DataFrame => Unit)] =
+      asMap(root.getOrElse("outputs", null)).map { case (name, raw) =>
+        name -> outputSink(name, asMap(raw), outdir, resolvePath)
+      }
+
+    Loaded(Playbook(inputs, pipelines, outputs),
+      str(root.getOrElse("name", "")), outdir)
+  }
+
+  // ---------- inputs (extractors/interface.go:16-25) ----------
+
+  private def inputLoader(name: String, m: Map[String, Any],
+      resolvePath: String => String): SparkSession => DataFrame = {
+    // paths and params resolve EAGERLY: a bad path template or missing
+    // param fails at load time (the reference's UnmarshalStrict moment),
+    // not on the first run of whatever pipeline touches this input
+    def cfg(k: String) = asMap(m(k))
+    if (m.contains("json")) {
+      val c = cfg("json")
+      val path = resolvePath(str(c("path")))
+      val multiline = c.get("multiline").exists(_ == true)
+      s => if (multiline) Sources.jsonDoc(s, path) else Sources.ndjson(s, path)
+    } else if (m.contains("table")) {
+      val c = cfg("table")
+      val path = resolvePath(str(c("path")))
+      val spec = Sources.TableSpec(
+        sep = c.get("sep").map(str).filter(_.nonEmpty).getOrElse("\t"),
+        comment = c.get("comment").map(str).getOrElse("#"),
+        rowSkip = c.get("rowSkip").map(str(_).toInt).getOrElse(0),
+        columns = Option(asSeq(c.getOrElse("columns", null)).map(str)).filter(_.nonEmpty),
+        extraColumns = c.get("extraColumns").map(str).filter(_.nonEmpty))
+      s => Sources.table(s, path, spec)
+    } else if (m.contains("avro")) {
+      val path = resolvePath(str(cfg("avro")("path")))
+      s => Sources.avro(s, path)
+    } else if (m.contains("xml")) {
+      val c = cfg("xml")
+      val path = resolvePath(str(c("path")))
+      val level = c.get("level").map(str(_).toInt).getOrElse(0)
+      s => XmlSource.xml(s, path, level)
+    } else if (m.contains("sqldump")) {
+      val c = cfg("sqldump")
+      val path = resolvePath(str(c("path")))
+      val tables = asSeq(c.getOrElse("tables", null)).map(str)
+      s => SqlDump.load(s, path, tables)
+    } else if (m.contains("sqlite")) {
+      val c = cfg("sqlite")
+      // the reference's Query is a plain `SELECT * FROM t` scan
+      // (sqlite_load.go:14-15); richer SQL composes in Spark on top
+      val q = str(c.getOrElse("query", ""))
+      val table = "(?is)SELECT\\s+\\*\\s+FROM\\s+([A-Za-z0-9_\"`]+)".r
+        .findFirstMatchIn(q).map(_.group(1))
+        .getOrElse(sys.error(s"input '$name': sqlite query must be SELECT * FROM <table>, got '$q'"))
+        .stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`")
+      val path = resolvePath(str(c("input")))
+      s => SqliteSource.table(s, path, table)
+    } else if (m.contains("embedded")) {
+      // embedded: a YAML list of row objects (extractors/embedded.go)
+      val rows = asSeq(m("embedded")).map(r => toJsonString(asMap(r)))
+      s => { import s.implicits._; s.read.json(s.createDataset(rows)) }
+    } else
+      sys.error(s"input '$name': unsupported extractor ${m.keys.mkString(",")} " +
+        "(supported: json, table, avro, xml, sqldump, sqlite, embedded; " +
+        "gripper/plugin are declared out of scope)")
+  }
+
+  private def toJsonString(m: Map[String, Any]): String = {
+    def enc(v: Any): String = v match {
+      case null => "null"
+      case s: String => "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      case b: java.lang.Boolean => b.toString
+      case n: Number => n.toString
+      case l: java.util.List[_] => l.asScala.map(enc).mkString("[", ",", "]")
+      case mm: java.util.Map[_, _] => enc(asMap(mm))
+      case mm: Map[_, _] =>
+        mm.map { case (k, x) => enc(k.toString) + ":" + enc(x) }.mkString("{", ",", "}")
+      case other => enc(other.toString)
+    }
+    enc(m)
+  }
+
+  // ---------- steps (transform/interface.go:58-80) ----------
+
+  private def stepFn(pipe: String, m: Map[String, Any],
+      resolvePath: String => String, subst: String => String,
+      colTemplate: String => Column): (String, DataFrame => DataFrame) = {
+    require(m.size == 1 || (m.size == 2 && m.contains("docs")),
+      s"pipeline '$pipe': each step must be a single-key map, got ${m.keys.mkString(",")}")
+    val (key, raw) = m.view.filterKeys(_ != "docs").head
+    def c = asMap(raw)
+    def field = str(c.getOrElse("field", ""))
+    val fn: DataFrame => DataFrame = key match {
+      case "project" =>
+        val mapping = asMap(c.getOrElse("mapping", null)).toSeq
+          .map { case (dst, v) =>
+            dst -> (v match {
+              case s: String => colTemplate(s)
+              case other => lit(other)
+            })
+          }
+        val renames = asMap(c.getOrElse("rename", null)).toSeq
+          .map { case (from, to) => from -> str(to) }
+        df => RowOps.rename(RowOps.project(df, mapping: _*), renames: _*)
+      case "filter" =>
+        val check = str(c.getOrElse("check", ""))
+        val method = str(c.getOrElse("method", "")) + str(c.getOrElse("python", ""))
+        require(method.isEmpty, s"pipeline '$pipe': filter python/gpython is out of scope")
+        df => {
+          val f = col(field)
+          val pred = check match {
+            case "exists" => f.isNotNull
+            case "hasValue" => RowOps.hasValue(f)
+            case "not" => !(f.cast("string") === colTemplate(str(c("match"))).cast("string"))
+            case _ => f.cast("string") === colTemplate(str(c("match"))).cast("string")
+          }
+          RowOps.keep(df, pred)
+        }
+      case "clean" =>
+        val fields = asSeq(c.getOrElse("fields", null)).map(str)
+        val removeEmpty = c.get("removeEmpty").exists(_ == true)
+        df => RowOps.clean(df, fields, removeEmpty)
+      case "fieldParse" =>
+        // empty YAML values fall back to the reference defaults
+        // (field_parse.go:25-32: sep ";", assign "=")
+        df => RowOps.fieldParse(df, field, field,
+          sep = Some(str(c.getOrElse("sep", ""))).filter(_.nonEmpty).getOrElse(";"),
+          assign = Some(str(c.getOrElse("assign", ""))).filter(_.nonEmpty).getOrElse("="))
+      case "fieldType" =>
+        // FieldTypeStep is a plain map field -> type (field_type.go:9)
+        val casts = asMap(raw).toSeq
+        df => casts.foldLeft(df) { case (d, (f, t)) =>
+          str(t) match {
+            case "int" | "integer" => RowOps.fieldType(d, f -> LongType)
+            case "float" | "number" => RowOps.fieldType(d, f -> DoubleType)
+            case "list" => RowOps.promoteToList(d, f)
+            case other => sys.error(s"pipeline '$pipe': fieldType '$other' unsupported")
+          }
+        }
+      case "split" =>
+        df => RowOps.splitField(df, field, str(c.getOrElse("sep", ",")))
+      case "regexReplace" =>
+        df => RowOps.regexReplace(df, field, subst(str(c("regex"))),
+          subst(str(c("replace"))), c.get("dst").map(str).filter(_.nonEmpty))
+      case "hash" =>
+        df => RowOps.hashField(df, field, colTemplate(str(c("value"))),
+          str(c.getOrElse("method", "sha1")))
+      case "uuid" =>
+        df => {
+          graft.expr.UuidExprs.register(df.sparkSession)
+          df.withColumn(field, graft.expr.UuidExprs.uuid5(
+            lit(str(c.getOrElse("namespace", graft.expr.NameUuid.NamespaceUrl))),
+            colTemplate(str(c("value")))))
+        }
+      case "dropNull" =>
+        df => RowOps.dropNullRows(df, df.columns.toIndexedSeq)
+      case "distinct" =>
+        df => df.dropDuplicates(Seq(templateFields(str(c.getOrElse("value", ""))): _*))
+      case "accumulate" =>
+        df => RowOps.accumulateRows(df, field, str(c.getOrElse("dest", "rows")))
+      case "fieldProcess" =>
+        val mapping = asMap(c.getOrElse("mapping", null)).toSeq
+          .map { case (dst, v) => dst -> str(v) }
+        val itemField = str(c.getOrElse("itemField", ""))
+        df => {
+          val exploded = df.select(col("*"), explode(col(field)).as("__elem"))
+          val elemT = exploded.schema("__elem").dataType
+          val base = elemT.typeName match {
+            case "struct" => exploded.select(col("__elem.*") +:
+              mapping.map { case (dst, tpl) => colTemplate(tpl).as(dst) }: _*)
+            case _ =>
+              val elemName = if (itemField.nonEmpty) itemField else field
+              exploded.select(col("__elem").as(elemName) +:
+                mapping.map { case (dst, tpl) => colTemplate(tpl).as(dst) }: _*)
+          }
+          base
+        }
+      case "lookup" => lookupStep(pipe, c, resolvePath, subst, colTemplate)
+      case "intervalIntersect" =>
+        val j = asMap(c.getOrElse("json", null))
+        df => {
+          val ref = Sources.ndjson(df.sparkSession, resolvePath(str(j("input"))))
+          RowOps.intervalAttach(df, ref,
+            str(c("match")), str(c("start")), str(c("end")),
+            str(j("match")), str(j("start")), str(j("end")),
+            attachAs = if (field.nonEmpty) field else "intersect")
+        }
+      case "debug" => df => RowOps.debug(df)
+      case "objectValidate" =>
+        sys.error(s"pipeline '$pipe': objectValidate maps to the validation " +
+          "engine (graft.validate) — compile the schema with SchemaLoader and " +
+          "run Violations/Verdicts; the YAML step is not auto-wired")
+      case "map" | "flatmap" | "reduce" | "plugin" =>
+        sys.error(s"pipeline '$pipe': step '$key' is an arbitrary-code surface " +
+          "(python/gpython/exec) — declared out of scope; express it as a " +
+          "Playbook DSL step in Scala instead")
+      case other => sys.error(s"pipeline '$pipe': unknown step '$other'")
+    }
+    key -> fn
+  }
+
+  private def templateFields(tpl: String): Seq[String] = {
+    val fields = "\\{\\{\\s*([^}]+?)\\s*\\}\\}".r
+      .findAllMatchIn(tpl).map(_.group(1).stripPrefix("row.")).toSeq
+    require(fields.nonEmpty, s"distinct value template has no fields: '$tpl'")
+    fields
+  }
+
+  private def lookupStep(pipe: String, c: Map[String, Any],
+      resolvePath: String => String, subst: String => String,
+      colTemplate: String => Column): DataFrame => DataFrame = {
+    val replace = str(c.getOrElse("replace", ""))
+    val copy = asMap(c.getOrElse("copy", null)).map { case (k, v) => k -> str(v) }
+    def lookupTable(spark: SparkSession): (DataFrame, String, String) =
+      if (c.contains("tsv")) {
+        val t = asMap(c("tsv"))
+        val header = asSeq(t.getOrElse("header", null)).map(str)
+        val df = Sources.table(spark, resolvePath(str(t("input"))),
+          Sources.TableSpec(
+            sep = if (t.contains("sep")) str(t("sep")) else "\t",
+            columns = Option(header).filter(_.nonEmpty)))
+        (df, str(t("key")), str(t.getOrElse("value", "")))
+      } else if (c.contains("json")) {
+        val t = asMap(c("json"))
+        (Sources.ndjson(spark, resolvePath(str(t("input")))),
+          str(t("key")), str(t.getOrElse("value", "")))
+      } else if (c.contains("table")) {
+        // inline YAML map (lookup_table.go / the inline-table example)
+        import spark.implicits._
+        val rows = asMap(c("table")).toSeq.map { case (k, v) => (k, str(v)) }
+        (rows.toDF("key", "value"), "key", "value")
+      } else sys.error(s"pipeline '$pipe': lookup needs tsv/json/table " +
+        "(pipeline lookups compose in the DSL)")
+    if (replace.nonEmpty) { df =>
+      val (lk, k, v) = lookupTable(df.sparkSession)
+      RowOps.lookupReplace(df, lk, replace, k,
+        if (v.nonEmpty) v else lk.columns.find(_ != k).getOrElse(v))
+    } else if (copy.nonEmpty) { df =>
+      val (lk, k, _) = lookupTable(df.sparkSession)
+      val leftKey = colTemplate(str(c.getOrElse("lookup", "")))
+      RowOps.lookupCopy(df, lk, leftKey, col(k), copy.toSeq: _*)
+    } else sys.error(s"pipeline '$pipe': lookup needs replace: or copy:")
+  }
+
+  // ---------- outputs (playbook/load.go:20-24) ----------
+
+  private def outputSink(name: String, m: Map[String, Any], outdir: String,
+      resolvePath: String => String): (String, DataFrame => Unit) = {
+    def out(p: String): String =
+      if (p.startsWith("/") || p.contains("://")) p else s"$outdir/$p"
+    if (m.contains("json")) {
+      val c = asMap(m("json"))
+      val path = out(str(c("path")))
+      (str(c("from")), df => Sinks.ndjson(df, path, gzip = path.endsWith(".gz")))
+    } else if (m.contains("table")) {
+      val c = asMap(m("table"))
+      val path = out(str(c("path")))
+      val cols = asSeq(c.getOrElse("columns", null)).map(str)
+      val sep = if (c.contains("sep")) str(c("sep")) else "\t"
+      (str(c("from")), df =>
+        Sinks.table(df, path, if (cols.nonEmpty) cols else df.columns.toIndexedSeq,
+          sep, gzip = path.endsWith(".gz")))
+    } else if (m.contains("graph")) {
+      // schema-driven vertex/edge emission (output_graph.go:55-158)
+      val c = asMap(m("graph"))
+      val schemaDir = resolvePath(str(c("schema")))
+      val title = str(c.getOrElse("title", ""))
+      val idField = str(c.getOrElse("idField", "id"))
+      val dir = out(str(c.getOrElse("path", name)))
+      (str(c("from")), df => {
+        val classes = graft.rules.SchemaLoader.loadDir(schemaDir)
+        val cls = classes.getOrElse(title,
+          classes.values.find(_.title == title).getOrElse(
+            sys.error(s"output '$name': schema class '$title' not found in $schemaDir")))
+        Sinks.graph(
+          graft.graph.GraphEmit.schemaVertices(df, cls, idField,
+            df.columns.toIndexedSeq.filterNot(Set("_id", "_label"))),
+          graft.graph.GraphEmit.schemaEdges(df, cls, idField), dir)
+      })
+    } else sys.error(s"output '$name': unsupported sink ${m.keys.mkString(",")}")
+  }
+}

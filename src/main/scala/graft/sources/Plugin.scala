@@ -20,7 +20,18 @@ import org.apache.spark.sql.types.StructType
   * stdin is fed from a separate thread (the reference uses a goroutine)
   * so neither pipe can deadlock; stderr is inherited. Malformed output
   * lines fail the task rather than being silently logged-and-dropped —
-  * an engine that feeds training pipelines should not eat rows.
+  * an engine that feeds training pipelines should not eat rows. If the
+  * UPSTREAM iterator fails mid-stream, the writer thread's exception is
+  * rethrown from the output iterator so the task fails instead of
+  * succeeding on rows derived from partial input.
+  *
+  * Contract example — what callers must NOT do:
+  * {{{
+  * Plugin.transformRaw(df, Seq("grep", "-v", "skipme"))  // OK: row-wise
+  * Plugin.transformRaw(df, Seq("sort"))  // WRONG for global semantics:
+  *   // each partition sorts independently; there is no global order
+  *   // (SourcesSpec "per-partition processes" doc-test demonstrates it)
+  * }}}
   */
 object Plugin {
 

@@ -77,6 +77,54 @@ class IceLiteSpec extends AnyFunSuite {
     assert(direct.exceptAll(resumed).count() === 0)
   }
 
+  test("snapshot GC: expire keeps retained history readable, drops the rest") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    // three committed snapshots with a hostile part name and per-snapshot
+    // distinct values, so time travel is observable
+    val part = """we?ird* [pt]"""
+    (1 to 3).foreach { v =>
+      val snap = ice.nextSnapshotId
+      ice.commitPartition(snap, part, 1L,
+        Map("t" -> Seq((part, v.toLong)).toDF("part", "version")))
+      ice.commitSnapshot(snap, Seq(part))
+    }
+    // time travel before GC: every snapshot readable with its own value
+    (1 to 3).foreach { v =>
+      val r = ice.readTable(spark, v, "t").collect()(0)
+      assert((r.getString(0), r.getLong(1)) === (part, v.toLong))
+    }
+    val expired = ice.expireSnapshots(retain = 2)
+    assert(expired === Seq(1L))
+    assert(ice.committedSnapshotIds === Seq(2L, 3L))
+    // retained history still reads (hostile name intact), current pointer same
+    assert(ice.currentSnapshotId === Some(3L))
+    (2 to 3).foreach { v =>
+      val r = ice.readTable(spark, v, "t").collect()(0)
+      assert((r.getString(0), r.getLong(1)) === (part, v.toLong))
+    }
+    // expired snapshot is gone: manifest, lineage, data
+    intercept[Exception] { ice.snapshotParts(1) }
+    assert(ice.completedParts(1).isEmpty)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "data", "snap=1")))
+  }
+
+  test("snapshot GC never touches an in-progress uncommitted snapshot") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    val s1 = ice.nextSnapshotId
+    ice.commitPartition(s1, "p", 1L, Map("t" -> Seq(("p", 1L)).toDF("part", "n")))
+    ice.commitSnapshot(s1, Seq("p"))
+    // start snapshot 2 but crash before commitSnapshot (lineage only)
+    val s2 = ice.nextSnapshotId
+    ice.commitPartition(s2, "p", 1L, Map("t" -> Seq(("p", 2L)).toDF("part", "n")))
+    assert(ice.expireSnapshots(retain = 1) === Seq.empty) // v1 is current: kept
+    assert(ice.completedParts(s2) === Set("p")) // resume state untouched
+    assert(ice.readTable(spark, 1, "t").count() === 1)
+  }
+
   test("second snapshot builds on the first; both readable") {
     val root = freshRoot()
     val s1 = CheckpointedValidation.run(spark, files, FileRules.rowRules, root)

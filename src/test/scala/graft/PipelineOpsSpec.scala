@@ -122,6 +122,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("dedup pipeline: shingles/pairs computed once, outputs match the independent path") {
+    val base = docs.select("doc_id", "text").filter(col("doc_id") < 300)
+    val aug = base.unionAll(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text")))
+    val res = Dedup.pipeline(aug, "doc_id", "text")
+    try {
+      // independent recomputation — the per-operator oracle-query shape
+      val sh = Dedup.withWordShingles(aug, "text").select(col("doc_id"), col("shingles"))
+      val indPairs = Dedup.lshCandidatePairs(Dedup.withMinhashSignature(sh), "doc_id")
+        .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
+        .withColumn("jaccard", Dedup.jaccardCol(col("sa"), col("sb")))
+        .filter(col("jaccard") >= 0.8).select("id_a", "id_b")
+      def pset(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pset(res.pairs) === pset(indPairs))
+      assert(pset(res.pairs).nonEmpty)
+      val indClusters = Dedup.nearDupClusters(indPairs)
+      def cmap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cmap(res.clusters) === cmap(indClusters))
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids(res.survivors) ===
+        ids(Dedup.survivors(aug, "doc_id", indClusters)))
+      // persist-once evidence: the verified-pair plan reads the shingle
+      // table from cache on BOTH join sides (Spark's caching contract =
+      // the word_shingles pass ran once per partition), instead of
+      // re-deriving tokenize+hash three times like the independent path
+      val plan = res.pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"pipeline pairs must read persisted shingles:\n$plan")
+    } finally res.unpersist()
+  }
+
   test("simhash64 at 1e5 docs: banded pairing recovers exactly the constructed truth set") {
     // certifies the production-width path AT the corpus scale it exists
     // for. All-pairs verification is O(n^2)-impossible here, so ground
@@ -155,6 +191,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(truth.size >= 20, s"only ${truth.size} planted pairs within hamming 2")
     val plan = banded.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("simhash skew: 1e3 exact dups go quadratic raw; upstream exact dedup bounds them") {
+    // the documented residual risk of banded simhash (Dedup.simhashPairs
+    // scaladoc): exact-duplicate signatures collide in EVERY band, so a
+    // hot block of k copies contributes C(k,2) candidates to one bucket.
+    // The documented mitigation is upstream Dedup.exact — this test
+    // demonstrates both sides with measured pair counts.
+    graft.expr.GraftFunctions.register(spark)
+    val distinctDocs = spark.range(1000).select(col("id").as("doc_id"),
+      expr("array_join(transform(sequence(1, 20), " +
+        "j -> concat('u', cast(id * 23 + j as string))), ' ')").as("text"))
+    val hot = spark.range(1000).select((col("id") + 10000).as("doc_id"),
+      lit("hot duplicated doc with identical tokens everywhere").as("text"))
+    val corpus = distinctDocs.unionAll(hot)
+    val isHot = (c: org.apache.spark.sql.Column) => c >= 10000
+    // the hazard, quantified: the hot block alone yields C(1000,2) pairs
+    val rawHotPairs = Dedup.simhashPairs64(corpus, "doc_id", "text", maxHamming = 2)
+      .filter(isHot(col("id_a")) && isHot(col("id_b"))).count()
+    assert(rawHotPairs === 1000L * 999 / 2)
+    // the mitigation: keep one representative per exact-digest group
+    val keep = Dedup.exact(corpus, "doc_id", "text").select(col("keep_id").as("doc_id"))
+    val deduped = corpus.join(keep, Seq("doc_id"), "left_semi")
+    assert(deduped.count() === 1001) // 1000 distinct + 1 hot representative
+    val pairs = Dedup.simhashPairs64(deduped, "doc_id", "text", maxHamming = 2)
+    assert(pairs.filter(isHot(col("id_a")) && isHot(col("id_b"))).count() === 0)
+    // whole-corpus candidate volume stays bounded (no quadratic block)
+    assert(pairs.count() < 50, s"unexpected organic pair volume: ${pairs.count()}")
   }
 
   test("simhash: identical text => identical signature; disjoint differs") {

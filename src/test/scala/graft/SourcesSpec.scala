@@ -139,6 +139,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("plugin transform: upstream failure mid-stream fails the task (no partial-input rows)") {
+    import org.apache.spark.sql.functions._
+    // the row iterator feeding the plugin's stdin throws midway; without
+    // writer-failure propagation the plugin would see clean EOF, exit 0,
+    // and the task would SUCCEED on rows derived from partial input
+    val df = spark.range(100).toDF("id").repartition(1)
+      .withColumn("x",
+        when(col("id") === 50, expr("raise_error('upstream corrupt block')"))
+          .otherwise(col("id").cast("string")))
+    val ex = intercept[Exception] {
+      graft.sources.Plugin.transformRaw(df, Seq("cat")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(m => m.contains("plugin stdin feed failed") ||
+      m.contains("upstream corrupt block")), chain(ex).mkString(" | "))
+  }
+
+  test("plugin transform contract: per-partition processes, so stateful commands reorder only locally") {
+    // DOC-TEST (negative example): `transform` runs ONE process PER
+    // PARTITION — the command must be row-wise or partition-associative
+    // (grep/sed/jq-per-line). A stateful command like `sort` sorts each
+    // partition independently: the multiset of rows is preserved, but
+    // there is NO global order — callers must not use transform for
+    // anything whose semantics span partitions.
+    import spark.implicits._
+    // two positional partitions: p0 = evens, p1 = odds (deterministic)
+    val keys = (0 until 100 by 2) ++ (1 until 100 by 2)
+    val df = spark.sparkContext.parallelize(keys.map(i => f"$i%03d"), 2)
+      .toDF("k")
+    val piped = graft.sources.Plugin.transformRaw(df, Seq("sort"))
+      .collect().toSeq
+    val expected = keys.map(i => f"""{"k":"$i%03d"}""")
+    // multiset preserved...
+    assert(piped.sorted === expected.sorted)
+    // ...but NOT globally ordered: each partition sorted independently
+    assert(piped !== piped.sorted,
+      "sort through transform must not produce a global order — if this " +
+        "ever passes, the per-partition contract was silently changed")
+  }
+
   test("sqlite: multi-page b-tree, overflow chain, NULLs, IPK rowid alias") {
     val p = getClass.getResource("/fixture.sqlite").getPath
     assert(graft.sources.SqliteSource.tables(spark, p).map(_._1).toSet ===

@@ -55,6 +55,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late data past the watermark is dropped, not merged (append mode e2e)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("latedata").toString
+    def write(rows: Seq[(String, String, Double)]): Unit =
+      rows.toDF("ts_s", "event_type", "value")
+        .select(to_timestamp(col("ts_s")).as("ts"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: three in-window "a" events + a "b" event that advances the
+    // watermark to 12:20 (12:30 - 10 min), finalizing the 10:00 window
+    write(Seq(
+      ("2026-01-01 10:05:00", "a", 1.0),
+      ("2026-01-01 10:20:00", "a", 2.0),
+      ("2026-01-01 10:40:00", "a", 3.0),
+      ("2026-01-01 12:30:00", "b", 10.0)))
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE").parquet(dir)
+    val q = StreamValidate.toMemorySink(
+      StreamValidate.windowedEventAgg(stream, "1 hour", "1 hour", "10 minutes"),
+      "late_stream", "append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: an out-of-order "a" event at 10:30 — 1h50m BEHIND the
+      // watermark — plus a fresh row so the batch isn't empty
+      write(Seq(
+        ("2026-01-01 10:30:00", "a", 100.0),
+        ("2026-01-01 12:40:00", "b", 20.0)))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n, value_sum FROM late_stream WHERE event_type = 'a'").collect()
+      // the [10:00,11:00) window was emitted once with the 3 on-time rows
+      // only; the late row was dropped per the watermark spec (had it been
+      // merged, n would be 4 and value_sum 106)
+      assert(rows.length === 1)
+      assert(rows(0).getLong(0) === 3L)
+      assert(rows(0).getDouble(1) === 6.0)
+    } finally q.stop()
+  }
+
   test("windowed event aggregation with watermark produces sane windows") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     // batch execution of the same streaming transform (plan reuse both ways)

@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+import graft.pipeline.YamlPlaybook
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden end-to-end run of a reference-shaped YAML playbook
+  * (playbook/load.go:26-75; mirrors the test/examples harness shape):
+  * params + json input + project → lookup(tsv) → filter pipeline +
+  * json/table/graph outputs, exact row counts and values asserted. */
+class YamlPlaybookSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def writeFixture(): java.nio.file.Path = {
+    val dir = Files.createTempDirectory("graft_yamlpb")
+    Files.writeString(dir.resolve("people.json"),
+      """{"id": "p1", "name": "ann", "dept": "d1", "active": "true"}
+        |{"id": "p2", "name": "bob", "dept": "d2", "active": "true"}
+        |{"id": "p3", "name": "cyd", "dept": "d1", "active": "false"}
+        |{"id": "p4", "name": "dee", "dept": "dX", "active": "true"}
+        |""".stripMargin)
+    Files.writeString(dir.resolve("depts.tsv"),
+      "d1\tEngineering\nd2\tSales\n")
+    Files.createDirectories(dir.resolve("schemas"))
+    Files.writeString(dir.resolve("schemas/person.yaml"),
+      """$id: person
+        |title: person
+        |required:
+        |  - id
+        |properties:
+        |  id:
+        |    type: string
+        |  dept:
+        |    type: string
+        |links:
+        |  - rel: works_in
+        |    href: dept/{dept}
+        |    targetSchema:
+        |      $ref: dept.yaml
+        |    templateRequired:
+        |      - dept
+        |""".stripMargin)
+    Files.writeString(dir.resolve("pb.yaml"),
+      """name: test-pb
+        |outdir: out
+        |params:
+        |  people:
+        |    type: File
+        |    default: people.json
+        |  deptTSV:
+        |    type: File
+        |    default: depts.tsv
+        |inputs:
+        |  people:
+        |    json:
+        |      path: "{{params.people}}"
+        |outputs:
+        |  result:
+        |    json:
+        |      path: people.out.json
+        |      from: transform
+        |  tab:
+        |    table:
+        |      from: transform
+        |      path: people.tsv
+        |      columns:
+        |        - id
+        |        - dept
+        |        - label
+        |  g:
+        |    graph:
+        |      from: transform
+        |      schema: schemas
+        |      title: person
+        |      path: person-graph
+        |pipelines:
+        |  transform:
+        |    - from: people
+        |    - project:
+        |        mapping:
+        |          label: "person:{{name}}"
+        |    - lookup:
+        |        replace: dept
+        |        tsv:
+        |          input: "{{params.deptTSV}}"
+        |          header:
+        |            - code
+        |            - dept_name
+        |          key: code
+        |          value: dept_name
+        |    - filter:
+        |        field: active
+        |        match: "true"
+        |""".stripMargin)
+    dir
+  }
+
+  test("reference-shaped playbook runs end-to-end: project -> lookup -> filter -> 3 outputs") {
+    val dir = writeFixture()
+    val loaded = YamlPlaybook.loadFile(dir.resolve("pb.yaml").toString)
+    assert(loaded.name === "test-pb")
+    val results = loaded.playbook.run(spark)
+
+    // pipeline semantics: p3 filtered out (active=false); dept replaced
+    // through the TSV (d1 -> Engineering, d2 -> Sales, dX miss -> kept)
+    val rows = results("result")
+      .select("id", "dept", "label", "active").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      ("p1", "Engineering", "person:ann"),
+      ("p2", "Sales", "person:bob"),
+      ("p4", "dX", "person:dee")))
+
+    // json output written and re-readable with identical rows
+    val back = spark.read.json(s"${loaded.outdir}/people.out.json")
+    assert(back.count() === 3)
+    assert(back.filter(col("id") === "p1").select("dept")
+      .collect()(0).getString(0) === "Engineering")
+
+    // table output: header + 3 data rows, chosen columns only
+    val tab = spark.read.option("sep", "\t").option("header", "true")
+      .csv(s"${loaded.outdir}/people.tsv")
+    assert(tab.columns.toSeq === Seq("id", "dept", "label"))
+    assert(tab.count() === 3)
+
+    // graph output: schema-driven vertices + edges with href targets
+    val verts = spark.read.json(s"${loaded.outdir}/person-graph/vertex.json")
+    assert(verts.count() === 3)
+    assert(verts.filter(col("_id") === "person/p1").count() === 1)
+    val edges = spark.read.json(s"${loaded.outdir}/person-graph/edge.json")
+    val tos = edges.select("_to").collect().map(_.getString(0)).sorted
+    assert(tos.toSeq === Seq("dept/Engineering", "dept/Sales", "dept/dX"))
+    assert(edges.select("_label").distinct().collect()(0).getString(0) === "works_in")
+  }
+
+  test("param overrides replace YAML defaults; undefined params fail loudly") {
+    val dir = writeFixture()
+    // point the people param at a different file via the override path
+    Files.writeString(dir.resolve("two.json"),
+      """{"id": "x1", "name": "zed", "dept": "d2", "active": "true"}
+        |""".stripMargin)
+    val loaded = YamlPlaybook.loadFile(dir.resolve("pb.yaml").toString,
+      params = Map("people" -> "two.json"))
+    val out = loaded.playbook.resolve(spark, "transform").collect()
+    assert(out.length === 1)
+    val bad = intercept[RuntimeException] {
+      YamlPlaybook.load("inputs:\n  a:\n    json:\n      path: \"{{params.nope}}\"\n" +
+        "pipelines:\n  p:\n    - from: a\noutputs: {}\n", dir.toString)
+    }
+    assert(bad.getMessage.contains("undefined param"))
+  }
+
+  test("arbitrary-code steps are rejected with a clear message") {
+    val dir = writeFixture()
+    val yaml =
+      """inputs:
+        |  a:
+        |    json:
+        |      path: people.json
+        |pipelines:
+        |  p:
+        |    - from: a
+        |    - map:
+        |        python: "def f(x): return x"
+        |outputs: {}
+        |""".stripMargin
+    val err = intercept[RuntimeException] { YamlPlaybook.load(yaml, dir.toString) }
+    assert(err.getMessage.contains("out of scope"))
+  }
+}
