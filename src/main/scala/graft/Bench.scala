@@ -4,13 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Per-query benchmark over SPARK_GRAFT_SF_DIR. Each query is forced
-  * through a full-row hash aggregate — `agg(sum(xxhash64(struct(*))))` —
-  * so every output column is computed and consumed; a bare `.count()`
+  * through a full-row hash aggregate — `agg(bit_xor(xxhash64(struct(*))))`
+  * — so every output column is computed and consumed; a bare `.count()`
   * lets Catalyst prune unreferenced projections and times the parquet
-  * scan instead of the operator under test. Also reports recall@10 of
-  * the approximate ANN paths (SRP-LSH, IVF) against the exact
-  * brute-force baseline, so the quality/speed trade is graded alongside
-  * the timings.
+  * scan instead of the operator under test. The combining aggregate is
+  * bit_xor, NOT sum: under ANSI mode a running sum of uniform 64-bit
+  * hashes overflows Long within a handful of rows and kills the task
+  * mid-partition (round ≤2 used sum and swallowed the failure, so those
+  * timings measured evaluation only up to the first overflow). Also
+  * reports recall@10 of the approximate ANN paths (SRP-LSH, IVF)
+  * against the exact brute-force baseline, so the quality/speed trade
+  * is graded alongside the timings.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,7 +31,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def force(df: DataFrame): Unit =
-      df.agg(sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)))).collect()
+      df.select(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)).as("__h"))
+        .agg(bit_xor(col("__h"))).collect()
 
     // untimed warmup: JIT/codegen/parquet-footer costs land here, not on
     // whichever query happens to run first; timed queries then run in

@@ -5,11 +5,13 @@ import graft.rules.{FileRules, Required, Pattern => RxRule, EnumIn, Sha256Invari
 import graft.validate.CheckpointedValidation
 import org.apache.spark.sql.SparkSession
 
-/** CLI mirroring sifter's two entry points (SURVEY.md §3):
+/** CLI mirroring sifter's entry points (SURVEY.md §3):
   *
   *  - `run <filesParquet> <outRoot>` — execute a validation snapshot
-  *    (resumable; the analog of `sifter run playbook.yaml`,
-  *    cmd/run/main.go:19-61)
+  *    (resumable)
+  *  - `run-yaml <playbook.yaml> [k=v ...]` — execute a reference-style
+  *    YAML playbook with optional param overrides: the literal analog
+  *    of `sifter run playbook.yaml -p k=v` (cmd/run/main.go:19-61)
   *  - `inspect` — print the compiled rule set, input schema, and output
   *    tables without executing (the analog of `sifter inspect`,
   *    cmd/inspect/main.go:18-78: static metadata only)
@@ -22,11 +24,13 @@ object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "inspect" :: Nil => inspect()
     case "run" :: files :: out :: Nil => run(files, out)
+    case "run-yaml" :: pb :: params => runYaml(pb, params)
     case _ =>
       System.err.println(
         """usage:
           |  graft.cli.Main inspect
-          |  graft.cli.Main run <filesParquet> <outRoot>""".stripMargin)
+          |  graft.cli.Main run <filesParquet> <outRoot>
+          |  graft.cli.Main run-yaml <playbook.yaml> [param=value ...]""".stripMargin)
       sys.exit(2)
   }
 
@@ -73,6 +77,31 @@ object Main {
       val v = CheckpointedValidation.verdicts(spark, outRoot, snap)
       val failed = v.filter(!org.apache.spark.sql.functions.col("pass")).count()
       println(s"snapshot $snap committed: ${v.count()} verdict cells, $failed failing")
+    } finally if (!preexisting) spark.stop()
+  }
+
+  /** `sifter run playbook.yaml -p k=v` analog. */
+  def runYaml(playbookPath: String, params: Seq[String]): Unit = {
+    val overrides = params.map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case _ => sys.error(s"bad param '$kv' (expected k=v)")
+      }
+    }.toMap
+    val preexisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
+    val spark = graft.GraftSession
+      .builder(sys.env.getOrElse("SPARK_MASTER", "local[*]"),
+        Runtime.getRuntime.availableProcessors())
+      .appName("sifterspark-run-yaml")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val loaded = graft.pipeline.YamlPlaybook.loadFile(playbookPath, overrides)
+      val results = loaded.playbook.run(spark)
+      results.foreach { case (name, df) =>
+        println(s"output '$name': ${df.count()} rows")
+      }
     } finally if (!preexisting) spark.stop()
   }
 }

@@ -337,19 +337,33 @@ object Dedup {
     }
   }
 
-  /** Production near-dup pipeline entry point: shingles are computed
-    * ONCE and persisted, feed the MinHash signatures AND both sides of
-    * the Jaccard verification; verified pairs are persisted once and
-    * feed clustering AND (via clusters) survivor selection. The
-    * per-operator driver queries recompute these stages independently
-    * by design (each must be oracle-checkable in isolation); a real
-    * pipeline over a 100 TB corpus must never tokenize+hash the corpus
-    * three times — this is the entry point that doesn't
-    * (mirrors what [[graft.bench.ScalingBench.dedupPass]] measures). */
+  /** Production near-dup pipeline entry point. Order and sharing are
+    * the at-scale requirements the independent driver queries don't
+    * carry:
+    *
+    *  1. EXACT dedup first — identical docs collapse to one
+    *     representative, so no downstream blocking join can ever see a
+    *     quadratic exact-duplicate hot block (the documented simhash/
+    *     LSH skew hazard; PipelineOpsSpec "simhash skew" measures it).
+    *  2. Shingles computed ONCE and persisted: they feed the MinHash
+    *     signatures AND both sides of the Jaccard verification.
+    *  3. Verified pairs persisted once: they feed clustering AND (via
+    *     clusters) survivor selection.
+    *
+    * The per-operator driver queries recompute these stages
+    * independently by design (each must be oracle-checkable in
+    * isolation); a real pipeline over a 100 TB corpus must never
+    * tokenize+hash the corpus three times — this is the entry point
+    * that doesn't (mirrors [[graft.bench.ScalingBench.dedupPass]]).
+    * Survivors exclude both exact-dup non-representatives and near-dup
+    * cluster losers. */
   def pipeline(docs: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double = 0.8): DedupResult = {
     import org.apache.spark.storage.StorageLevel
-    val sh = withWordShingles(docs, textCol)
+    val exactKeep = exact(docs, idCol, textCol)
+      .select(col("keep_id").as("__keep_id"))
+    val uniq = docs.join(exactKeep, docs(idCol) === col("__keep_id"), "left_semi")
+    val sh = withWordShingles(uniq, textCol)
       .select(col(idCol).as("doc_id"), col("shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidatePairs(withMinhashSignature(sh), "doc_id")
@@ -361,6 +375,6 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cl = nearDupClusters(pairs)
-    DedupResult(sh, pairs, cl, survivors(docs, idCol, cl))
+    DedupResult(sh, pairs, cl, survivors(uniq, idCol, cl))
   }
 }

@@ -71,15 +71,31 @@ object RowOps {
   /** `fieldParse:` — parse `k1=v1;k2=v2` string into a map
     * (transform/field_parse.go:24-55). A bare key with no assign
     * (`...;flag;...`) becomes `flag -> true` in the reference
-    * (field_parse.go:44-47); str_to_map yields a null value there, so
-    * nulls are rewritten to "true" (the map is string-typed — the
-    * honest analog of the reference's boolean). A key with an EMPTY
-    * value (`k=`) stays "" in both engines. */
+    * (field_parse.go:44-47); the map is string-typed, so "true" is the
+    * honest analog of the reference's boolean. A key with an EMPTY
+    * value (`k=`) stays "" in both engines.
+    *
+    * For single-char sep/assign (the reference defaults) the bare-key
+    * rewrite is a codegen'd regexp_replace pre-pass appending
+    * `<assign>true` to assign-free segments; multi-char delimiters fall
+    * back to an interpreted transform_values over the parsed map (HOF
+    * lambdas don't codegen — fine for odd delimiters, not for the
+    * default path a 100 TB corpus takes). */
   def fieldParse(df: DataFrame, field: String, dst: String,
-      sep: String = ";", assign: String = "="): DataFrame =
-    df.withColumn(dst,
-      transform_values(str_to_map(col(field), lit(sep), lit(assign)),
-        (_, v) => coalesce(v, lit("true"))))
+      sep: String = ";", assign: String = "="): DataFrame = {
+    // str_to_map's delimiters are REGEXES in Spark; the reference splits
+    // on literal strings (strings.Split), so both are pattern-quoted
+    val s = java.util.regex.Pattern.quote(sep)
+    val a = java.util.regex.Pattern.quote(assign)
+    val parsed = str_to_map(_: Column, lit(s), lit(a))
+    if (sep.length == 1 && assign.length == 1) {
+      val repl = "$1" + java.util.regex.Matcher.quoteReplacement(assign + "true")
+      val pre = regexp_replace(col(field), s"(?<=^|$s)([^$s$a]+)(?=$s|$$)", repl)
+      df.withColumn(dst, parsed(pre))
+    } else
+      df.withColumn(dst,
+        transform_values(parsed(col(field)), (_, v) => coalesce(v, lit("true"))))
+  }
 
   /** `split:` — split string field on separator into array, in place
     * (transform/split.go:19-31). */

@@ -23,4 +23,42 @@ class CliRunSpec extends AnyFunSuite {
     val verdicts = graft.validate.CheckpointedValidation.verdicts(spark, outRoot, 1L)
     assert(verdicts.count() > 0)
   }
+
+  test("cli run-yaml: sifter-style playbook + param override end-to-end") {
+    val dir = Files.createTempDirectory("cli_yaml")
+    Files.writeString(dir.resolve("rows.json"),
+      """{"id": "a", "v": "1"}
+        |{"id": "b", "v": "2"}
+        |{"id": "c", "v": ""}
+        |""".stripMargin)
+    Files.writeString(dir.resolve("pb.yaml"),
+      """name: cli-pb
+        |outdir: out
+        |params:
+        |  rows:
+        |    type: File
+        |    default: missing.json
+        |inputs:
+        |  rows:
+        |    json:
+        |      path: "{{params.rows}}"
+        |pipelines:
+        |  keep:
+        |    - from: rows
+        |    - filter:
+        |        field: v
+        |        check: hasValue
+        |outputs:
+        |  kept:
+        |    json:
+        |      path: kept.json
+        |      from: keep
+        |""".stripMargin)
+    val stdout = new java.io.ByteArrayOutputStream()
+    Console.withOut(stdout) {
+      graft.cli.Main.runYaml(dir.resolve("pb.yaml").toString, Seq("rows=rows.json"))
+    }
+    assert(stdout.toString.contains("output 'kept': 2 rows"), stdout.toString)
+    assert(spark.read.json(s"$dir/out/kept.json").count() === 2)
+  }
 }

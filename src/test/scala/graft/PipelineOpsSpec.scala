@@ -122,15 +122,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
-  test("dedup pipeline: shingles/pairs computed once, outputs match the independent path") {
+  test("dedup pipeline: exact-first, shingles/pairs computed once, outputs match independent path") {
     val base = docs.select("doc_id", "text").filter(col("doc_id") < 300)
     val aug = base.unionAll(base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" zz")).as("text")))
+      // plus EXACT duplicates: the pipeline must collapse these before
+      // any blocking join sees them (the quadratic hot-block hazard)
+      .unionAll(base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
     val res = Dedup.pipeline(aug, "doc_id", "text")
     try {
-      // independent recomputation — the per-operator oracle-query shape
-      val sh = Dedup.withWordShingles(aug, "text").select(col("doc_id"), col("shingles"))
+      // exact-dup copies are gone from both survivors and the pair space
+      assert(res.survivors.filter(col("doc_id") >= 2000000).count() === 0)
+      assert(res.pairs.filter(col("id_a") >= 2000000 || col("id_b") >= 2000000)
+        .count() === 0)
+      // independent recomputation — the per-operator oracle-query shape,
+      // over the same exact-deduped corpus the pipeline derives
+      val keep = Dedup.exact(aug, "doc_id", "text").select(col("keep_id").as("k"))
+      val uniq = aug.join(keep, col("doc_id") === col("k"), "left_semi")
+      val sh = Dedup.withWordShingles(uniq, "text").select(col("doc_id"), col("shingles"))
       val indPairs = Dedup.lshCandidatePairs(Dedup.withMinhashSignature(sh), "doc_id")
         .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
         .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
@@ -147,7 +158,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       def ids(df: org.apache.spark.sql.DataFrame) =
         df.select("doc_id").collect().map(_.getLong(0)).toSet
       assert(ids(res.survivors) ===
-        ids(Dedup.survivors(aug, "doc_id", indClusters)))
+        ids(Dedup.survivors(uniq, "doc_id", indClusters)))
       // persist-once evidence: the verified-pair plan reads the shingle
       // table from cache on BOTH join sides (Spark's caching contract =
       // the word_shingles pass ran once per partition), instead of

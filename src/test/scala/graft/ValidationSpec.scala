@@ -192,6 +192,17 @@ class RowOpsSpec extends AnyFunSuite {
     val m = RowOps.fieldParse(df, "kv", "m").select($"m")
       .collect()(0).getMap[String, String](0).toMap
     assert(m === Map("a" -> "1", "flag" -> "true", "empty" -> "", "z" -> "9"))
+    // bare key first and last, and a lone bare key
+    val edges = RowOps.fieldParse(Seq("x;a=1;y").toDF("kv"), "kv", "m")
+      .select($"m").collect()(0).getMap[String, String](0).toMap
+    assert(edges === Map("x" -> "true", "a" -> "1", "y" -> "true"))
+  }
+
+  test("fieldParse: multi-char sep/assign takes the HOF fallback, same semantics") {
+    val df = Seq("a:=1||flag||empty:=").toDF("kv")
+    val m = RowOps.fieldParse(df, "kv", "m", sep = "||", assign = ":=")
+      .select($"m").collect()(0).getMap[String, String](0).toMap
+    assert(m === Map("a" -> "1", "flag" -> "true", "empty" -> ""))
   }
 
   test("lookupCopy: shared column names never collide or drop main columns") {
