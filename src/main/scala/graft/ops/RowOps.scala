@@ -30,9 +30,17 @@ object RowOps {
   def hasValue(c: Column): Column = c.isNotNull && length(c) > 0
 
   /** `clean:` — keep-list of fields, optionally dropping empty strings to
-    * null (transform/clean.go:28-56 `removeEmpty`). */
-  def clean(df: DataFrame, fields: Seq[String], removeEmpty: Boolean = false): DataFrame = {
-    val kept = df.select(fields.map(col): _*)
+    * null (transform/clean.go:28-56 `removeEmpty`); `storeExtra` gathers
+    * every dropped column into a string map instead of discarding it
+    * (clean.go:40-47). */
+  def clean(df: DataFrame, fields: Seq[String], removeEmpty: Boolean = false,
+      storeExtra: Option[String] = None): DataFrame = {
+    val extraCol = storeExtra.map { dst =>
+      val dropped = df.columns.toIndexedSeq.filterNot(fields.contains)
+      dst -> map(dropped.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*)
+    }
+    val kept = df.select(fields.map(col) ++
+      extraCol.map { case (dst, c) => c.as(dst) }: _*)
     if (!removeEmpty) kept
     else fields.foldLeft(kept) { (d, f) =>
       d.schema(f).dataType.typeName match {

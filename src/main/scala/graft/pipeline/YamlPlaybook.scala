@@ -159,10 +159,49 @@ object YamlPlaybook {
       // embedded: a YAML list of row objects (extractors/embedded.go)
       val rows = asSeq(m("embedded")).map(r => toJsonString(asMap(r)))
       s => { import s.implicits._; s.read.json(s.createDataset(rows)) }
+    } else if (m.contains("glob")) {
+      // glob: expand a pattern through an inner json/table/avro/xml
+      // loader, optionally storing source file name/path per row
+      // (extractors/glob_load.go:14-98)
+      val c = cfg("glob")
+      val pattern = resolvePath(str(c("path")))
+      val innerKeys = Seq("json", "table", "avro", "xml").filter(c.contains)
+      require(innerKeys.size == 1,
+        s"input '$name': glob needs exactly one inner loader (json/table/avro/xml)")
+      val innerCfg = c(innerKeys.head) match {
+        case im: java.util.Map[_, _] => asMap(im)
+        case _ => Map.empty[String, Any]
+      }
+      val inner = inputLoaderAt(name, innerKeys.head, innerCfg, resolvePath)
+      val storeFilename = c.get("storeFilename").map(str).filter(_.nonEmpty)
+      val storeFilepath = c.get("storeFilepath").map(str).filter(_.nonEmpty)
+      s => Sources.glob(s, pattern, inner, storeFilename, storeFilepath)
     } else
       sys.error(s"input '$name': unsupported extractor ${m.keys.mkString(",")} " +
         "(supported: json, table, avro, xml, sqldump, sqlite, embedded; " +
         "gripper/plugin are declared out of scope)")
+  }
+
+  /** Inner loader for `glob:` — the inner config without its own path;
+    * the glob pattern is injected as the path argument. */
+  private def inputLoaderAt(name: String, kind: String, c: Map[String, Any],
+      resolvePath: String => String): (SparkSession, String) => DataFrame = kind match {
+    case "json" =>
+      val multiline = c.get("multiline").exists(_ == true)
+      (s, p) => if (multiline) Sources.jsonDoc(s, p) else Sources.ndjson(s, p)
+    case "table" =>
+      val spec = Sources.TableSpec(
+        sep = c.get("sep").map(str).filter(_.nonEmpty).getOrElse("\t"),
+        comment = c.get("comment").map(str).getOrElse("#"),
+        rowSkip = c.get("rowSkip").map(str(_).toInt).getOrElse(0),
+        columns = Option(asSeq(c.getOrElse("columns", null)).map(str)).filter(_.nonEmpty),
+        extraColumns = c.get("extraColumns").map(str).filter(_.nonEmpty))
+      (s, p) => Sources.table(s, p, spec)
+    case "avro" => (s, p) => Sources.avro(s, p)
+    case "xml" =>
+      val level = c.get("level").map(str(_).toInt).getOrElse(0)
+      (s, p) => XmlSource.xml(s, p, level)
+    case other => sys.error(s"input '$name': glob inner loader '$other' unsupported")
   }
 
   private def toJsonString(m: Map[String, Any]): String = {
@@ -225,7 +264,8 @@ object YamlPlaybook {
       case "clean" =>
         val fields = asSeq(c.getOrElse("fields", null)).map(str)
         val removeEmpty = c.get("removeEmpty").exists(_ == true)
-        df => RowOps.clean(df, fields, removeEmpty)
+        val storeExtra = c.get("storeExtra").map(str).filter(_.nonEmpty)
+        df => RowOps.clean(df, fields, removeEmpty, storeExtra)
       case "fieldParse" =>
         // empty YAML values fall back to the reference defaults
         // (field_parse.go:25-32: sep ";", assign "=")
@@ -252,11 +292,16 @@ object YamlPlaybook {
         df => RowOps.hashField(df, field, colTemplate(str(c("value"))),
           str(c.getOrElse("method", "sha1")))
       case "uuid" =>
+        // no value template -> random v4 per row (uuid.go:38-41)
+        val valueTpl = str(c.getOrElse("value", ""))
         df => {
           graft.expr.UuidExprs.register(df.sparkSession)
-          df.withColumn(field, graft.expr.UuidExprs.uuid5(
-            lit(str(c.getOrElse("namespace", graft.expr.NameUuid.NamespaceUrl))),
-            colTemplate(str(c("value")))))
+          val u =
+            if (valueTpl.isEmpty) expr("uuid()")
+            else graft.expr.UuidExprs.uuid5(
+              lit(str(c.getOrElse("namespace", graft.expr.NameUuid.NamespaceUrl))),
+              colTemplate(valueTpl))
+          df.withColumn(field, u)
         }
       case "dropNull" =>
         df => RowOps.dropNullRows(df, df.columns.toIndexedSeq)

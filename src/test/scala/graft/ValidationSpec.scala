@@ -198,6 +198,14 @@ class RowOpsSpec extends AnyFunSuite {
     assert(edges === Map("x" -> "true", "a" -> "1", "y" -> "true"))
   }
 
+  test("clean storeExtra: dropped columns gathered into a string map (clean.go:40-47)") {
+    val df = Seq((1L, "keep", "x1", 9.5)).toDF("id", "name", "extra1", "extra2")
+    val out = RowOps.clean(df, Seq("id", "name"), storeExtra = Some("rest"))
+    assert(out.columns.toSeq === Seq("id", "name", "rest"))
+    val rest = out.collect()(0).getMap[String, String](2).toMap
+    assert(rest === Map("extra1" -> "x1", "extra2" -> "9.5"))
+  }
+
   test("fieldParse: multi-char sep/assign takes the HOF fallback, same semantics") {
     val df = Seq("a:=1||flag||empty:=").toDF("kv")
     val m = RowOps.fieldParse(df, "kv", "m", sep = "||", assign = ":=")

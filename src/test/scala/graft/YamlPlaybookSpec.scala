@@ -151,6 +151,36 @@ class YamlPlaybookSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("undefined param"))
   }
 
+  test("glob input with inner json loader + storeFilename; uuid without value -> v4") {
+    val dir = writeFixture()
+    Files.writeString(dir.resolve("part1.json"), "{\"id\": \"a\"}\n")
+    Files.writeString(dir.resolve("part2.json"), "{\"id\": \"b\"}\n")
+    val yaml =
+      """inputs:
+        |  parts:
+        |    glob:
+        |      path: "part*.json"
+        |      storeFilename: src_file
+        |      json: {}
+        |pipelines:
+        |  p:
+        |    - from: parts
+        |    - uuid:
+        |        field: rid
+        |outputs: {}
+        |""".stripMargin
+    val loaded = YamlPlaybook.load(yaml, dir.toString)
+    val rows = loaded.playbook.resolve(spark, "p")
+      .select("id", "src_file", "rid").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2)).toSeq ===
+      Seq(("a", "part1.json"), ("b", "part2.json")))
+    // v4: valid uuid shape, distinct per row
+    val uuidRx = "[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}"
+    assert(rows.forall(_._3.matches(uuidRx)), rows.map(_._3).mkString(","))
+    assert(rows.map(_._3).distinct.length === 2)
+  }
+
   test("arbitrary-code steps are rejected with a clear message") {
     val dir = writeFixture()
     val yaml =
