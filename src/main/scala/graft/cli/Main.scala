@@ -98,9 +98,17 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val loaded = graft.pipeline.YamlPlaybook.loadFile(playbookPath, overrides)
-      val results = loaded.playbook.run(spark)
-      results.foreach { case (name, df) =>
-        println(s"output '$name': ${df.count()} rows")
+      // resolve each output ourselves and persist before the sink, so
+      // the count and the write share ONE computation of the pipeline
+      // (Playbook.run + a post-hoc count would re-derive everything)
+      loaded.playbook.outputs.foreach { case (name, (src, sink)) =>
+        val df = loaded.playbook.resolve(spark, src)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = df.count()
+          sink(df)
+          println(s"output '$name': $n rows")
+        } finally df.unpersist(blocking = false)
       }
     } finally if (!preexisting) spark.stop()
   }

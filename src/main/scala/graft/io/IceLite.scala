@@ -74,13 +74,20 @@ class IceLite(val root: String) {
 
   def lineageDir(snap: Long): Path = p("lineage", s"snap=$snap")
 
+  // Files.list/Files.walk hold an open directory handle until close()
+  // — a long-lived driver calling the GC/resume APIs periodically must
+  // not leak fds between GC cycles
+  private def withList[A](d: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(d)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   /** Partitions whose lineage record committed (the resume checkpoint). */
   def completedParts(snap: Long): Set[String] = {
     val d = lineageDir(snap)
     if (!Files.exists(d)) Set.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".json"))
-      .map(n => dec(n.stripSuffix(".json"))).toSet
+    else withList(d)(_.map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(n => dec(n.stripSuffix(".json"))).toSet)
   }
 
   def partDataDir(snap: Long, table: String, part: String): String =
@@ -142,11 +149,10 @@ class IceLite(val root: String) {
   def committedSnapshotIds: Seq[Long] = {
     val d = p("snapshots")
     if (!Files.exists(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
+    else withList(d)(_.map(_.getFileName.toString)
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong
-      }.toSeq.sorted
+      }.toSeq.sorted)
   }
 
   /** Expire superseded snapshots, keeping the most recent `retain`
@@ -172,8 +178,10 @@ class IceLite(val root: String) {
 
   private def deleteRecursively(path: Path): Unit = {
     if (Files.exists(path)) {
-      Files.walk(path).sorted(java.util.Comparator.reverseOrder())
+      val s = Files.walk(path)
+      try s.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
+      finally s.close()
     }
   }
 }

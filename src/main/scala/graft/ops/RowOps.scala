@@ -301,15 +301,31 @@ object RowOps {
     * trick) and each probe row filters it in place. The previous shape
     * (row-id + left join + groupBy/collect_list) shuffled the ENTIRE
     * probe side on a synthetic key; at 100 TB that is the whole corpus
-    * through the exchange for a per-row lookup. A ref larger than
-    * `maxLiteralRefRows` falls back to that join+aggregate shape. */
+    * through the exchange for a per-row lookup.
+    *
+    * The literal path requires an atomic-typed ref (lit() cannot embed
+    * nested rows/arrays/maps) and a genuinely dictionary-sized one —
+    * every probe row scans the whole literal array linearly, so the
+    * cutover default is 1000 rows (each ref row is `width` Literal
+    * nodes in the plan; well below that the scan beats the join's
+    * shuffle, far above it the probe-by-key join wins). Larger or
+    * nested refs take [[intervalAttachJoined]] automatically. */
   def intervalAttach(df: DataFrame, ref: DataFrame,
       matchKey: String, start: String, end: String,
       refMatch: String, refStart: String, refEnd: String,
-      attachAs: String, maxLiteralRefRows: Int = 100000): DataFrame = {
+      attachAs: String, maxLiteralRefRows: Int = 1000): DataFrame = {
     val fields = ref.schema.fields.toIndexedSeq
-    val collected = ref.limit(maxLiteralRefRows + 1).collect()
-    if (collected.length <= maxLiteralRefRows) {
+    val atomic = fields.forall(f => f.dataType match {
+      // lit() can embed scalars but not nested rows/collections
+      case _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    })
+    val collected =
+      if (atomic) ref.limit(maxLiteralRefRows + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (atomic && collected.length <= maxLiteralRefRows) {
       val refsLit =
         if (collected.isEmpty)
           array().cast(org.apache.spark.sql.types.ArrayType(ref.schema))

@@ -54,9 +54,15 @@ object YamlPlaybook {
       params: Map[String, String] = Map.empty): Loaded = {
     val root = asMap(new org.yaml.snakeyaml.Yaml().load[Any](yaml))
 
-    // params: YAML defaults overridden by caller values (config.Params)
-    val defaults = asMap(root.getOrElse("params", null)).map { case (k, v) =>
-      k -> str(asMap(v).getOrElse("default", v))
+    // params: YAML defaults overridden by caller values (config.Params).
+    // A spec map WITHOUT `default:` contributes no value — referencing
+    // it unoverridden must fail as `undefined param`, not silently
+    // substitute the spec map's toString into a path.
+    val defaults = asMap(root.getOrElse("params", null)).flatMap { case (k, v) =>
+      v match {
+        case m: java.util.Map[_, _] => asMap(m).get("default").map(d => k -> str(d))
+        case other => Some(k -> str(other))
+      }
     }
     val p = defaults ++ params
     def subst(s: String): String =
@@ -256,7 +262,10 @@ object YamlPlaybook {
           val pred = check match {
             case "exists" => f.isNotNull
             case "hasValue" => RowOps.hasValue(f)
-            case "not" => !(f.cast("string") === colTemplate(str(c("match"))).cast("string"))
+            // null-safe: the reference renders a missing field as "" so
+            // null ≠ match KEEPS the row under `not` — plain !(===)
+            // would yield SQL NULL and drop it
+            case "not" => !(f.cast("string") <=> colTemplate(str(c("match"))).cast("string"))
             case _ => f.cast("string") === colTemplate(str(c("match"))).cast("string")
           }
           RowOps.keep(df, pred)
@@ -304,7 +313,13 @@ object YamlPlaybook {
           df.withColumn(field, u)
         }
       case "dropNull" =>
-        df => RowOps.dropNullRows(df, df.columns.toIndexedSeq)
+        // the reference removes null-valued KEYS per row, keeping the
+        // row (drop_null.go:14-22). Under a fixed columnar schema that
+        // is a serialization concern, and Spark's JSON writer already
+        // omits null fields (ignoreNullFields=true by default) — so the
+        // step is an identity on the DataFrame, NOT a row filter
+        // (na.drop would silently delete sparse rows).
+        df => df
       case "distinct" =>
         df => df.dropDuplicates(Seq(templateFields(str(c.getOrElse("value", ""))): _*))
       case "accumulate" =>

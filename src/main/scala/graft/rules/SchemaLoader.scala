@@ -89,7 +89,8 @@ object SchemaLoader {
     * shared-definition files, as the reference's graph loader does). */
   def loadDir(dir: String): Map[String, SchemaClass] = {
     val d: Path = Paths.get(dir)
-    Files.list(d).iterator().asScala
+    val s = Files.list(d) // close the dir handle — Files.list leaks it otherwise
+    try s.iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".yaml") &&
         !p.getFileName.toString.startsWith("_"))
       .flatMap { p =>
@@ -97,6 +98,7 @@ object SchemaLoader {
           .filter(_.id.nonEmpty)
       }
       .map(c => c.id -> c).toMap
+    finally s.close()
   }
 
   /** Compile a class into row rules over the columns actually present.

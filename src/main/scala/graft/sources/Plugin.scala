@@ -75,18 +75,31 @@ object Plugin {
     val pb = new ProcessBuilder(command: _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
-    // if the upstream iterator throws mid-stream, the plugin sees a clean
+    // if the UPSTREAM iterator throws mid-stream, the plugin sees a clean
     // EOF and exits 0 — without re-throwing here the task would SUCCEED on
     // rows derived from partial input (silent data loss; Spark's own piped
-    // RDD propagates its child-thread exception for the same reason)
+    // RDD propagates its child-thread exception for the same reason).
+    // WRITE failures are a different case: a plugin that legitimately
+    // closes stdin early (`head`, `grep -m`) breaks the pipe while the
+    // output is complete and the exit code is 0 — so IOExceptions from
+    // the write stop the feed quietly and the exit-code check remains
+    // the arbiter, while anything thrown by the upstream iterator
+    // itself is fatal.
     @volatile var writerFailure: Throwable = null
     val writer = new Thread(() => {
       val w = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
       try {
-        try in.foreach { l => w.write(l); w.write('\n') }
-        catch { case t: Throwable => writerFailure = t }
-      } finally w.close()
+        var feeding = true
+        while (feeding && in.hasNext) { // hasNext/next throw = upstream failure
+          val l = in.next()
+          try { w.write(l); w.write('\n') }
+          catch { case _: java.io.IOException => feeding = false }
+        }
+      } catch { case t: Throwable => writerFailure = t }
+      finally {
+        try w.close() catch { case _: java.io.IOException => () }
+      }
     }, "graft-plugin-stdin")
     writer.setDaemon(true)
     writer.start()

@@ -239,7 +239,9 @@ object SqliteSource {
     def tableInfo(name: String): (Seq[String], IndexedSeq[Char], Int, Long) = {
       val m = masterRows.find(r => r._1 == "table" && r._2 == name)
         .getOrElse(sys.error(s"table '$name' not found in sqlite file"))
-      val ipkRx = "(?is)INTEGER\\s+PRIMARY\\s+KEY".r
+      // \b guard: `x MYINTEGER PRIMARY KEY` must not match (the alias
+      // requires the declared type be exactly INTEGER)
+      val ipkRx = "(?is)\\bINTEGER\\s+PRIMARY\\s+KEY".r
       // COLUMN defs only (constraint clauses like `PRIMARY KEY (id)`
       // are not columns and don't count toward indices)
       val open = m._4.indexOf('(')
@@ -260,18 +262,27 @@ object SqliteSource {
       }
       val affinities = colDefs.map(affinity).toIndexedSeq
       // rowid alias: inline `x INTEGER PRIMARY KEY` OR a single-column
-      // table-level `[CONSTRAINT n] PRIMARY KEY(x)` over an INTEGER
-      // column — both store the value as NULL and mean the rowid, per
-      // the format spec; treating only the inline form would emit nulls
+      // table-level `[CONSTRAINT n] PRIMARY KEY(x [ASC|DESC])` over a
+      // column whose declared type is EXACTLY "INTEGER" — both store
+      // the value as NULL and mean the rowid, per the format spec.
+      // Exactness matters in both directions: `x INT PRIMARY KEY` is
+      // NOT an alias (its real values are stored — aliasing it would
+      // corrupt them into rowids), and `PRIMARY KEY(x DESC)` at table
+      // level IS one (missing it would emit the stored NULLs).
+      def declaredExactlyInteger(colIdx: Int): Boolean = {
+        val toks = colDefs(colIdx).split("\\s+")
+        toks.length >= 2 && toks(1).equalsIgnoreCase("INTEGER")
+      }
       val inlineIpk = colDefs.indexWhere(d => ipkRx.findFirstIn(d).isDefined)
       val pkConstraintRx = "(?is)PRIMARY\\s+KEY\\s*\\(([^)]*)\\)".r
       val ipk =
         if (inlineIpk >= 0) inlineIpk
         else constraintDefs.iterator
           .flatMap(pkConstraintRx.findFirstMatchIn(_))
-          .map(_.group(1).split(',').map(unquoteIdent).toSeq)
+          .map(_.group(1).split(',').toSeq
+            .map(e => unquoteIdent(e.replaceAll("(?i)\\s+(ASC|DESC)\\s*$", ""))))
           .collectFirst { case Seq(single)
-            if cols.indexOf(single) >= 0 && affinities(cols.indexOf(single)) == 'I' =>
+            if cols.indexOf(single) >= 0 && declaredExactlyInteger(cols.indexOf(single)) =>
             cols.indexOf(single)
           }.getOrElse(-1)
       (cols, affinities, ipk, m._3)

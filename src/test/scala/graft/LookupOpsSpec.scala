@@ -67,6 +67,19 @@ class LookupOpsSpec extends AnyFunSuite {
       s"literal intervalAttach must be a zero-shuffle projection:\n$plan")
   }
 
+  test("intervalAttach: nested-typed ref falls back to the joined path (no lit() crash)") {
+    // lit() cannot embed arrays/structs — a ref carrying a complex
+    // column must take intervalAttachJoined instead of crashing at
+    // plan build
+    val ref = Seq(("c1", 0.0, 10.0, Seq("tag1", "tag2")))
+      .toDF("rm", "rs", "re", "tags")
+    val rows = Seq(("c1", 5.0, 6.0), ("c1", 50.0, 60.0)).toDF("m", "s", "e")
+    val out = RowOps.intervalAttach(rows, ref, "m", "s", "e", "rm", "rs", "re", "hits")
+      .withColumn("n", size(col("hits")))
+      .select("s", "n").collect().map(r => (r.getDouble(0), r.getInt(1))).toMap
+    assert(out === Map(5.0 -> 1, 50.0 -> 0))
+  }
+
   test("intervalIntersectBinned: identical rows to the broadcast form, each pair once") {
     val ref = Seq(("c1", 0.0, 10.0, "r1"), ("c1", 5.0, 20.0, "r2"),
       ("c1", -7.5, -2.0, "rneg"), ("c2", 0.0, 100.0, "r3"))

@@ -181,6 +181,26 @@ class SourcesSpec extends AnyFunSuite {
         "ever passes, the per-partition contract was silently changed")
   }
 
+  test("plugin transform: downstream closing stdin early (head) is NOT a failure") {
+    // `head -3` exits 0 after 3 lines and breaks the pipe mid-feed; the
+    // broken-pipe IOException must not be conflated with an upstream
+    // iterator failure — output is complete by the plugin's contract
+    val df = spark.range(100000).toDF("id").repartition(1)
+    val out = graft.sources.Plugin.transformRaw(df, Seq("head", "-3")).collect()
+    assert(out.length === 3)
+  }
+
+  test("sqlite: table-level PRIMARY KEY(x DESC) over INTEGER is a rowid alias; over INT is NOT") {
+    val p = getClass.getResource("/fixture_pk.sqlite").getPath
+    def rows(t: String) = graft.sources.SqliteSource.table(spark, p, t)
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._2)
+    // INTEGER + table-level PK: stored NULL, value materialized from rowid
+    assert(rows("tbl_alias").toSeq === Seq(("100", "a"), ("200", "b")))
+    // INT + table-level PK: NOT an alias — real stored values must
+    // survive (an affinity-based check would corrupt them into 1,2)
+    assert(rows("tbl_int").toSeq === Seq(("100", "a"), ("200", "b")))
+  }
+
   test("sqlite: multi-page b-tree, overflow chain, NULLs, IPK rowid alias") {
     val p = getClass.getResource("/fixture.sqlite").getPath
     assert(graft.sources.SqliteSource.tables(spark, p).map(_._1).toSet ===

@@ -181,6 +181,44 @@ class YamlPlaybookSpec extends AnyFunSuite {
     assert(rows.map(_._3).distinct.length === 2)
   }
 
+  test("param spec without default fails as undefined; filter not keeps nulls; dropNull keeps rows") {
+    val dir = writeFixture()
+    // spec map with no default and no override -> undefined param, not
+    // a silent toString path
+    val noDefault = intercept[RuntimeException] {
+      YamlPlaybook.load(
+        "params:\n  rows:\n    type: File\ninputs:\n  a:\n    json:\n      path: \"{{params.rows}}\"\n" +
+          "pipelines:\n  p:\n    - from: a\noutputs: {}\n", dir.toString)
+    }
+    assert(noDefault.getMessage.contains("undefined param"))
+    // filter check:not must KEEP rows whose field is null (reference
+    // renders a missing field as "" != match); dropNull must not delete
+    // sparse rows (the reference only drops null KEYS per row)
+    Files.writeString(dir.resolve("sparse.json"),
+      """{"id": "a", "status": "banned"}
+        |{"id": "b", "status": "ok"}
+        |{"id": "c"}
+        |""".stripMargin)
+    val yaml =
+      """inputs:
+        |  rows:
+        |    json:
+        |      path: sparse.json
+        |pipelines:
+        |  p:
+        |    - from: rows
+        |    - dropNull: {}
+        |    - filter:
+        |        field: status
+        |        check: not
+        |        match: banned
+        |outputs: {}
+        |""".stripMargin
+    val kept = YamlPlaybook.load(yaml, dir.toString).playbook
+      .resolve(spark, "p").select("id").collect().map(_.getString(0)).sorted
+    assert(kept.toSeq === Seq("b", "c"))
+  }
+
   test("arbitrary-code steps are rejected with a clear message") {
     val dir = writeFixture()
     val yaml =
