@@ -94,13 +94,24 @@ object YamlPlaybook {
         name -> inputLoader(name, asMap(raw), resolvePath)
       }
 
+    // lookup.pipeline joins against ANOTHER pipeline of this playbook —
+    // steps run at resolve time (after load returns), so a forward
+    // reference through this holder is safe and Playbook.resolve's own
+    // cycle detection still applies to the main `from` graph
+    var built: Playbook = null
+    val resolvePipeline: (SparkSession, String) => DataFrame = (s, n) => {
+      require(built != null, "playbook not fully constructed")
+      built.resolve(s, n)
+    }
+
     val pipelines: Map[String, Pipeline] =
       asMap(root.getOrElse("pipelines", null)).map { case (name, raw) =>
         val stepMaps = asSeq(raw).map(asMap)
         require(stepMaps.nonEmpty, s"pipeline '$name' has no steps")
         val from = str(stepMaps.head.getOrElse("from",
           sys.error(s"pipeline '$name': first step must be `from:` (playbook/execute.go)")))
-        val steps = stepMaps.tail.map(m => stepFn(name, m, resolvePath, subst, colTemplate))
+        val steps = stepMaps.tail.map(m =>
+          stepFn(name, m, resolvePath, subst, colTemplate, resolvePipeline))
         name -> Pipeline(from, steps)
       }
 
@@ -110,8 +121,8 @@ object YamlPlaybook {
         name -> outputSink(name, asMap(raw), outdir, resolvePath)
       }
 
-    Loaded(Playbook(inputs, pipelines, outputs),
-      str(root.getOrElse("name", "")), outdir)
+    built = Playbook(inputs, pipelines, outputs)
+    Loaded(built, str(root.getOrElse("name", "")), outdir)
   }
 
   // ---------- inputs (extractors/interface.go:16-25) ----------
@@ -235,7 +246,8 @@ object YamlPlaybook {
 
   private def stepFn(pipe: String, m: Map[String, Any],
       resolvePath: String => String, subst: String => String,
-      colTemplate: String => Column): (String, DataFrame => DataFrame) = {
+      colTemplate: String => Column,
+      resolvePipeline: (SparkSession, String) => DataFrame): (String, DataFrame => DataFrame) = {
     require(m.size == 1 || (m.size == 2 && m.contains("docs")),
       s"pipeline '$pipe': each step must be a single-key map, got ${m.keys.mkString(",")}")
     val (key, raw) = m.view.filterKeys(_ != "docs").head
@@ -341,7 +353,7 @@ object YamlPlaybook {
           }
           base
         }
-      case "lookup" => lookupStep(pipe, c, resolvePath, subst, colTemplate)
+      case "lookup" => lookupStep(pipe, c, resolvePath, colTemplate, resolvePipeline)
       case "intervalIntersect" =>
         val j = asMap(c.getOrElse("json", null))
         df => {
@@ -353,9 +365,21 @@ object YamlPlaybook {
         }
       case "debug" => df => RowOps.debug(df)
       case "objectValidate" =>
-        sys.error(s"pipeline '$pipe': objectValidate maps to the validation " +
-          "engine (graft.validate) — compile the schema with SchemaLoader and " +
-          "run Violations/Verdicts; the YAML step is not auto-wired")
+        // per-row JSON-Schema validation (object_validate.go:31-87):
+        // rules compile ONCE to Column predicates; pass -> row kept,
+        // fail -> row dropped, exactly the reference's stream behavior.
+        // Violation ROWS (the engine's richer output) remain available
+        // through graft.validate.Violations on the same compiled rules.
+        val schemaDir = resolvePath(str(c("schema")))
+        val title = str(c.getOrElse("title", ""))
+        df => {
+          val classes = graft.rules.SchemaLoader.loadDir(schemaDir)
+          val cls = classes.getOrElse(title,
+            classes.values.find(_.title == title).getOrElse(
+              sys.error(s"pipeline '$pipe': objectValidate class '$title' not found in $schemaDir")))
+          val rules = graft.rules.SchemaLoader.compileRules(cls, df.columns.toSet)
+          rules.map(_.pass).reduceOption(_ && _).fold(df)(df.filter)
+        }
       case "map" | "flatmap" | "reduce" | "plugin" =>
         sys.error(s"pipeline '$pipe': step '$key' is an arbitrary-code surface " +
           "(python/gpython/exec) — declared out of scope; express it as a " +
@@ -373,8 +397,9 @@ object YamlPlaybook {
   }
 
   private def lookupStep(pipe: String, c: Map[String, Any],
-      resolvePath: String => String, subst: String => String,
-      colTemplate: String => Column): DataFrame => DataFrame = {
+      resolvePath: String => String,
+      colTemplate: String => Column,
+      resolvePipeline: (SparkSession, String) => DataFrame): DataFrame => DataFrame = {
     val replace = str(c.getOrElse("replace", ""))
     val copy = asMap(c.getOrElse("copy", null)).map { case (k, v) => k -> str(v) }
     def lookupTable(spark: SparkSession): (DataFrame, String, String) =
@@ -395,8 +420,13 @@ object YamlPlaybook {
         import spark.implicits._
         val rows = asMap(c("table")).toSeq.map { case (k, v) => (k, str(v)) }
         (rows.toDF("key", "value"), "key", "value")
-      } else sys.error(s"pipeline '$pipe': lookup needs tsv/json/table " +
-        "(pipeline lookups compose in the DSL)")
+      } else if (c.contains("pipeline")) {
+        // right side = another pipeline of this playbook — the
+        // reference's hash join between pipelines (lookup_pipeline.go)
+        val t = asMap(c("pipeline"))
+        (resolvePipeline(spark, str(t("from"))),
+          str(t("key")), str(t.getOrElse("value", "")))
+      } else sys.error(s"pipeline '$pipe': lookup needs tsv/json/table/pipeline")
     if (replace.nonEmpty) { df =>
       val (lk, k, v) = lookupTable(df.sparkSession)
       RowOps.lookupReplace(df, lk, replace, k,

@@ -219,6 +219,76 @@ class YamlPlaybookSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq("b", "c"))
   }
 
+  test("lookup via pipeline: hash join between two pipelines of the playbook") {
+    val dir = writeFixture()
+    Files.writeString(dir.resolve("codes.json"),
+      """{"code": "d1", "full": "Engineering"}
+        |{"code": "d2", "full": "Sales"}
+        |""".stripMargin)
+    val yaml =
+      """inputs:
+        |  people:
+        |    json:
+        |      path: people.json
+        |  codes:
+        |    json:
+        |      path: codes.json
+        |pipelines:
+        |  cleanCodes:
+        |    - from: codes
+        |    - filter:
+        |        field: code
+        |        check: hasValue
+        |  xform:
+        |    - from: people
+        |    - lookup:
+        |        replace: dept
+        |        pipeline:
+        |          from: cleanCodes
+        |          key: code
+        |          value: full
+        |outputs: {}
+        |""".stripMargin
+    val rows = YamlPlaybook.load(yaml, dir.toString).playbook
+      .resolve(spark, "xform").select("id", "dept").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows === Map("p1" -> "Engineering", "p2" -> "Sales",
+      "p3" -> "Engineering", "p4" -> "dX"))
+  }
+
+  test("objectValidate: failing rows dropped per the compiled schema class") {
+    val dir = writeFixture()
+    Files.writeString(dir.resolve("schemas/strictperson.yaml"),
+      """$id: strictperson
+        |title: strictperson
+        |required:
+        |  - id
+        |properties:
+        |  id:
+        |    type: string
+        |  dept:
+        |    type: string
+        |    pattern: "^d[0-9]$"
+        |""".stripMargin)
+    val yaml =
+      """inputs:
+        |  people:
+        |    json:
+        |      path: people.json
+        |pipelines:
+        |  ok:
+        |    - from: people
+        |    - objectValidate:
+        |        title: strictperson
+        |        schema: schemas
+        |outputs: {}
+        |""".stripMargin
+    val kept = YamlPlaybook.load(yaml, dir.toString).playbook
+      .resolve(spark, "ok").select("id").collect().map(_.getString(0)).sorted
+    // p4 has dept "dX" failing the ^d[0-9]$ pattern; the rest pass
+    assert(kept.toSeq === Seq("p1", "p2", "p3"))
+  }
+
   test("arbitrary-code steps are rejected with a clear message") {
     val dir = writeFixture()
     val yaml =
