@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  val P: Long = 1000000007L
+  val P: Long = graft.expr.PolyHash.Mod // one canonical modulus everywhere
 
   /** Exact dedup groups: one row per distinct digest with group size and
     * the kept (minimum) id. */
@@ -76,6 +76,11 @@ object Dedup {
     * Returns distinct (id_a < id_b) pairs. */
   def lshCandidatePairs(sigDf: DataFrame, idCol: String,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    // bands > numHashes would make every band slice empty → every doc
+    // in bucket 0 → the full O(n²) self-join the banding exists to
+    // prevent; a non-dividing bands silently drops trailing hashes
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
     val rowsPerBand = numHashes / bands
     val banded = sigDf.select(col(idCol).as("doc"),
       posexplode(expr(
@@ -215,10 +220,8 @@ object Dedup {
       .withColumn("bucket", graft.sim.Ann.srpBucket("v", planes, "tbl"))
       .select("tbl", "bucket", "id")
     val probes = bucketed
-      .withColumn("bucket", explode(expr(
-        s"""concat(array(bucket),
-           |  transform(sequence(0, ${planes - 1}),
-           |            b -> bucket ^ shiftleft(cast(1 as bigint), b)))""".stripMargin)))
+      .withColumn("bucket",
+        explode(graft.sim.Ann.multiprobeFlips(col("bucket"), planes)))
       .select(col("tbl"), col("bucket"), col("id").as("id_a"))
     val cand = probes
       .join(bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b")),
@@ -272,9 +275,11 @@ object Dedup {
     * join + aggregation) plus a POINTER-JUMPING step (label :=
     * label(label) — one self-join), so convergence takes
     * O(log diameter) iterations, not O(diameter): a million-node chain
-    * settles in ~20 rounds. Labels are always node ids within the
-    * component and only ever decrease, so a single sum(label)
-    * aggregate detects the fixpoint (no except/anti-join pass), and
+    * settles in ~20 rounds. The fixpoint check counts rows whose label
+    * changed this round (equi-join old vs new, limit-1 probe) — a
+    * deterministic test that works for ANY ordered id type (string
+    * UUIDs, u64 hashes); the tempting sum(label) shortcut breaks on
+    * string ids and overflows Long under ANSI for large numeric ids.
     * localCheckpoint per iteration keeps plans from growing. */
   def nearDupClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIters: Int = 40): DataFrame = {
@@ -285,11 +290,8 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    if (labels.isEmpty) // empty pair list: no clusters (sum below would be null)
+    if (labels.isEmpty) // empty pair list: no clusters
       return labels.select(col("id"), col("label").as("cluster_id"))
-    def labelSum(): Long =
-      labels.agg(sum("label")).collect()(0).getLong(0)
-    var prevSum = labelSum()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -301,13 +303,15 @@ object Dedup {
       // pointer jump: follow the label one hop (labels are node ids, so
       // label(label) is defined); halves remaining chain depth per round
       val jump = stepped.select(col("id").as("jid"), col("label").as("jlabel"))
-      labels = stepped.join(jump, stepped("label") === jump("jid"), "left")
+      val next = stepped.join(jump, stepped("label") === jump("jid"), "left")
         .select(stepped("id"),
           least(stepped("label"), coalesce(col("jlabel"), stepped("label"))).as("label"))
         .localCheckpoint()
-      val s = labelSum()
-      converged = s == prevSum
-      prevSum = s
+      converged = next.select(col("id"), col("label").as("__new"))
+        .join(labels, Seq("id"))
+        .filter(col("__new") =!= col("label"))
+        .isEmpty
+      labels = next
       i += 1
     }
     require(converged, s"label propagation did not converge in $maxIters iterations")

@@ -75,9 +75,12 @@ case class ColumnProfileAgg(
 
   override def eval(b: Buf): Any = {
     val nonNull = b.n - b.nulls
+    // all-null column: min/max length are NULL (no length observed),
+    // matching Profile.columns' min/max-over-no-rows — 0 would claim an
+    // empty string was seen and trip any cross-check of the two forms
     InternalRow(b.n, b.nulls, estimate(b, nonNull),
-      if (nonNull == 0) 0L else b.minLen,
-      if (nonNull == 0) 0L else b.maxLen)
+      if (nonNull == 0) null else b.minLen,
+      if (nonNull == 0) null else b.maxLen)
   }
 
   private def estimate(b: Buf, nonNull: Long): Long = {

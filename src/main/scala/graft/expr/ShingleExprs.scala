@@ -31,7 +31,7 @@ case class WordShingles(child: Expression) extends UnaryExpression {
 }
 
 object WordShingles {
-  val P: Long = 1000000007L
+  val P: Long = PolyHash.Mod // one canonical modulus for every engine-side hash
 
   /** Tokenize exactly like `split(trim(s), '\\s+')` in Spark SQL (and
     * the DuckDB oracle's TRIM + string_split_regex): SQL trim strips
@@ -110,7 +110,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 }
 
 object MinHashSig {
-  val P: Long = 1000000007L
+  val P: Long = PolyHash.Mod // one canonical modulus for every engine-side hash
   val NumHashes = 16
 
   def sig(sh: ArrayData): ArrayData = {

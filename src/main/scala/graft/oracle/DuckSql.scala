@@ -378,7 +378,7 @@ object DuckSql {
        |  SELECT CAST(FLOOR(LENGTH(content) / ${FileRules.drift.bucketWidth}) AS BIGINT) AS bucket,
        |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
        |    SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS c1
-       |  FROM files_all GROUP BY 1
+       |  FROM files_all WHERE content IS NOT NULL GROUP BY 1
        |), p AS (
        |  SELECT GREATEST(CAST(c0 AS DOUBLE) / SUM(c0) OVER (), CAST(0.000001 AS DOUBLE)) AS p0,
        |         GREATEST(CAST(c1 AS DOUBLE) / SUM(c1) OVER (), CAST(0.000001 AS DOUBLE)) AS p1
@@ -393,7 +393,7 @@ object DuckSql {
       |  SELECT CAST(FLOOR(LENGTH(content) / $bucketWidth) AS BIGINT) AS bucket,
       |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
       |    SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS c1
-      |  FROM files_all GROUP BY 1
+      |  FROM files_all WHERE content IS NOT NULL GROUP BY 1
       |), cdf AS (
       |  SELECT
       |    CAST(SUM(c0) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)

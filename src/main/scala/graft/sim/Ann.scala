@@ -35,22 +35,44 @@ object Ann {
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
+  /** Norm hoisted out of pair scoring: one fold per VECTOR instead of
+    * two extra folds per PAIR (sqrt(dot(v,v)) of the same value —
+    * bit-identical to folding inside [[cosine]], so oracle hashes are
+    * unchanged; [[graft.dedup.Dedup.embeddingNearDups]] does the same). */
+  private def withNorm(df: DataFrame, vec: String, as: String): DataFrame =
+    df.withColumn(as, sqrt(call_function("dotp", col(vec), col(vec))))
+
+  private def pairSim(qv: String, nv: String, qn: String, nn: String): Column =
+    round(call_function("dotp", col(qv), col(nv)) / (col(qn) * col(nn)), 6)
+
   /** Exact top-k neighbors for each query row. `queries` must be small
     * (broadcast); excludes self-matches; deterministic tie-break on
     * neighbor id after rounding to 6dp. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     graft.expr.GraftFunctions.register(corpus.sparkSession)
-    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+    val q = withNorm(queries.select(col(idCol).as("qid"),
+      asDouble(col(vecCol)).as("qv")), "qv", "qn")
+    val c = withNorm(corpus.select(col(idCol).as("nid"),
+      asDouble(col(vecCol)).as("nv")), "nv", "nn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("sim", round(cosine("qv", "nv"), 6))
+      .withColumn("sim", pairSim("qv", "nv", "qn", "nn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("sim"))
   }
+
+  /** A bucket code plus its `planes` 1-bit-flip neighbors — the
+    * multiprobe probe set (Lv et al.). THE single definition of the
+    * probe scheme, shared by [[lshTopK]] and
+    * [[graft.dedup.Dedup.embeddingNearDups]] so the two engines cannot
+    * silently diverge. */
+  def multiprobeFlips(bucket: Column, planes: Int): Column =
+    concat(array(bucket),
+      transform(sequence(lit(0), lit(planes - 1)),
+        b => bucket.bitwiseXOR(call_function("shiftleft", lit(1L), b))))
 
   /** Sign-random-projection bucket id for LSH table `tblCol`: `planes`
     * deterministic pseudo-random Rademacher hyperplanes, one sign bit
@@ -77,18 +99,19 @@ object Ann {
       planes: Int = 8, tables: Int = 4): DataFrame = {
     graft.expr.GraftFunctions.register(corpus.sparkSession)
     val tbl = explode(expr(s"sequence(0, ${tables - 1})")).as("tbl")
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"), tbl)
+    val c = withNorm(corpus.select(col(idCol).as("nid"),
+      asDouble(col(vecCol)).as("nv")), "nv", "nn")
+      .select(col("nid"), col("nv"), col("nn"), tbl)
       .withColumn("bucket", srpBucket("nv", planes, "tbl"))
-    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"), tbl)
+    val q = withNorm(queries.select(col(idCol).as("qid"),
+      asDouble(col(vecCol)).as("qv")), "qv", "qn")
+      .select(col("qid"), col("qv"), col("qn"), tbl)
       .withColumn("bucket", srpBucket("qv", planes, "tbl"))
-      .withColumn("bucket", explode(expr(
-        s"""concat(array(bucket),
-           |  transform(sequence(0, ${planes - 1}),
-           |            b -> bucket ^ shiftleft(cast(1 as bigint), b)))""".stripMargin)))
+      .withColumn("bucket", explode(multiprobeFlips(col("bucket"), planes)))
     val cand = c.join(q, Seq("tbl", "bucket"))
       .filter(col("nid") =!= col("qid"))
       .dropDuplicates("qid", "nid")
-    val scored = cand.withColumn("sim", round(cosine("qv", "nv"), 6))
+    val scored = cand.withColumn("sim", pairSim("qv", "nv", "qn", "nn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -120,22 +120,33 @@ object Referential {
   * approx_count_distinct so the plan needs no Expand at 100 TB.
   */
 object Profile {
+  /** Backtick-quote an identifier / single-quote a string literal for
+    * interpolation into an `expr(...)` string. */
+  private[validate] def bq(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+  private[validate] def sqlStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   def columns(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
-        count(col(c)).as(s"${c}__nn"),
+        count(col(bq(c))).as(s"${c}__nn"),
         // rsd 0.05 (Spark default): rsd 0.01 needs 2^14 HLL registers,
         // which as unsafe-row aggregation-buffer fields per column blows
         // codegen up into multi-MB task binaries that dominate the pass.
-        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c), 0.05))
+        (if (exact) countDistinct(col(bq(c))) else approx_count_distinct(col(bq(c)), 0.05))
           .as(s"${c}__nd"),
-        min(length(col(c))).cast(LongType).as(s"${c}__minl"),
-        max(length(col(c))).cast(LongType).as(s"${c}__maxl"))
+        min(length(col(bq(c)))).cast(LongType).as(s"${c}__minl"),
+        max(length(col(bq(c)))).cast(LongType).as(s"${c}__maxl"))
     }
     val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // identifiers/literals are quoted into the stack expr — a column
+    // named `content-type` or `a.b` must not parse as arithmetic/field
+    // access (lengthQuantiles documents the same hazard)
     val stackArgs = cols.map(c =>
-      s"'$c', ${c}__nn, ${c}__nd, ${c}__minl, ${c}__maxl").mkString(", ")
+      s"${sqlStr(c)}, ${bq(c + "__nn")}, ${bq(c + "__nd")}, " +
+        s"${bq(c + "__minl")}, ${bq(c + "__maxl")}").mkString(", ")
     row.select(col("__n"),
         expr(s"stack(${cols.size}, $stackArgs) as (col_name, nn, nd, minl, maxl)"))
       .select(
@@ -157,9 +168,10 @@ object ProfileSinglePass {
   def columns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     graft.expr.GraftFunctions.register(df.sparkSession)
-    val aggs = cols.map(c => call_function("col_profile", col(c)).as(s"${c}__pr"))
+    val aggs = cols.map(c => call_function("col_profile", col(Profile.bq(c))).as(s"${c}__pr"))
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c => s"'$c', ${c}__pr").mkString(", ")
+    val stackArgs = cols.map(c =>
+      s"${Profile.sqlStr(c)}, ${Profile.bq(c + "__pr")}").mkString(", ")
     row.select(expr(s"stack(${cols.size}, $stackArgs) as (col_name, pr)"))
       .select(col("col_name"), col("pr.n_rows"), col("pr.n_null"),
         col("pr.n_distinct_est"), col("pr.min_len"), col("pr.max_len"))
@@ -179,7 +191,7 @@ object ProfileSinglePass {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
       s"probabilities must be in [0, 1]: $probs")
     val aggs = cols.zipWithIndex.map { case (c, i) =>
-      percentile_approx(length(col(c)), typedlit(probs), lit(10000)).as(s"__q_$i")
+      percentile_approx(length(col(Profile.bq(c))), typedlit(probs), lit(10000)).as(s"__q_$i")
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val nullQs = array(probs.map(_ => lit(null).cast(LongType)): _*)
@@ -204,7 +216,7 @@ object LengthHistogram {
   def compute(df: DataFrame, cols: Seq[String], bucketWidth: Int): DataFrame = {
     val pairs = explode(array(cols.map(c =>
       struct(lit(c).as("col_name"),
-        floor(length(col(c)) / bucketWidth).cast(LongType).as("bucket"))): _*))
+        floor(length(col(Profile.bq(c))) / bucketWidth).cast(LongType).as("bucket"))): _*))
     df.select(pairs.as("p"))
       .select(col("p.col_name"), col("p.bucket"))
       .filter(col("bucket").isNotNull) // null values carry no length
@@ -224,6 +236,10 @@ object DriftCheck {
     val hist = df
       .select(floor(value / bucketWidth).cast(LongType).as("bucket"),
         when(baseline, 1L).otherwise(0L).as("is_base"))
+      // null values carry no bucket (same rule as LengthHistogram) —
+      // a null bucket would sort first and skew the CDF into measuring
+      // null-rate difference instead of distribution drift
+      .filter(col("bucket").isNotNull)
       .groupBy(col("bucket"))
       .agg(sum(col("is_base")).as("c0"), sum(lit(1L) - col("is_base")).as("c1"))
     val cum = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -246,6 +262,7 @@ object DriftCheck {
     val hist = df
       .select(floor(value / bucketWidth).cast(LongType).as("bucket"),
         when(baseline, 1L).otherwise(0L).as("is_base"))
+      .filter(col("bucket").isNotNull) // same null rule as ks
       .groupBy(col("bucket"))
       .agg(sum(col("is_base")).as("c0"), sum(lit(1L) - col("is_base")).as("c1"))
     val all = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -280,7 +297,15 @@ object DriftCheck {
   * broadcast-able left join of the counted violations).
   */
 object Verdicts {
-  def org(repoCol: Column): Column = element_at(split(repoCol, "/"), 1)
+  /** Partition key of a repo. Null repos map to a sentinel partition
+    * rather than SQL NULL: a NULL part silently falls out of the
+    * non-null-safe verdict join (reporting pass=true for exactly the
+    * rows Required("repo") flags) and NPEs the checkpointed runner's
+    * partition loop — the dirtiest rows must still land in a partition
+    * that gets graded. The DuckDB oracle's split_part never sees the
+    * sentinel on the fixture (repo is non-null there); real corpora do. */
+  def org(repoCol: Column): Column =
+    coalesce(element_at(split(repoCol, "/"), 1), lit("__null__"))
 
   def compute(spark: SparkSession, files: DataFrame, rules: Seq[RowRule]): DataFrame = {
     import spark.implicits._

@@ -85,6 +85,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 4L, 5L, 6L, 7L, 9L, 10L, 14L, 15L))
   }
 
+  test("nearDupClusters: string ids cluster on lexicographic min (type-generic fixpoint)") {
+    // the convergence check must not assume numeric labels — this repo
+    // mints string UUID doc ids; min-label propagation is ordered-type
+    // generic and the fixpoint test has to be too
+    val pairs = Seq(("uuid-c", "uuid-a"), ("uuid-a", "uuid-b"), ("zz-1", "zz-2"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("uuid-a" -> "uuid-a", "uuid-b" -> "uuid-a",
+      "uuid-c" -> "uuid-a", "zz-1" -> "zz-1", "zz-2" -> "zz-1"))
+  }
+
+  test("lshCandidatePairs: degenerate banding configs are rejected") {
+    val sig = Dedup.withMinhashSignature(
+      Dedup.withWordShingles(docs.select("doc_id", "text").limit(5), "text"))
+    // bands > numHashes would put EVERY doc in bucket (band, 0) -> O(n^2)
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 16, bands = 32)
+    }
+    intercept[IllegalArgumentException] { // non-dividing silently drops hashes
+      Dedup.lshCandidatePairs(sig, "doc_id", numHashes = 16, bands = 5)
+    }
+  }
+
   test("nearDupClusters: pointer jumping converges a 300-node chain in O(log) rounds") {
     val chain = (1000L until 1299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val got = Dedup.nearDupClusters(chain, maxIters = 12).collect()

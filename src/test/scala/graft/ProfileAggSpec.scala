@@ -35,6 +35,33 @@ class ProfileAggSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"), plan.take(400))
   }
 
+  test("all-null column: both profile forms agree on NULL min/max length") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(1, 2, 3).toDF("i")
+      .select(lit(null).cast("string").as("allnull"))
+    val exact = Profile.columns(df, Seq("allnull")).collect()(0)
+    val fast = ProfileSinglePass.columns(df, Seq("allnull")).collect()(0)
+    // no length was observed — 0 would claim an empty string was seen
+    assert(exact.isNullAt(exact.fieldIndex("min_len")))
+    assert(exact.isNullAt(exact.fieldIndex("max_len")))
+    assert(fast.isNullAt(fast.fieldIndex("min_len")))
+    assert(fast.isNullAt(fast.fieldIndex("max_len")))
+    assert(fast.getAs[Long]("n_null") === 3L)
+  }
+
+  test("hostile column names (dots, dashes, quotes) survive the profile stack expr") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(("x", "yy"), ("zzz", null)).toDF("content-type", "a.b's")
+    val exact = Profile.columns(df, Seq("content-type", "a.b's"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_null")).toMap
+    assert(exact === Map("content-type" -> 0L, "a.b's" -> 1L))
+    val fast = ProfileSinglePass.columns(df, Seq("content-type", "a.b's"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_null")).toMap
+    assert(fast === Map("content-type" -> 0L, "a.b's" -> 1L))
+  }
+
   test("buffer survives serialize/deserialize roundtrip") {
     import graft.expr.ColumnProfileAgg
     val agg = ColumnProfileAgg(org.apache.spark.sql.catalyst.expressions.Literal("x"))
