@@ -67,7 +67,13 @@ object GraphEmit {
           graft.rules.SchemaLoader.hrefColumn(link.href).as("_to"),
           lit(link.rel).as("_label"))
     }.reduceOption(_ unionByName _)
-      .getOrElse(df.sparkSession.emptyDataFrame)
+      // leaf class (no links): an EMPTY edge table with the edge schema,
+      // not emptyDataFrame (zero columns — dropDuplicates("_from") would
+      // throw on a perfectly normal linkless class)
+      .getOrElse(df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "_from STRING, _to STRING, _label STRING")))
       .dropDuplicates("_from", "_to", "_label")
       .withColumn("_id", md5(concat(col("_from"), lit(">"), col("_to"), lit("#"), col("_label"))))
 
@@ -84,7 +90,11 @@ object GraphEmit {
       broadcastVertices: Option[Boolean] = None): DataFrame = {
     val ids = vertices.select(col("_id").as("__vid")).distinct()
     val right = if (broadcastVertices.contains(true)) broadcast(ids) else ids
-    edges.join(right, edges("_to") === col("__vid"), "left_anti")
-      .select("_id", "_from", "_to", "_label")
+    // graphcheck probes BOTH endpoints (graphCheck.go:15-72) — a dangling
+    // _from in externally supplied edge files is just as orphaned
+    def dangling(endpoint: String) =
+      edges.join(right, edges(endpoint) === col("__vid"), "left_anti")
+        .select("_id", "_from", "_to", "_label")
+    dangling("_to").unionAll(dangling("_from")).dropDuplicates("_id")
   }
 }

@@ -55,7 +55,9 @@ object RowOps {
     * try_cast so the behavior is explicit under ANSI mode. */
   def fieldType(df: DataFrame, casts: (String, DataType)*): DataFrame =
     casts.foldLeft(df) { case (d, (f, t)) =>
-      d.withColumn(f, expr(s"try_cast($f as ${t.sql})"))
+      // backtick-quoted: a name like `token-count` must not parse as
+      // arithmetic inside the expr text
+      d.withColumn(f, expr(s"try_cast(`${f.replace("`", "``")}` as ${t.sql})"))
     }
 
   /** `fieldType: list` — promote scalar to single-element array
@@ -154,15 +156,38 @@ object RowOps {
       .agg(sort_array(collect_list(col(gather))).as(s"${gather}s"),
         count(lit(1)).as("n_rows"))
 
+  /** True if `dt` contains a MapType anywhere — such structs are not
+    * orderable, so sort_array over them fails analysis. */
+  private def hasMap(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+    case _ => false
+  }
+
+  /** Deterministically sorted array aggregate: sort_array for orderable
+    * element types; structs containing maps (unorderable) sort on their
+    * JSON rendering instead — a different but still deterministic order,
+    * rather than an AnalysisException. */
+  private def sortedArray(arr: Column, orderable: Boolean): Column =
+    if (orderable) sort_array(arr)
+    else array_sort(arr, (l, r) =>
+      when(to_json(l) < to_json(r), -1)
+        .when(to_json(l) > to_json(r), 1)
+        .otherwise(0))
+
   /** `accumulate:` full-row form — gather each group's complete rows
     * into `{key, dest: [rows]}` exactly like the reference
     * (transform/accumulate.go:18-32), deterministically ordered by the
     * struct's field order (the reference's channel order is
-    * nondeterministic; we strengthen it). */
+    * nondeterministic; we strengthen it). Rows carrying map columns
+    * (unorderable) order by their JSON rendering instead. */
   def accumulateRows(df: DataFrame, key: String, dest: String): DataFrame = {
-    val payload = struct(df.columns.filterNot(_ == key).map(col): _*)
+    val others = df.columns.filterNot(_ == key)
+    val payload = struct(others.map(col): _*)
+    val orderable = !others.exists(c => hasMap(df.schema(c).dataType))
     df.groupBy(col(key))
-      .agg(sort_array(collect_list(payload)).as(dest),
+      .agg(sortedArray(collect_list(payload), orderable).as(dest),
         count(lit(1)).as("n_rows"))
   }
 
@@ -175,8 +200,12 @@ object RowOps {
     // so lookup columns can never collide with (or silently drop)
     // same-named main-table columns
     val srcs = copies.map(_._2)
+    // one row per key: the reference loads the lookup file into a map,
+    // so duplicate keys collapse to one value — without this a dup key
+    // would MULTIPLY matching probe rows through the left join
     val lk = lookup.select(rightKey.as("__lk_key") +:
       srcs.zipWithIndex.map { case (s, i) => lookup(s).as(s"__lk_src_$i") }: _*)
+      .dropDuplicates("__lk_key")
     val joined = df.join(broadcast(lk), leftKey === col("__lk_key"), "left")
     copies.zipWithIndex.foldLeft(joined) { case (d, ((dst, _), i)) =>
       d.withColumn(dst, col(s"__lk_src_$i"))
@@ -189,6 +218,7 @@ object RowOps {
   def lookupReplace(df: DataFrame, lookup: DataFrame, field: String,
       rightKey: String, rightValue: String): DataFrame = {
     val lk = lookup.select(col(rightKey).as("__lk_key"), col(rightValue).as("__lk_val"))
+      .dropDuplicates("__lk_key") // map semantics — see lookupCopy
     df.join(broadcast(lk), df(field) === col("__lk_key"), "left")
       .withColumn(field, coalesce(col("__lk_val"), col(field)))
       .drop("__lk_key", "__lk_val")
@@ -359,8 +389,12 @@ object RowOps {
       "left")
     val refStruct = struct(ref.columns.toIndexedSeq.map(ref2(_)): _*)
     val leftCols = df.columns.toIndexedSeq
+    // refs with map columns (e.g. SqlDump's data map) are unorderable —
+    // exactly the refs intervalAttach auto-routes here, so the gather
+    // must not die on sort_array
+    val orderable = !ref.schema.fields.exists(f => hasMap(f.dataType))
     val aggs = leftCols.map(c => first(withId(c)).as(c)) :+
-      sort_array(collect_list(when(ref(refMatch).isNotNull, refStruct)))
+      sortedArray(collect_list(when(ref(refMatch).isNotNull, refStruct)), orderable)
         .as(attachAs)
     joined.groupBy(col("__row_id"))
       .agg(aggs.head, aggs.tail: _*)

@@ -48,13 +48,19 @@ final case class EnumIn(id: String, column: String, values: Seq[String]) extends
   * fail→null (transform/field_type.go:26-46); as a *check*, a non-null
   * value whose try_cast is null is a violation. */
 final case class TypeIs(id: String, column: String, dt: DataType) extends RowRule {
-  def pass: Column = col(column).isNull || expr(s"try_cast($column as ${dt.sql})").isNotNull
+  def pass: Column = col(column).isNull ||
+    expr(s"try_cast(`${column.replace("`", "``")}` as ${dt.sql})").isNotNull
 }
 
 /** Row invariant: `column == sha256(of)` — the north rule's per-row
   * content-hash equality check. Uses Spark's codegen'd `sha2`. */
 final case class Sha256Invariant(id: String, column: String, of: String) extends RowRule {
-  def pass: Column = col(column).isNotNull && col(column) === sha2(col(of), 256)
+  // `of` null-guard: sha2(null) is null and `x === null` is null, which
+  // Violations' `when(!pass, ...)` silently drops — a row with a hash
+  // but a null source column (exactly the corruption this invariant
+  // exists to catch) would be reported neither pass nor violation
+  def pass: Column =
+    col(column).isNotNull && col(of).isNotNull && col(column) === sha2(col(of), 256)
 }
 
 /** Arbitrary boolean column invariant (escape hatch replacing sifter's

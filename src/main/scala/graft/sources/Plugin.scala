@@ -43,11 +43,17 @@ object Plugin {
   }
 
   /** [[transformRaw]] parsed with an explicit output schema (from_json;
-    * stays one fused pass, no inference job). */
+    * stays one fused pass, no inference job). FAILFAST: a malformed
+    * stdout line fails the task — the default PERMISSIVE mode would
+    * quietly turn a plugin's stray diagnostic line into an all-null row
+    * (the documented contract is that malformed output must not be
+    * silently eaten OR invented). */
   def transform(df: DataFrame, command: Seq[String], outSchema: StructType): DataFrame = {
     import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
     transformRaw(df, command)
-      .select(from_json(col("value"), outSchema).as("r")).select("r.*")
+      .select(from_json(col("value"), outSchema,
+        Map("mode" -> "FAILFAST").asJava).as("r")).select("r.*")
   }
 
   /** Run `command` once (a single task), parse stdout NDJSON rows with
@@ -65,7 +71,8 @@ object Plugin {
     val lines = spark.sparkContext.parallelize(Seq(command), 1)
       .flatMap(cmd => pipeThrough(cmd, Iterator.empty))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    spark.read.json(spark.createDataset(lines))
+    // FAILFAST for the same reason as [[transform]]: no silent null rows
+    spark.read.option("mode", "FAILFAST").json(spark.createDataset(lines))
   }
 
   /** Spawn `command`, feed `in` lines to stdin from a writer thread,

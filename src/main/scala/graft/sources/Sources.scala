@@ -143,11 +143,21 @@ object Sources {
   /** Duplicate header names deduped as name, name_1, name_2...
     * (tabular_load.go:37-49 buildUniqueArray). */
   def dedupHeader(names: Seq[String]): Seq[String] = {
+    // generated names must be checked against everything taken so far:
+    // header [a, a_1, a] would otherwise suffix the second `a` to the
+    // already-present a_1 and emit a duplicate column after all
+    val taken = scala.collection.mutable.Set.empty[String]
     val seen = scala.collection.mutable.Map.empty[String, Int]
     names.map { n =>
-      val k = seen.getOrElse(n, 0)
+      var k = seen.getOrElse(n, 0)
+      var candidate = if (k == 0) n else s"${n}_$k"
+      while (taken(candidate)) {
+        k += 1
+        candidate = s"${n}_$k"
+      }
       seen(n) = k + 1
-      if (k == 0) n else s"${n}_$k"
+      taken += candidate
+      candidate
     }
   }
 
@@ -203,16 +213,36 @@ object Sources {
 
   /** Glob of files through an inner reader, with the source filename /
     * filepath stored per row — glob_load.go:14-98 (parallelism is
-    * Spark's splits rather than the reference's 4 goroutines). */
+    * Spark's splits rather than the reference's 4 goroutines).
+    *
+    * When a filename/filepath column is requested, the glob is expanded
+    * HERE and the inner reader runs once per file with the name as a
+    * literal column: `input_file_name()` only works for file-source
+    * scans, and table/avro/xml build rows via parallelize — it would
+    * silently store "" for every row. Per-file runs also match the
+    * reference's per-file inner-loader semantics exactly. Without the
+    * stored columns the pattern goes straight to the inner reader (one
+    * multi-file scan). */
   def glob(spark: SparkSession, pattern: String,
       inner: (SparkSession, String) => DataFrame,
       storeFilename: Option[String] = None,
       storeFilepath: Option[String] = None): DataFrame = {
-    val df = inner(spark, pattern)
-    val withName = storeFilename.fold(df)(c =>
-      df.withColumn(c, element_at(split(input_file_name(), "/"), -1)))
-    storeFilepath.fold(withName)(c =>
-      withName.withColumn(c, input_file_name()))
+    if (storeFilename.isEmpty && storeFilepath.isEmpty) inner(spark, pattern)
+    else {
+      import org.apache.hadoop.fs.{Path => HPath}
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val fs = new HPath(pattern).getFileSystem(hconf)
+      val files = (fs.globStatus(new HPath(pattern)) match {
+        case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+        case st => st
+      }).map(_.getPath).sortBy(_.toString).toIndexedSeq
+      require(files.nonEmpty, s"glob source '$pattern': no files match")
+      files.map { p =>
+        val df = inner(spark, p.toString)
+        val withName = storeFilename.fold(df)(c => df.withColumn(c, lit(p.getName)))
+        storeFilepath.fold(withName)(c => withName.withColumn(c, lit(p.toString)))
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** gripql-style graph file loaders (graph_file_reader.go:15-84):

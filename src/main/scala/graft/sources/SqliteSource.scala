@@ -240,8 +240,16 @@ object SqliteSource {
       val m = masterRows.find(r => r._1 == "table" && r._2 == name)
         .getOrElse(sys.error(s"table '$name' not found in sqlite file"))
       // \b guard: `x MYINTEGER PRIMARY KEY` must not match (the alias
-      // requires the declared type be exactly INTEGER)
-      val ipkRx = "(?is)\\bINTEGER\\s+PRIMARY\\s+KEY".r
+      // requires the declared type be exactly INTEGER). The (?!\s+DESC)
+      // guard encodes the documented SQLite quirk: inline `INTEGER
+      // PRIMARY KEY DESC` does NOT alias the rowid (real values are
+      // stored; verified against a sqlite3-written fixture) — while the
+      // table-level `PRIMARY KEY(x DESC)` form DOES.
+      val ipkRx = "(?is)\\bINTEGER\\s+PRIMARY\\s+KEY(?!\\s+DESC\\b)".r
+      // strip quoted literals so a DEFAULT 'INTEGER PRIMARY KEY' string
+      // cannot falsely mark its column as the alias
+      def stripQuoted(s: String): String =
+        s.replaceAll("'[^']*'", "''").replaceAll("\"[^\"]*\"", "\"\"")
       // COLUMN defs only (constraint clauses like `PRIMARY KEY (id)`
       // are not columns and don't count toward indices)
       val open = m._4.indexOf('(')
@@ -273,7 +281,7 @@ object SqliteSource {
         val toks = colDefs(colIdx).split("\\s+")
         toks.length >= 2 && toks(1).equalsIgnoreCase("INTEGER")
       }
-      val inlineIpk = colDefs.indexWhere(d => ipkRx.findFirstIn(d).isDefined)
+      val inlineIpk = colDefs.indexWhere(d => ipkRx.findFirstIn(stripQuoted(d)).isDefined)
       val pkConstraintRx = "(?is)PRIMARY\\s+KEY\\s*\\(([^)]*)\\)".r
       val ipk =
         if (inlineIpk >= 0) inlineIpk

@@ -8,26 +8,31 @@ import org.apache.spark.sql.functions._
   * fingerprinting. All pure Column expressions (whole-stage codegen,
   * no UDFs) with deterministic arithmetic so results are reproducible
   * across engines and cluster sizes. Operators take the *column name*
-  * (they build SQL lambda expressions, which need a resolvable name).
+  * (they build SQL lambda expressions, which need a resolvable name);
+  * the name is backtick-quoted into the expression text so dotted or
+  * hyphenated column names cannot parse as field access / arithmetic.
   */
 object TextOps {
 
+  /** Backtick-quoted identifier for interpolation into expr() text. */
+  private def bq(name: String): String = "`" + name.replace("`", "``") + "`"
+
   /** Whitespace token count. */
   def wsTokenCount(c: String): Column =
-    when(length(trim(col(c))) === 0, lit(0L))
-      .otherwise(size(split(trim(col(c)), "\\s+")).cast("long"))
+    when(length(trim(col(bq(c)))) === 0, lit(0L))
+      .otherwise(size(split(trim(col(bq(c))), "\\s+")).cast("long"))
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric glyphs — the pre-tokenizer shape most BPE vocab
     * builders use. */
   def bpeTokenCount(c: String): Column =
-    expr(s"regexp_count($c, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]')").cast("long")
+    expr(s"regexp_count(${bq(c)}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]')").cast("long")
 
   /** Marker-word language heuristic: first language whose markers score
     * ≥2 hits wins, else 'und'. Deterministic, one pass of regexp counts;
     * a real n-gram model plugs in behind the same Column signature. */
   def langGuess(c: String): Column = {
-    def hits(rx: String): Column = expr(s"regexp_count($c, '$rx')")
+    def hits(rx: String): Column = expr(s"regexp_count(${bq(c)}, '$rx')")
     when(hits("\\\\b(the|and|of)\\\\b") >= 2, lit("en"))
       .when(hits("\\\\b(le|la|et)\\\\b") >= 2, lit("fr"))
       .when(hits("\\\\b(der|und|die)\\\\b") >= 2, lit("de"))
@@ -40,9 +45,9 @@ object TextOps {
     * arithmetic on deterministic operands; round(6) for stable
     * cross-engine comparison. */
   def qualityScore(c: String): Column = {
-    val len = length(col(c)).cast("double")
-    val punct = expr(s"regexp_count($c, '[^A-Za-z0-9\\\\s]')").cast("double")
-    val stop = expr(s"regexp_count($c, '\\\\b(the|and|of|a|to)\\\\b')").cast("double")
+    val len = length(col(bq(c))).cast("double")
+    val punct = expr(s"regexp_count(${bq(c)}, '[^A-Za-z0-9\\\\s]')").cast("double")
+    val stop = expr(s"regexp_count(${bq(c)}, '\\\\b(the|and|of|a|to)\\\\b')").cast("double")
     val lenScore = when(len >= 100 && len <= 10000, lit(1.0))
       .when(len < 100, len / 100.0)
       .otherwise(lit(10000.0) / len)
@@ -55,9 +60,9 @@ object TextOps {
     * fold(acc * 131 + ascii(char)) mod 1e9+7 — deterministic integer
     * arithmetic, identical in any engine that can fold a list. */
   def fingerprint(c: String, n: Int = 64): Column =
-    when(length(col(c)) === 0, lit(0L)).otherwise(expr(
+    when(length(col(bq(c))) === 0, lit(0L)).otherwise(expr(
       s"""aggregate(
-         |  transform(sequence(1, least(length($c), $n)),
-         |            i -> ascii(substring($c, i, 1))),
+         |  transform(sequence(1, least(length(${bq(c)}), $n)),
+         |            i -> ascii(substring(${bq(c)}, i, 1))),
          |  0L, (acc, x) -> (acc * 131 + x) % 1000000007)""".stripMargin))
 }

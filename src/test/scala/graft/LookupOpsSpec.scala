@@ -31,6 +31,15 @@ class LookupOpsSpec extends AnyFunSuite {
     assert(out(1L).toMap === Map("A" -> "1", "z" -> "2"))
   }
 
+  test("lookup with duplicate keys never multiplies probe rows (map semantics)") {
+    val dupLk = Seq(("a", "A1"), ("a", "A2"), ("b", "B")).toDF("k", "v")
+    val main = Seq((1L, "a"), (2L, "a"), (3L, "z")).toDF("id", "f")
+    val replaced = RowOps.lookupReplace(main, dupLk, "f", "k", "v")
+    assert(replaced.count() === 3) // the reference's map collapses dups
+    val copied = RowOps.lookupCopy(main, dupLk, col("f"), col("k"), "cv" -> "v")
+    assert(copied.count() === 3)
+  }
+
   test("intervalAttach: all overlaps attached sorted, miss -> empty array, dup rows kept") {
     val ref = Seq(("c1", 0.0, 10.0, "r1"), ("c1", 5.0, 20.0, "r2"),
       ("c2", 0.0, 100.0, "r3")).toDF("rm", "rs", "re", "rname")

@@ -28,6 +28,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       edges.join(verts.select(col("_id").as("_to")), Seq("_to"), "left_semi").count())
   }
 
+  test("graph: orphanEdges catches dangling _from endpoints too (graphcheck both probes)") {
+    val verts = Seq(("v1", "T"), ("v2", "T")).toDF("_id", "_label")
+    val edges = Seq(
+      ("e1", "v1", "v2", "ok"),      // both resolve
+      ("e2", "v1", "vX", "to_gone"), // dangling _to
+      ("e3", "vY", "v2", "from_gone") // dangling _from
+    ).toDF("_id", "_from", "_to", "_label")
+    val got = GraphEmit.orphanEdges(edges, verts)
+      .select("_id").collect().map(_.getString(0)).sorted
+    assert(got.toSeq === Seq("e2", "e3"))
+  }
+
+  test("graph: schemaEdges of a linkless class is an empty edge table, not a crash") {
+    val cls = graft.rules.SchemaLoader.SchemaClass(
+      id = "leaf", title = "leaf", required = Seq("id"),
+      properties = Map.empty, links = Seq.empty)
+    val df = Seq(("a", "x")).toDF("id", "v")
+    val edges = GraphEmit.schemaEdges(df, cls)
+    assert(edges.count() === 0)
+    assert(edges.columns.toSet === Set("_id", "_from", "_to", "_label"))
+  }
+
   test("graph: vertex ids are unique after dedup") {
     val v = GraphEmit.vertices(files, manifest)
     assert(v.count() === v.select("_id").distinct().count())

@@ -88,7 +88,11 @@ class SchemaLoaderSpec extends AnyFunSuite {
     assert(edges.count() === 3)
     assert(edges.filter(col("_to") === "repo/r1").count() === 2)
     val repoCls = SchemaLoader.loadClassYaml("$id: repo\ntitle: Repo\n")
+    // graphcheck probes BOTH endpoints, so the vertex set must be the
+    // union of all classes — file vertices included, or every _from
+    // would (correctly) count as dangling
     val verts = GraphEmit.schemaVertices(repos, repoCls)
+      .unionByName(GraphEmit.schemaVertices(files.select("id"), cls))
     val orphans = GraphEmit.orphanEdges(edges, verts)
     assert(orphans.collect().map(_.getAs[String]("_to")).toSeq === Seq("repo/rMISSING"))
   }

@@ -181,6 +181,28 @@ class SourcesSpec extends AnyFunSuite {
         "ever passes, the per-partition contract was silently changed")
   }
 
+  test("table: header dedup survives pre-existing name_N collisions") {
+    assert(graft.sources.Sources.dedupHeader(Seq("a", "a_1", "a")) ===
+      Seq("a", "a_1", "a_2"))
+    assert(graft.sources.Sources.dedupHeader(Seq("a", "a", "a_1", "a")) ===
+      Seq("a", "a_1", "a_1_1", "a_2"))
+    // every output name unique, always
+    val out = graft.sources.Sources.dedupHeader(Seq("x", "x", "x_1", "x_1", "x"))
+    assert(out.distinct.size === out.size)
+  }
+
+  test("plugin transform: malformed stdout line FAILS the task (no silent null rows)") {
+    import org.apache.spark.sql.types._
+    val df = spark.range(3).toDF("id").repartition(1)
+    // sed injects a non-JSON diagnostic line amid valid output
+    val ex = intercept[Exception] {
+      graft.sources.Plugin.transform(df,
+        Seq("/bin/sh", "-c", "cat; echo 'WARN: not json'"),
+        StructType(Seq(StructField("id", LongType)))).collect()
+    }
+    assert(ex != null)
+  }
+
   test("plugin transform: downstream closing stdin early (head) is NOT a failure") {
     // `head -3` exits 0 after 3 lines and breaks the pipe mid-feed; the
     // broken-pipe IOException must not be conflated with an upstream
@@ -199,6 +221,13 @@ class SourcesSpec extends AnyFunSuite {
     // INT + table-level PK: NOT an alias — real stored values must
     // survive (an affinity-based check would corrupt them into 1,2)
     assert(rows("tbl_int").toSeq === Seq(("100", "a"), ("200", "b")))
+    // inline INTEGER PRIMARY KEY DESC: the documented quirk — NOT an
+    // alias; real values stored (rowids here are 1,2)
+    assert(rows("tbl_desc").toSeq === Seq(("100", "a"), ("200", "b")))
+    // the alias phrase inside a DEFAULT string literal must not trigger
+    val defstr = graft.sources.SqliteSource.table(spark, p, "tbl_defstr")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(defstr.toSeq === Seq(("hi", "7")))
   }
 
   test("sqlite: multi-page b-tree, overflow chain, NULLs, IPK rowid alias") {

@@ -198,6 +198,22 @@ class RowOpsSpec extends AnyFunSuite {
     assert(edges === Map("x" -> "true", "a" -> "1", "y" -> "true"))
   }
 
+  test("sha256 invariant: hash present but source null is a VIOLATION, not a silent skip") {
+    import graft.validate.Violations
+    val df = Seq(
+      ("r/x", "p", "c", sha256hex("body"), "body"), // pass
+      ("r/y", "p", "c", sha256hex("body"), null)    // hash present, source null
+    ).toDF("repo", "path", "commit", "content_sha256", "content")
+    val rule = graft.rules.Sha256Invariant("sha", "content_sha256", "content")
+    val v = Violations.extract(df, Seq(rule), keyCols = Seq("repo"))
+      .select("repo").collect().map(_.getString(0))
+    assert(v.toSeq === Seq("r/y"))
+  }
+
+  private def sha256hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("clean storeExtra: dropped columns gathered into a string map (clean.go:40-47)") {
     val df = Seq((1L, "keep", "x1", 9.5)).toDF("id", "name", "extra1", "extra2")
     val out = RowOps.clean(df, Seq("id", "name"), storeExtra = Some("rest"))
