@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// the sandbox locale is POSIX/C, which makes sun.jnu.encoding ANSI_X3.4
+// and the JVM unable to CREATE non-ASCII file paths (IceLite partition
+// dirs for unicode part names); jnu encoding follows the process locale,
+// not -D flags, so set it for the forked test/run JVMs
+Test / envVars += "LANG" -> "C.utf8"
+run / envVars += "LANG" -> "C.utf8"

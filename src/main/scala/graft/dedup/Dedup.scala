@@ -275,11 +275,13 @@ object Dedup {
     * join + aggregation) plus a POINTER-JUMPING step (label :=
     * label(label) — one self-join), so convergence takes
     * O(log diameter) iterations, not O(diameter): a million-node chain
-    * settles in ~20 rounds. The fixpoint check counts rows whose label
-    * changed this round (equi-join old vs new, limit-1 probe) — a
-    * deterministic test that works for ANY ordered id type (string
-    * UUIDs, u64 hashes); the tempting sum(label) shortcut breaks on
-    * string ids and overflows Long under ANSI for large numeric ids.
+    * settles in ~20 rounds. The fixpoint check probes for rows whose
+    * label changed this round — the OLD label is threaded through the
+    * round's joins as an extra column, so detection is a filter over
+    * the already-checkpointed result (one action, no extra join). It
+    * is deterministic and works for ANY ordered id type (string UUIDs,
+    * u64 hashes); the tempting sum(label) shortcut breaks on string
+    * ids and overflows Long under ANSI for large numeric ids.
     * localCheckpoint per iteration keeps plans from growing. */
   def nearDupClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIters: Int = 40): DataFrame = {
@@ -298,20 +300,17 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("label").as("nbr_label"))
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jump: follow the label one hop (labels are node ids, so
       // label(label) is defined); halves remaining chain depth per round
       val jump = stepped.select(col("id").as("jid"), col("label").as("jlabel"))
       val next = stepped.join(jump, stepped("label") === jump("jid"), "left")
-        .select(stepped("id"),
+        .select(stepped("id"), col("__old"),
           least(stepped("label"), coalesce(col("jlabel"), stepped("label"))).as("label"))
         .localCheckpoint()
-      converged = next.select(col("id"), col("label").as("__new"))
-        .join(labels, Seq("id"))
-        .filter(col("__new") =!= col("label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("__old")).isEmpty
+      labels = next.select(col("id"), col("label"))
       i += 1
     }
     require(converged, s"label propagation did not converge in $maxIters iterations")

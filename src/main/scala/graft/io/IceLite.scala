@@ -46,20 +46,35 @@ class IceLite(val root: String) {
     * segment of arbitrary repos), so anything used as a path component
     * is percent-encoded, and anything written into manifest/lineage
     * JSON goes through a real JSON renderer — a quote or bracket in a
-    * part name must not corrupt the manifest or escape the layout. */
-  // %20 (not URLEncoder's '+') so Hive-style partition discovery
-  // unescapes part= dir values back to the raw name. URLEncoder leaves
-  // '*' and '.' alone, but spark.read.parquet treats '*?{}[]' as glob
-  // metacharacters — a part name containing them would otherwise match
-  // arbitrary sibling directories at read time, so they are
-  // percent-encoded too (Hive unescaping is plain %XX, so this stays
-  // round-trippable).
-  private def enc(s: String): String = {
-    val globChars = Set('*', '?', '{', '}', '[', ']')
-    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
-      .flatMap(c => if (globChars(c)) f"%%${c.toInt}%02X" else c.toString)
+    * part name must not corrupt the manifest or escape the layout.
+    *
+    * Encoding contract: PER-CHAR %XX escapes over exactly the
+    * characters Spark/Hive's `unescapePathName` understands (which
+    * decodes each %XX to a single char — NOT UTF-8 byte sequences, so
+    * URLEncoder-style byte encoding comes back as mojibake in the
+    * restored `part` column). ASCII specials — path separators, glob
+    * metacharacters ('*?{}[]'), '%', '=', '+', quotes, control chars —
+    * are escaped; all other characters (including non-ASCII) stay raw,
+    * matching what Spark's own escapePathName produces. [[dec]] is the
+    * exact inverse (plain %XX; never URLDecoder, whose '+'→space rule
+    * would corrupt names containing '+'). */
+  private val escapeChars: Set[Char] = "\"#%'*/:=?\\{}[]^+".toSet
+  private def enc(s: String): String = s.flatMap { c =>
+    if (c < 0x20 || c == 0x7F.toChar || escapeChars(c)) f"%%${c.toInt}%02X"
+    else c.toString
   }
-  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+  private def dec(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        out += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
+        i += 3
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
 
   Files.createDirectories(p("snapshots"))
 
@@ -135,10 +150,23 @@ class IceLite(val root: String) {
   /** Read a table of a committed snapshot across all its partitions. */
   def readTable(spark: SparkSession, snap: Long, table: String): DataFrame = {
     val dirs = snapshotParts(snap).map(partDataDir(snap, table, _))
+    // an empty input commits a VALID snapshot with zero partitions;
+    // spark.read.parquet() with no paths throws UNABLE_TO_INFER_SCHEMA,
+    // so surface the actual situation instead
+    require(dirs.nonEmpty,
+      s"snapshot $snap of '$table' has no partitions (empty input run); " +
+        "nothing to read")
     // basePath must be the ENCODED table dir (an ancestor of the data
-    // paths partDataDir wrote), or encoded table names become unreadable
-    spark.read.option("basePath", p("data", s"snap=$snap", enc(table)).toString)
+    // paths partDataDir wrote), or encoded table names become unreadable.
+    // Partition type inference is disabled for the read: part names are
+    // NAMES — an all-numeric repo org would otherwise come back as an
+    // IntegerType column (and "0100" as 100).
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    try spark.read.option("basePath", p("data", s"snap=$snap", enc(table)).toString)
       .parquet(dirs: _*)
+    finally prev.fold(spark.conf.unset(inferKey))(spark.conf.set(inferKey, _))
   }
 
   /** Lineage across all snapshots as a DataFrame (metrics/audit table). */

@@ -36,7 +36,10 @@ object FileRow {
 /** A typed violation row. The reference only *logs* validation errors
   * (transform/object_validate.go:78-80); we strengthen that to a typed,
   * exactly-comparable output table per the north rule's
-  * "violation-row exactness".
+  * "violation-row exactness". These row types are encoder-enforced
+  * against the engine's actual outputs in ValidationSpec
+  * ("model row types bind to the engine outputs") — they cannot
+  * silently drift from the DataFrames they describe.
   */
 case class Violation(
     rule_id: String,
@@ -58,11 +61,12 @@ case class Verdict(
 /** Single-pass per-column profile (null stats, cardinality, lengths).
   * Mirrors what sifter surfaces only as counters at Close()
   * (transform/object_validate.go:86) as a real metrics table.
+  * min/max length are None for an all-null column (no length observed).
   */
 case class ColumnProfile(
-    column: String,
+    col_name: String,
     n_rows: Long,
     n_null: Long,
     n_distinct: Long,
-    min_len: Long,
-    max_len: Long)
+    min_len: Option[Long],
+    max_len: Option[Long])

@@ -21,7 +21,11 @@ object DuckSql {
         s"$c IS NOT NULL AND NOT regexp_matches($c, '${rx.replace("'", "''")}')"
       case EnumIn(_, _, vs) =>
         s"$c IS NOT NULL AND $c NOT IN (${vs.map(v => s"'$v'").mkString(", ")})"
-      case Sha256Invariant(_, _, of) => s"($c IS NULL OR $c <> sha256(${q(of)}))"
+      // of IS NULL arm mirrors Rules.Sha256Invariant's null-source guard:
+      // in SQL, c <> sha256(NULL) is NULL and the row would silently
+      // drop from the violation set the Spark side reports
+      case Sha256Invariant(_, _, of) =>
+        s"($c IS NULL OR ${q(of)} IS NULL OR $c <> sha256(${q(of)}))"
       case TypeIs(_, _, dt) =>
         s"$c IS NOT NULL AND TRY_CAST($c AS ${dt.sql}) IS NULL"
       case Check(id, _, _) =>
@@ -186,29 +190,24 @@ object DuckSql {
 
   def dMinhashPairs: String = minhashCtes + "\n" + minhashPairsSelect
 
-  def dJaccardVerify: String = minhashCtes +
-    s""", pairs AS (
-       |$minhashPairsSelect
-       |)
-       |SELECT p.id_a, p.id_b,
-       |  ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-       |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) AS jaccard
-       |FROM pairs p
-       |JOIN sh a ON a.doc_id = p.id_a
-       |JOIN sh b ON b.doc_id = p.id_b
-       |WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-       |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) >= 0.8""".stripMargin
+  def dJaccardVerify: String =
+    minhashCtes + jaccardPairsCte + "\nSELECT id_a, id_b, jaccard FROM jp"
 
-  /** Jaccard-verified pair CTEs (cand + jp) appended to [[minhashCtes]]. */
+  /** Jaccard-verified pair CTEs (cand + jp, jp carrying the rounded
+    * jaccard) appended to [[minhashCtes]] — the ONE place the pairing
+    * predicate and threshold live. */
   private def jaccardPairsCte: String =
     s""", cand AS (
        |$minhashPairsSelect
        |), jp AS (
-       |  SELECT p.id_a, p.id_b FROM cand p
-       |  JOIN sh a ON a.doc_id = p.id_a
-       |  JOIN sh b ON b.doc_id = p.id_b
-       |  WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-       |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) >= 0.8
+       |  SELECT id_a, id_b, jaccard FROM (
+       |    SELECT p.id_a, p.id_b,
+       |      ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) AS jaccard
+       |    FROM cand p
+       |    JOIN sh a ON a.doc_id = p.id_a
+       |    JOIN sh b ON b.doc_id = p.id_b
+       |  ) WHERE jaccard >= 0.8
        |)""".stripMargin
 
   /** Connected components over the verified pairs via a recursive CTE:

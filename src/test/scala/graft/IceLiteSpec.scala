@@ -38,7 +38,11 @@ class IceLiteSpec extends AnyFunSuite {
     import spark.implicits._
     val root = freshRoot()
     val ice = new IceLite(root)
-    val nasty = Seq("""org"x""", "a,b", "c]d[e", "sl/ash", "sp ace")
+    // orgé: non-ASCII must survive Spark's per-CHAR %XX unescaping
+    // (UTF-8 byte encoding comes back as mojibake); a+b: URLDecoder
+    // would turn a raw '+' into a space on read-back
+    val nasty = Seq("""org"x""", "a,b", "c]d[e", "sl/ash", "sp ace",
+      "orgé", "a+b", "100")
     val snap = ice.nextSnapshotId
     nasty.foreach { part =>
       ice.commitPartition(snap, part, 1L,

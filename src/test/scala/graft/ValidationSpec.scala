@@ -198,6 +198,20 @@ class RowOpsSpec extends AnyFunSuite {
     assert(edges === Map("x" -> "true", "a" -> "1", "y" -> "true"))
   }
 
+  test("model row types bind to the engine outputs (encoder-enforced schemas)") {
+    import graft.model.{ColumnProfile, Verdict, Violation}
+    import graft.synth.FilesTable
+    import graft.validate.{Profile, Verdicts, Violations}
+    val files = FilesTable.files(spark, TestSpark.sf)
+    // .as[...] fails at analysis if a field name or type drifts
+    val v = Violations.extract(files, graft.rules.FileRules.rowRules).as[Violation]
+    assert(v.head().rule_id.nonEmpty)
+    val g = Verdicts.compute(spark, files, graft.rules.FileRules.rowRules).as[Verdict]
+    assert(g.count() > 0)
+    val pr = Profile.columns(files, Seq("repo", "lang")).as[ColumnProfile]
+    assert(pr.collect().forall(_.n_rows > 0))
+  }
+
   test("sha256 invariant: hash present but source null is a VIOLATION, not a silent skip") {
     import graft.validate.Violations
     val df = Seq(
