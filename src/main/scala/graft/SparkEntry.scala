@@ -130,6 +130,47 @@ object SparkEntry {
         "sha256_hex", col("text"), "sha256")
         .select("doc_id", "md5_hex", "sha256_hex")
     }),
+    // ---- PyLite code blocks: the reference's map/filter/flatmap/reduce
+    // gpython surface (mapping.go:52-57, filter.go:30-47,
+    // flat_map.go:51-66, reduce.go:54-80) on the from-scratch
+    // interpreter, oracle-checked against equivalent SQL ----
+    "q_map_py" -> ((s, d) =>
+      graft.pylite.PyOps.mapPy(
+        t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+        """def enrich(x):
+          |  x["lang_up"] = x["lang"].upper()
+          |  x["chars2"] = x["n_chars"] * 2 + 1
+          |  x["bucket"] = "long" if x["n_chars"] > 500 else "short"
+          |  return x
+          |""".stripMargin, "enrich")),
+    "q_filter_py" -> ((s, d) =>
+      graft.pylite.PyOps.filterPy(
+        t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+        """def keep(row):
+          |  return row["lang"] == "en" and row["n_chars"] % 3 != 0
+          |""".stripMargin, "keep")),
+    "q_flatmap_py" -> ((s, d) =>
+      graft.pylite.PyOps.flatMapPy(
+        t(s, d, "documents").select("doc_id", "text"),
+        """def toks(row):
+          |  out = []
+          |  ws = row["text"].split()
+          |  n = min(3, len(ws))
+          |  for i in range(n):
+          |    out.append({"doc_id": row["doc_id"], "pos": i, "tok": ws[i]})
+          |  return out
+          |""".stripMargin, "toks")),
+    "q_reduce_py" -> ((s, d) =>
+      graft.pylite.PyOps.reducePy(
+        t(s, d, "documents").select("lang", "n_chars"),
+        "lang",
+        """def merge(x, y):
+          |  y["lang"] = x["lang"]
+          |  y["n"] = y["n"] + 1
+          |  y["chars"] = y["chars"] + x["n_chars"]
+          |  return y
+          |""".stripMargin, "merge",
+        initJson = Some("""{"n": 0, "chars": 0}"""))),
     "q_lookup_copy" -> ((s, d) =>
       RowOps.lookupCopy(t(s, d, "nation"), t(s, d, "region"),
         col("n_regionkey"), col("r_regionkey"), "region_name" -> "r_name")
@@ -381,6 +422,22 @@ object SparkEntry {
       "SELECT doc_id, substr(regexp_replace(text, 'data', 'DATA', 'g'), 1, 80) AS head FROM documents",
     "q_hash" ->
       "SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex FROM documents",
+    "q_map_py" ->
+      """SELECT doc_id, lang, n_chars, upper(lang) AS lang_up,
+        |n_chars * 2 + 1 AS chars2,
+        |CASE WHEN n_chars > 500 THEN 'long' ELSE 'short' END AS bucket
+        |FROM documents""".stripMargin,
+    "q_filter_py" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars % 3 <> 0",
+    "q_flatmap_py" ->
+      // python str.split() == whitespace-run split of the trimmed text
+      """WITH s AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\r\n]+') AS a
+        |           FROM documents)
+        |SELECT doc_id, u.i - 1 AS pos, a[u.i] AS tok
+        |FROM s, unnest(range(1, least(3, len(a)) + 1)) AS u(i)""".stripMargin,
+    "q_reduce_py" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang""".stripMargin,
     "q_lookup_copy" ->
       """SELECT n_nationkey, n_name, n_regionkey, r_name AS region_name
         |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,

@@ -23,10 +23,14 @@ import graft.sources.{Sources, SqlDump, SqliteSource, XmlSource}
   * (the handlebars row context, evaluate/template.go) — a mixed string
   * compiles to a codegen'd `concat` of literals and columns.
   *
-  * Arbitrary-code surfaces (map/flatmap/reduce python|gpython, plugin)
-  * are rejected with a clear error: they are declared out of scope
-  * (VERDICT §2.7); everything else either loads or names the step it
-  * cannot express.
+  * Python code blocks (`map`/`flatmap`/`reduce`/`filter` with
+  * `gpython:` inline code or a `$ref:` file, playbook/refs/
+  * code_block.go:16-45) run on the from-scratch PyLite interpreter
+  * ([[graft.pylite.PyOps]]) — compiled once at load time, interpreted
+  * per partition. The `python:` engine key (CPython over gRPC/docker,
+  * evaluate/python.go) remains out of scope: it is an external-service
+  * bridge; `gpython:` is the embedded engine the reference's own test
+  * playbooks use, and that is what PyLite replaces.
   */
 object YamlPlaybook {
 
@@ -265,10 +269,14 @@ object YamlPlaybook {
         val renames = asMap(c.getOrElse("rename", null)).toSeq
           .map { case (from, to) => from -> str(to) }
         df => RowOps.rename(RowOps.project(df, mapping: _*), renames: _*)
+      case "filter" if c.contains("gpython") || c.contains("python") =>
+        // python-predicate form (filter.go:30-47): EvaluateBool per row
+        val code = codeBlock(pipe, "filter", c, resolvePath)
+        val method = str(c.getOrElse("method", ""))
+        require(method.nonEmpty, s"pipeline '$pipe': filter gpython needs method:")
+        df => graft.pylite.PyOps.filterPy(df, code, method)
       case "filter" =>
         val check = str(c.getOrElse("check", ""))
-        val method = str(c.getOrElse("method", "")) + str(c.getOrElse("python", ""))
-        require(method.isEmpty, s"pipeline '$pipe': filter python/gpython is out of scope")
         df => {
           val f = col(field)
           val pred = check match {
@@ -380,13 +388,53 @@ object YamlPlaybook {
           val rules = graft.rules.SchemaLoader.compileRules(cls, df.columns.toSet)
           rules.map(_.pass).reduceOption(_ && _).fold(df)(df.filter)
         }
-      case "map" | "flatmap" | "reduce" | "plugin" =>
-        sys.error(s"pipeline '$pipe': step '$key' is an arbitrary-code surface " +
-          "(python/gpython/exec) — declared out of scope; express it as a " +
-          "Playbook DSL step in Scala instead")
+      case "map" =>
+        val code = codeBlock(pipe, "map", c, resolvePath)
+        val method = str(c.getOrElse("method", ""))
+        require(method.nonEmpty, s"pipeline '$pipe': map needs method:")
+        df => graft.pylite.PyOps.mapPy(df, code, method)
+      case "flatmap" | "flatMap" =>
+        // Go's json unmarshal matches field names case-insensitively, so
+        // reference playbooks spell this both ways (interface.go:71 tag
+        // is `flatmap`; test/examples/code-ref uses `flatMap`)
+        val code = codeBlock(pipe, "flatMap", c, resolvePath)
+        val method = str(c.getOrElse("method", ""))
+        require(method.nonEmpty, s"pipeline '$pipe': flatMap needs method:")
+        df => graft.pylite.PyOps.flatMapPy(df, code, method)
+      case "reduce" =>
+        val code = codeBlock(pipe, "reduce", c, resolvePath)
+        val method = str(c.getOrElse("method", ""))
+        require(method.nonEmpty, s"pipeline '$pipe': reduce needs method:")
+        val keyField = str(c.getOrElse("field", ""))
+        val init = c.get("init").map(i => toJsonString(asMap(i)))
+        df => graft.pylite.PyOps.reducePy(df, keyField, code, method, init)
+      case "plugin" =>
+        sys.error(s"pipeline '$pipe': step 'plugin' runs an external executable — " +
+          "use graft.sources.Plugin.transform from the Scala DSL, where the " +
+          "command allow-listing is explicit")
       case other => sys.error(s"pipeline '$pipe': unknown step '$other'")
     }
     key -> fn
+  }
+
+  /** Resolve a `gpython:` block — inline code string or `{$ref: file}`
+    * loaded relative to the playbook dir (refs/code_block.go:16-45).
+    * The `python:` key (external CPython engine) is rejected with a
+    * pointer to the gpython form. */
+  private def codeBlock(pipe: String, step: String, c: Map[String, Any],
+      resolvePath: String => String): String = {
+    require(!c.contains("python") || c.contains("gpython"),
+      s"pipeline '$pipe': $step `python:` uses the external CPython/gRPC engine " +
+        "(out of scope); use `gpython:` — it runs on the embedded PyLite interpreter")
+    c.getOrElse("gpython", sys.error(s"pipeline '$pipe': $step needs gpython:")) match {
+      case s: String => s
+      case m: java.util.Map[_, _] =>
+        val ref = str(asMap(m).getOrElse("$ref",
+          sys.error(s"pipeline '$pipe': $step gpython map must be {$$ref: file}")))
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(resolvePath(ref))), java.nio.charset.StandardCharsets.UTF_8)
+      case other => sys.error(s"pipeline '$pipe': bad gpython block: $other")
+    }
   }
 
   private def templateFields(tpl: String): Seq[String] = {

@@ -1,0 +1,779 @@
+package graft.pylite
+
+import scala.collection.mutable
+
+/** Tree-walking evaluator for PyLite programs.
+  *
+  * Value model (chosen to round-trip Spark rows and JSON naturally,
+  * the same shape gpython marshals Go `map[string]interface{}` rows
+  * into, /root/reference/evaluate/gpython.go:45-135):
+  *   None          -> null
+  *   bool          -> java.lang.Boolean
+  *   int           -> java.lang.Long   (overflow raises, no silent wrap)
+  *   float         -> java.lang.Double
+  *   str           -> String
+  *   list / tuple  -> mutable.ArrayBuffer[Any]
+  *   dict          -> mutable.LinkedHashMap[Any, Any] (insertion order)
+  *
+  * One interpreter per partition; the compiled [[PProgram]] is
+  * immutable data shared via broadcast/closure. Module-level
+  * statements run once at construction (gpython runs the module then
+  * calls `Globals[method]`). A step budget bounds runaway loops so a
+  * bad playbook fails the task instead of wedging an executor.
+  */
+final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
+  import PyInterp._
+
+  private val globals = mutable.HashMap[String, Any]()
+  prog.funcs.foreach { case (n, f) => globals(n) = PyFunc(f) }
+  // module exec for any top-level non-def statements
+  locally {
+    val env = new Env(globals, globals)
+    prog.stmts.foreach {
+      case _: PFuncDef => ()
+      case s           => execStmt(s, env)
+    }
+  }
+
+  private var steps = 0L
+  private var depth = 0
+
+  def call(method: String, args: Any*): Any = {
+    steps = 0L
+    val f = globals.getOrElse(method,
+      throw new PyLiteException(s"function '$method' is not defined", 1))
+    callValue(f, args.toVector, 1)
+  }
+
+  // ---- execution --------------------------------------------------------
+
+  private final class Env(val locals: mutable.HashMap[String, Any],
+                          val globalScope: mutable.HashMap[String, Any]) {
+    def lookup(n: String, line: Int): Any =
+      locals.getOrElse(n, globalScope.getOrElse(n,
+        builtinOrType(n).getOrElse(
+          throw new PyLiteException(s"name '$n' is not defined", line))))
+  }
+
+  private def tick(line: Int): Unit = {
+    steps += 1
+    if (steps > maxSteps)
+      throw new PyLiteException(s"step budget exceeded ($maxSteps) — non-terminating loop?", line)
+  }
+
+  private def callValue(f: Any, args: Vector[Any], line: Int): Any = f match {
+    case PyFunc(fd) =>
+      if (args.length != fd.params.length)
+        throw new PyLiteException(
+          s"${fd.name}() takes ${fd.params.length} arguments but ${args.length} were given", line)
+      depth += 1
+      if (depth > 200) { depth -= 1; throw new PyLiteException("recursion limit (200) exceeded", line) }
+      try {
+        val env = new Env(mutable.HashMap(fd.params.zip(args): _*), globals)
+        try { execBlock(fd.body, env); null }
+        catch { case r: ReturnEx => r.value }
+      } finally depth -= 1
+    case PyBuiltin(name) => callBuiltin(name, args, line)
+    case t: PyType => callTypeCtor(t, args, line)
+    case other =>
+      throw new PyLiteException(s"'${typeName(other)}' object is not callable", line)
+  }
+
+  private def execBlock(stmts: Vector[PStmt], env: Env): Unit = {
+    var i = 0
+    while (i < stmts.length) { execStmt(stmts(i), env); i += 1 }
+  }
+
+  private def execStmt(s: PStmt, env: Env): Unit = { tick(s.line); s match {
+    case PExprStmt(e, _) => eval(e, env); ()
+    case PAssign(target, op, value, line) =>
+      val rhs0 = eval(value, env)
+      target match {
+        case PName(n, _) =>
+          val rhs = if (op == "=") rhs0 else binOp(op.substring(0, 1), env.lookup(n, line), rhs0, line)
+          env.locals(n) = rhs
+        case PSub(obj, idx, _) =>
+          val o = eval(obj, env)
+          val k = eval(idx, env)
+          val rhs = if (op == "=") rhs0 else binOp(op.substring(0, 1), getItem(o, k, line), rhs0, line)
+          setItem(o, k, rhs, line)
+        case _ => throw new PyLiteException("bad assignment target", line)
+      }
+    case PReturn(e, _) => throw new ReturnEx(e.map(eval(_, env)).orNull)
+    case PPass(_)      => ()
+    case PBreak(_)     => throw BreakEx
+    case PContinue(_)  => throw ContinueEx
+    case PIf(branches, orelse, _) =>
+      branches.find { case (c, _) => truthy(eval(c, env)) } match {
+        case Some((_, body)) => execBlock(body, env)
+        case None            => execBlock(orelse, env)
+      }
+    case PFor(vars, iterE, body, line) =>
+      val it = iterate(eval(iterE, env), line)
+      val iter = it.iterator
+      var broke = false
+      while (!broke && iter.hasNext) {
+        tick(line)
+        val item = iter.next()
+        if (vars.length == 1) env.locals(vars.head) = item
+        else item match {
+          case buf: mutable.ArrayBuffer[Any @unchecked] if buf.length == vars.length =>
+            vars.indices.foreach(i => env.locals(vars(i)) = buf(i))
+          case _ => throw new PyLiteException(
+            s"cannot unpack ${typeName(item)} into ${vars.length} names", line)
+        }
+        try execBlock(body, env)
+        catch {
+          case BreakEx    => broke = true
+          case ContinueEx => ()
+        }
+      }
+    case PWhile(cond, body, line) =>
+      var broke = false
+      while (!broke && truthy(eval(cond, env))) {
+        tick(line)
+        try execBlock(body, env)
+        catch {
+          case BreakEx    => broke = true
+          case ContinueEx => ()
+        }
+      }
+    case fd: PFuncDef => env.locals(fd.name) = PyFunc(fd)
+  } }
+
+  // ---- evaluation -------------------------------------------------------
+
+  private def eval(e: PExpr, env: Env): Any = { tick(e.line); e match {
+    case PNum(v, _)     => java.lang.Long.valueOf(v)
+    case PFlt(v, _)     => java.lang.Double.valueOf(v)
+    case PStr(v, _)     => v
+    case PBoolLit(v, _) => java.lang.Boolean.valueOf(v)
+    case PNone(_)       => null
+    case PName(n, line) => env.lookup(n, line)
+    case PListLit(items, _)  => mutable.ArrayBuffer[Any](items.map(eval(_, env)): _*)
+    case PTupleLit(items, _) => mutable.ArrayBuffer[Any](items.map(eval(_, env)): _*)
+    case PDictLit(items, _) =>
+      val m = mutable.LinkedHashMap[Any, Any]()
+      items.foreach { case (k, v) => m(hashableKey(eval(k, env), e.line)) = eval(v, env) }
+      m
+    case PSub(obj, idx, line)  => getItem(eval(obj, env), eval(idx, env), line)
+    case PSliceE(obj, lo, hi, line) =>
+      slice(eval(obj, env), lo.map(eval(_, env)), hi.map(eval(_, env)), line)
+    case PAttr(obj, name, line) =>
+      // bare attribute access (no call): only meaningful for methods in
+      // this subset; fail with a precise message
+      throw new PyLiteException(
+        s"attribute '$name' accessed without a call — only method calls (x.$name(...)) are in the PyLite subset", line)
+    case PCall(PAttr(objE, mname, _), args, line) =>
+      callMethod(eval(objE, env), mname, args.map(eval(_, env)), line)
+    case PCall(fnE, args, line) =>
+      callValue(eval(fnE, env), args.map(eval(_, env)), line)
+    case PBin("and", l, r, _) => val lv = eval(l, env); if (!truthy(lv)) lv else eval(r, env)
+    case PBin("or", l, r, _)  => val lv = eval(l, env); if (truthy(lv)) lv else eval(r, env)
+    case PBin(op, l, r, line) => binOp(op, eval(l, env), eval(r, env), line)
+    case PUn("not", x, _)     => java.lang.Boolean.valueOf(!truthy(eval(x, env)))
+    case PUn("-", x, line) => eval(x, env) match {
+      case l: java.lang.Long   => java.lang.Long.valueOf(Math.negateExact(l.longValue))
+      case d: java.lang.Double => java.lang.Double.valueOf(-d.doubleValue)
+      case b: java.lang.Boolean => java.lang.Long.valueOf(if (b) -1L else 0L)
+      case o => throw new PyLiteException(s"bad operand type for unary -: '${typeName(o)}'", line)
+    }
+    case PUn(op, _, line) => throw new PyLiteException(s"unknown unary op '$op'", line)
+    case PCond(c, t, f, _) => if (truthy(eval(c, env))) eval(t, env) else eval(f, env)
+  } }
+
+  // ---- operators --------------------------------------------------------
+
+  private def binOp(op: String, l: Any, r: Any, line: Int): Any = op match {
+    case "is"     => java.lang.Boolean.valueOf((l == null && r == null) || (l.asInstanceOf[AnyRef] eq r.asInstanceOf[AnyRef]))
+    case "is not" => java.lang.Boolean.valueOf(!((l == null && r == null) || (l.asInstanceOf[AnyRef] eq r.asInstanceOf[AnyRef])))
+    case "=="     => java.lang.Boolean.valueOf(pyEq(l, r))
+    case "!="     => java.lang.Boolean.valueOf(!pyEq(l, r))
+    case "in"     => java.lang.Boolean.valueOf(contains(r, l, line))
+    case "not in" => java.lang.Boolean.valueOf(!contains(r, l, line))
+    case "<" | ">" | "<=" | ">=" =>
+      val c = pyCompare(l, r, line)
+      java.lang.Boolean.valueOf(op match {
+        case "<" => c < 0; case ">" => c > 0; case "<=" => c <= 0; case ">=" => c >= 0
+      })
+    case "+" => (l, r) match {
+      case (a: String, b: String) => a + b
+      case (a: mutable.ArrayBuffer[Any @unchecked], b: mutable.ArrayBuffer[Any @unchecked]) =>
+        val out = mutable.ArrayBuffer[Any](); out ++= a; out ++= b; out
+      case _ => numOp(op, l, r, line)
+    }
+    case "*" => (l, r) match {
+      case (a: String, b: java.lang.Long) => a * math.max(0, b.toInt)
+      case (a: java.lang.Long, b: String) => b * math.max(0, a.toInt)
+      case (a: mutable.ArrayBuffer[Any @unchecked], b: java.lang.Long) =>
+        val out = mutable.ArrayBuffer[Any](); (0L until math.max(0L, b.longValue)).foreach(_ => out ++= a); out
+      case _ => numOp(op, l, r, line)
+    }
+    case "-" | "/" | "//" | "%" | "**" => numOp(op, l, r, line)
+    case _ => throw new PyLiteException(s"unknown operator '$op'", line)
+  }
+
+  private def asNum(v: Any, op: String, line: Int): Either[Long, Double] = v match {
+    case l: java.lang.Long    => Left(l.longValue)
+    case d: java.lang.Double  => Right(d.doubleValue)
+    case b: java.lang.Boolean => Left(if (b) 1L else 0L)
+    case o => throw new PyLiteException(
+      s"unsupported operand type for $op: '${typeName(o)}'", line)
+  }
+
+  private def numOp(op: String, l: Any, r: Any, line: Int): Any =
+    try numOp0(op, l, r, line)
+    catch { case _: ArithmeticException =>
+      throw new PyLiteException(s"integer overflow in '$op' (PyLite ints are 64-bit, not bignum)", line) }
+
+  private def numOp0(op: String, l: Any, r: Any, line: Int): Any = {
+    val (ln, rn) = (asNum(l, op, line), asNum(r, op, line))
+    def zero(b: Boolean) = if (b) throw new PyLiteException("division by zero", line)
+    (ln, rn) match {
+      case (Left(a), Left(b)) => op match {
+        case "+"  => java.lang.Long.valueOf(Math.addExact(a, b))
+        case "-"  => java.lang.Long.valueOf(Math.subtractExact(a, b))
+        case "*"  => java.lang.Long.valueOf(Math.multiplyExact(a, b))
+        case "/"  => zero(b == 0); java.lang.Double.valueOf(a.toDouble / b.toDouble)
+        case "//" => zero(b == 0); java.lang.Long.valueOf(Math.floorDiv(a, b))
+        case "%"  => zero(b == 0); java.lang.Long.valueOf(Math.floorMod(a, b))
+        case "**" =>
+          if (b < 0) java.lang.Double.valueOf(math.pow(a.toDouble, b.toDouble))
+          else {
+            var acc = 1L; var i = 0L
+            while (i < b) { acc = Math.multiplyExact(acc, a); i += 1 }
+            java.lang.Long.valueOf(acc)
+          }
+      }
+      case _ =>
+        val a = ln.fold(_.toDouble, identity)
+        val b = rn.fold(_.toDouble, identity)
+        op match {
+          case "+"  => java.lang.Double.valueOf(a + b)
+          case "-"  => java.lang.Double.valueOf(a - b)
+          case "*"  => java.lang.Double.valueOf(a * b)
+          case "/"  => zero(b == 0.0); java.lang.Double.valueOf(a / b)
+          case "//" => zero(b == 0.0); java.lang.Double.valueOf(math.floor(a / b))
+          case "%"  => zero(b == 0.0); java.lang.Double.valueOf(((a % b) + b) % b)
+          case "**" => java.lang.Double.valueOf(math.pow(a, b))
+        }
+    }
+  }
+
+  private def contains(container: Any, item: Any, line: Int): Boolean = container match {
+    case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => m.keys.exists(pyEq(_, item))
+    case b: mutable.ArrayBuffer[Any @unchecked] => b.exists(pyEq(_, item))
+    case s: String => item match {
+      case sub: String => s.contains(sub)
+      case o => throw new PyLiteException(s"'in <string>' requires string, not ${typeName(o)}", line)
+    }
+    case o => throw new PyLiteException(s"argument of type '${typeName(o)}' is not iterable", line)
+  }
+
+  private def iterate(v: Any, line: Int): Iterable[Any] = v match {
+    case b: mutable.ArrayBuffer[Any @unchecked] => b
+    case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => m.keys.toVector
+    case s: String => s.map(_.toString)
+    case o => throw new PyLiteException(s"'${typeName(o)}' object is not iterable", line)
+  }
+
+  // ---- subscripts and slices --------------------------------------------
+
+  private def normIndex(i: Long, len: Int, line: Int, what: String): Int = {
+    val j = if (i < 0) i + len else i
+    if (j < 0 || j >= len) throw new PyLiteException(s"$what index out of range", line)
+    j.toInt
+  }
+
+  private def getItem(o: Any, k: Any, line: Int): Any = o match {
+    case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
+      val kk = hashableKey(k, line)
+      m.getOrElse(kk, throw new PyLiteException(s"KeyError: ${pyRepr(kk)}", line))
+    case b: mutable.ArrayBuffer[Any @unchecked] => k match {
+      case i: java.lang.Long => b(normIndex(i, b.length, line, "list"))
+      case o2 => throw new PyLiteException(s"list indices must be integers, not ${typeName(o2)}", line)
+    }
+    case s: String => k match {
+      case i: java.lang.Long => s.charAt(normIndex(i, s.length, line, "string")).toString
+      case o2 => throw new PyLiteException(s"string indices must be integers, not ${typeName(o2)}", line)
+    }
+    case null => throw new PyLiteException("'NoneType' object is not subscriptable", line)
+    case o2   => throw new PyLiteException(s"'${typeName(o2)}' object is not subscriptable", line)
+  }
+
+  private def setItem(o: Any, k: Any, v: Any, line: Int): Unit = o match {
+    case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => m(hashableKey(k, line)) = v
+    case b: mutable.ArrayBuffer[Any @unchecked] => k match {
+      case i: java.lang.Long => b(normIndex(i, b.length, line, "list")) = v
+      case o2 => throw new PyLiteException(s"list indices must be integers, not ${typeName(o2)}", line)
+    }
+    case o2 => throw new PyLiteException(s"'${typeName(o2)}' object does not support item assignment", line)
+  }
+
+  private def slice(o: Any, lo: Option[Any], hi: Option[Any], line: Int): Any = {
+    def bound(v: Option[Any], dflt: Int, len: Int): Int = v match {
+      case None => dflt
+      case Some(i: java.lang.Long) =>
+        val j: Long = if (i < 0) i + len else i.longValue
+        math.max(0L, math.min(len.toLong, j)).toInt
+      case Some(x) => throw new PyLiteException(s"slice indices must be integers, not ${typeName(x)}", line)
+    }
+    o match {
+      case b: mutable.ArrayBuffer[Any @unchecked] =>
+        val s = bound(lo, 0, b.length); val e = bound(hi, b.length, b.length)
+        mutable.ArrayBuffer[Any](b.slice(s, math.max(s, e)).toSeq: _*)
+      case s: String =>
+        val st = bound(lo, 0, s.length); val e = bound(hi, s.length, s.length)
+        s.substring(st, math.max(st, e))
+      case x => throw new PyLiteException(s"'${typeName(x)}' object is not sliceable", line)
+    }
+  }
+
+  // dict keys must be hashable-by-value: reject mutable containers
+  private def hashableKey(k: Any, line: Int): Any = k match {
+    case _: mutable.ArrayBuffer[Any @unchecked] | _: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
+      throw new PyLiteException(s"unhashable type: '${typeName(k)}'", line)
+    case b: java.lang.Boolean => java.lang.Long.valueOf(if (b) 1L else 0L) // python: True == 1 as a key
+    case other => other
+  }
+
+  // ---- builtins ---------------------------------------------------------
+
+  private def builtinOrType(n: String): Option[Any] = n match {
+    // type names are PyType so they work both as isinstance() args and
+    // as constructors (callValue dispatches PyType through callBuiltin)
+    case "str" | "int" | "float" | "bool" | "list" | "dict" | "tuple" => Some(PyType(n))
+    case "len" | "isinstance" | "range" | "abs" | "min" | "max" | "sum" |
+         "sorted" | "round" | "enumerate" | "zip" | "type" | "repr" => Some(PyBuiltin(n))
+    case _ => None
+  }
+
+  private def callTypeCtor(t: PyType, args: Vector[Any], line: Int): Any =
+    callBuiltin(t.name, args, line)
+
+  private def arity(name: String, args: Vector[Any], n: Int, line: Int): Unit =
+    if (args.length != n)
+      throw new PyLiteException(s"$name() takes $n argument(s) but ${args.length} were given", line)
+
+  private def callBuiltin(name: String, args: Vector[Any], line: Int): Any = name match {
+    case "len" =>
+      arity("len", args, 1, line)
+      args.head match {
+        case s: String => java.lang.Long.valueOf(s.length.toLong)
+        case b: mutable.ArrayBuffer[Any @unchecked] => java.lang.Long.valueOf(b.length.toLong)
+        case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => java.lang.Long.valueOf(m.size.toLong)
+        case o => throw new PyLiteException(s"object of type '${typeName(o)}' has no len()", line)
+      }
+    case "str" =>
+      if (args.isEmpty) "" else { arity("str", args, 1, line); pyStr(args.head) }
+    case "repr" => arity("repr", args, 1, line); pyRepr(args.head)
+    case "int" => arity("int", args, 1, line); args.head match {
+      case l: java.lang.Long    => l
+      case d: java.lang.Double  =>
+        if (d.isNaN || d.isInfinite || d > Long.MaxValue.toDouble || d < Long.MinValue.toDouble)
+          throw new PyLiteException(s"cannot convert $d to int", line)
+        java.lang.Long.valueOf(d.longValue) // truncation toward zero, as python
+      case b: java.lang.Boolean => java.lang.Long.valueOf(if (b) 1L else 0L)
+      case s: String =>
+        try java.lang.Long.valueOf(java.lang.Long.parseLong(s.trim))
+        catch { case _: NumberFormatException =>
+          throw new PyLiteException(s"invalid literal for int(): ${pyRepr(s)}", line) }
+      case o => throw new PyLiteException(s"int() argument must be a string or number, not '${typeName(o)}'", line)
+    }
+    case "float" => arity("float", args, 1, line); args.head match {
+      case l: java.lang.Long    => java.lang.Double.valueOf(l.doubleValue)
+      case d: java.lang.Double  => d
+      case b: java.lang.Boolean => java.lang.Double.valueOf(if (b) 1.0 else 0.0)
+      case s: String =>
+        try java.lang.Double.valueOf(java.lang.Double.parseDouble(s.trim))
+        catch { case _: NumberFormatException =>
+          throw new PyLiteException(s"could not convert string to float: ${pyRepr(s)}", line) }
+      case o => throw new PyLiteException(s"float() argument must be a string or number, not '${typeName(o)}'", line)
+    }
+    case "bool" =>
+      if (args.isEmpty) java.lang.Boolean.FALSE
+      else { arity("bool", args, 1, line); java.lang.Boolean.valueOf(truthy(args.head)) }
+    case "isinstance" =>
+      arity("isinstance", args, 2, line)
+      val types: Vector[String] = args(1) match {
+        case t: PyType => Vector(t.name)
+        case b: mutable.ArrayBuffer[Any @unchecked] => b.toVector.map {
+          case t: PyType => t.name
+          case o => throw new PyLiteException(s"isinstance() arg 2 must be a type, not ${typeName(o)}", line)
+        }
+        case o => throw new PyLiteException(s"isinstance() arg 2 must be a type, not ${typeName(o)}", line)
+      }
+      java.lang.Boolean.valueOf(types.exists(isInstance(args.head, _)))
+    case "range" =>
+      val (start, stop, step) = args match {
+        case Vector(a: java.lang.Long) => (0L, a.longValue, 1L)
+        case Vector(a: java.lang.Long, b: java.lang.Long) => (a.longValue, b.longValue, 1L)
+        case Vector(a: java.lang.Long, b: java.lang.Long, c: java.lang.Long) =>
+          if (c.longValue == 0) throw new PyLiteException("range() arg 3 must not be zero", line)
+          (a.longValue, b.longValue, c.longValue)
+        case _ => throw new PyLiteException("range() expects 1-3 integer arguments", line)
+      }
+      val out = mutable.ArrayBuffer[Any]()
+      var i = start
+      while (if (step > 0) i < stop else i > stop) {
+        tick(line); out += java.lang.Long.valueOf(i); i += step
+      }
+      out
+    case "list" =>
+      if (args.isEmpty) mutable.ArrayBuffer[Any]()
+      else { arity("list", args, 1, line)
+        mutable.ArrayBuffer[Any](iterate(args.head, line).toSeq: _*) }
+    case "tuple" =>
+      if (args.isEmpty) mutable.ArrayBuffer[Any]()
+      else { arity("tuple", args, 1, line)
+        mutable.ArrayBuffer[Any](iterate(args.head, line).toSeq: _*) }
+    case "dict" =>
+      if (args.isEmpty) mutable.LinkedHashMap[Any, Any]()
+      else { arity("dict", args, 1, line)
+        args.head match {
+          case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
+            val out = mutable.LinkedHashMap[Any, Any](); out ++= m; out
+          case o => throw new PyLiteException(s"dict() argument must be a dict, not ${typeName(o)}", line)
+        } }
+    case "abs" => arity("abs", args, 1, line); args.head match {
+      case l: java.lang.Long   =>
+        if (l.longValue == Long.MinValue)
+          throw new PyLiteException("integer overflow in abs()", line)
+        java.lang.Long.valueOf(Math.abs(l.longValue))
+      case d: java.lang.Double => java.lang.Double.valueOf(math.abs(d.doubleValue))
+      case o => throw new PyLiteException(s"bad operand type for abs(): '${typeName(o)}'", line)
+    }
+    case "round" => args match {
+      case Vector(d: java.lang.Double) =>
+        java.lang.Long.valueOf(math.rint(d.doubleValue).toLong) // banker's rounding, as python
+      case Vector(l: java.lang.Long) => l
+      case Vector(d: java.lang.Double, nd: java.lang.Long) =>
+        val f = math.pow(10, nd.doubleValue)
+        java.lang.Double.valueOf(math.rint(d.doubleValue * f) / f)
+      case _ => throw new PyLiteException("round() expects (number[, ndigits])", line)
+    }
+    case "min" | "max" =>
+      val items: Vector[Any] =
+        if (args.length == 1) iterate(args.head, line).toVector else args.toVector
+      if (items.isEmpty) throw new PyLiteException(s"$name() arg is an empty sequence", line)
+      items.reduce { (a, b) =>
+        val c = pyCompare(a, b, line)
+        if (name == "min") (if (c <= 0) a else b) else (if (c >= 0) a else b)
+      }
+    case "sum" =>
+      arity("sum", args, 1, line)
+      iterate(args.head, line).foldLeft(java.lang.Long.valueOf(0L): Any)((a, b) => numOp("+", a, b, line))
+    case "sorted" =>
+      arity("sorted", args, 1, line)
+      val items = iterate(args.head, line).toVector
+      val sortedItems = items.sortWith((a, b) => pyCompare(a, b, line) < 0)
+      mutable.ArrayBuffer[Any](sortedItems: _*)
+    case "enumerate" =>
+      arity("enumerate", args, 1, line)
+      val out = mutable.ArrayBuffer[Any]()
+      iterate(args.head, line).zipWithIndex.foreach { case (v, i) =>
+        out += mutable.ArrayBuffer[Any](java.lang.Long.valueOf(i.toLong), v)
+      }
+      out
+    case "zip" =>
+      val its = args.map(iterate(_, line).toVector)
+      val out = mutable.ArrayBuffer[Any]()
+      if (its.nonEmpty) {
+        val m = its.map(_.length).min
+        (0 until m).foreach(i => out += mutable.ArrayBuffer[Any](its.map(_(i)): _*))
+      }
+      out
+    case "type" => arity("type", args, 1, line); PyType(typeName(args.head))
+    case other => throw new PyLiteException(s"builtin '$other' not implemented in PyLite", line)
+  }
+
+  private def isInstance(v: Any, tname: String): Boolean = (v, tname) match {
+    case (_: java.lang.Boolean, "bool")  => true
+    case (_: java.lang.Boolean, "int")   => true // python: bool subclasses int
+    case (_: java.lang.Long, "int")      => true
+    case (_: java.lang.Double, "float")  => true
+    case (_: String, "str")              => true
+    case (_: mutable.ArrayBuffer[Any @unchecked], "list")  => true
+    case (_: mutable.ArrayBuffer[Any @unchecked], "tuple") => false // lists model both; prefer list
+    case (_: mutable.LinkedHashMap[Any @unchecked, Any @unchecked], "dict") => true
+    case _ => false
+  }
+
+  // ---- methods ----------------------------------------------------------
+
+  private def callMethod(obj: Any, name: String, args: Vector[Any], line: Int): Any = {
+    def arityM(n: Int*): Unit =
+      if (!n.contains(args.length))
+        throw new PyLiteException(s"$name() takes ${n.mkString(" or ")} argument(s) but ${args.length} were given", line)
+    obj match {
+      case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => name match {
+        case "items" =>
+          arityM(0)
+          val out = mutable.ArrayBuffer[Any]()
+          m.foreach { case (k, v) => out += mutable.ArrayBuffer[Any](k, v) }
+          out
+        case "keys"   => arityM(0); mutable.ArrayBuffer[Any](m.keys.toSeq: _*)
+        case "values" => arityM(0); mutable.ArrayBuffer[Any](m.values.toSeq: _*)
+        case "get" =>
+          arityM(1, 2)
+          m.getOrElse(hashableKey(args.head, line), if (args.length == 2) args(1) else null)
+        case "pop" =>
+          arityM(1, 2)
+          val k = hashableKey(args.head, line)
+          m.remove(k).getOrElse {
+            if (args.length == 2) args(1)
+            else throw new PyLiteException(s"KeyError: ${pyRepr(k)}", line)
+          }
+        case "update" =>
+          arityM(1)
+          args.head match {
+            case o: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => m ++= o; null
+            case o => throw new PyLiteException(s"update() argument must be a dict, not ${typeName(o)}", line)
+          }
+        case "setdefault" =>
+          arityM(1, 2)
+          val k = hashableKey(args.head, line)
+          m.getOrElseUpdate(k, if (args.length == 2) args(1) else null)
+        case other => throw new PyLiteException(s"'dict' object has no method '$other'", line)
+      }
+      case b: mutable.ArrayBuffer[Any @unchecked] => name match {
+        case "append" => arityM(1); b += args.head; null
+        case "extend" => arityM(1); b ++= iterate(args.head, line); null
+        case "insert" => arityM(2)
+          val i = args.head match {
+            case l: java.lang.Long => math.max(0, math.min(b.length.toLong, if (l < 0) l + b.length else l.longValue)).toInt
+            case o => throw new PyLiteException(s"insert() index must be int, not ${typeName(o)}", line)
+          }
+          b.insert(i, args(1)); null
+        case "pop" =>
+          arityM(0, 1)
+          if (b.isEmpty) throw new PyLiteException("pop from empty list", line)
+          val i = if (args.isEmpty) b.length - 1 else args.head match {
+            case l: java.lang.Long => normIndex(l, b.length, line, "list")
+            case o => throw new PyLiteException(s"pop() index must be int, not ${typeName(o)}", line)
+          }
+          b.remove(i)
+        case "index" =>
+          arityM(1)
+          val i = b.indexWhere(pyEq(_, args.head))
+          if (i < 0) throw new PyLiteException(s"${pyRepr(args.head)} is not in list", line)
+          java.lang.Long.valueOf(i.toLong)
+        case "count" => arityM(1); java.lang.Long.valueOf(b.count(pyEq(_, args.head)).toLong)
+        case "sort" =>
+          arityM(0)
+          val s = b.toVector.sortWith((x, y) => pyCompare(x, y, line) < 0)
+          b.clear(); b ++= s; null
+        case "reverse" => arityM(0); val s = b.toVector.reverse; b.clear(); b ++= s; null
+        case "remove" =>
+          arityM(1)
+          val i = b.indexWhere(pyEq(_, args.head))
+          if (i < 0) throw new PyLiteException(s"list.remove(x): x not in list", line)
+          b.remove(i); null
+        case other => throw new PyLiteException(s"'list' object has no method '$other'", line)
+      }
+      case s: String => name match {
+        case "split" => args match {
+          case Vector() =>
+            // no-arg split: whitespace runs, empties discarded (python semantics)
+            mutable.ArrayBuffer[Any](s.split("\\s+").filter(_.nonEmpty).toIndexedSeq: _*)
+          case Vector(sep: String) =>
+            if (sep.isEmpty) throw new PyLiteException("empty separator", line)
+            mutable.ArrayBuffer[Any](splitLiteral(s, sep): _*)
+          case _ => throw new PyLiteException("split() takes at most 1 string argument in PyLite", line)
+        }
+        case "strip"  => arityM(0, 1); stripStr(s, args, both = true, left = true, right = true, line)
+        case "lstrip" => arityM(0, 1); stripStr(s, args, both = false, left = true, right = false, line)
+        case "rstrip" => arityM(0, 1); stripStr(s, args, both = false, left = false, right = true, line)
+        case "lower" => arityM(0); s.toLowerCase(java.util.Locale.ROOT)
+        case "upper" => arityM(0); s.toUpperCase(java.util.Locale.ROOT)
+        case "title" => arityM(0)
+          val sb = new StringBuilder; var prevAlpha = false
+          s.foreach { c =>
+            if (c.isLetter) { sb += (if (prevAlpha) c.toLower else c.toUpper); prevAlpha = true }
+            else { sb += c; prevAlpha = false }
+          }
+          sb.toString
+        case "capitalize" => arityM(0)
+          if (s.isEmpty) s else s.head.toUpper.toString + s.tail.toLowerCase(java.util.Locale.ROOT)
+        case "replace" => arityM(2); (args(0), args(1)) match {
+          case (a: String, b2: String) => s.replace(a, b2)
+          case _ => throw new PyLiteException("replace() arguments must be strings", line)
+        }
+        case "startswith" => arityM(1); args.head match {
+          case p: String => java.lang.Boolean.valueOf(s.startsWith(p))
+          case o => throw new PyLiteException(s"startswith() argument must be str, not ${typeName(o)}", line)
+        }
+        case "endswith" => arityM(1); args.head match {
+          case p: String => java.lang.Boolean.valueOf(s.endsWith(p))
+          case o => throw new PyLiteException(s"endswith() argument must be str, not ${typeName(o)}", line)
+        }
+        case "find" => arityM(1); args.head match {
+          case p: String => java.lang.Long.valueOf(s.indexOf(p).toLong)
+          case o => throw new PyLiteException(s"find() argument must be str, not ${typeName(o)}", line)
+        }
+        case "count" => arityM(1); args.head match {
+          case p: String =>
+            if (p.isEmpty) java.lang.Long.valueOf((s.length + 1).toLong)
+            else {
+              var c = 0L; var i = s.indexOf(p)
+              while (i >= 0) { c += 1; i = s.indexOf(p, i + p.length) }
+              java.lang.Long.valueOf(c)
+            }
+          case o => throw new PyLiteException(s"count() argument must be str, not ${typeName(o)}", line)
+        }
+        case "join" => arityM(1)
+          val parts = iterate(args.head, line).map {
+            case p: String => p
+            case o => throw new PyLiteException(s"sequence item: expected str, got ${typeName(o)}", line)
+          }
+          parts.mkString(s)
+        case "zfill" => arityM(1); args.head match {
+          case w: java.lang.Long =>
+            val pad = w.toInt - s.length
+            if (pad <= 0) s
+            else if (s.startsWith("-") || s.startsWith("+")) s.head.toString + ("0" * pad) + s.tail
+            else ("0" * pad) + s
+          case o => throw new PyLiteException(s"zfill() argument must be int, not ${typeName(o)}", line)
+        }
+        case "isdigit" => arityM(0); java.lang.Boolean.valueOf(s.nonEmpty && s.forall(_.isDigit))
+        case "isalpha" => arityM(0); java.lang.Boolean.valueOf(s.nonEmpty && s.forall(_.isLetter))
+        case other => throw new PyLiteException(s"'str' object has no method '$other'", line)
+      }
+      case null => throw new PyLiteException(s"'NoneType' object has no method '$name'", line)
+      case o    => throw new PyLiteException(s"'${typeName(o)}' object has no method '$name'", line)
+    }
+  }
+
+  private def splitLiteral(s: String, sep: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    var j = s.indexOf(sep)
+    while (j >= 0) { out += s.substring(i, j); i = j + sep.length; j = s.indexOf(sep, i) }
+    out += s.substring(i)
+    out.result()
+  }
+
+  private def stripStr(s: String, args: Vector[Any], both: Boolean, left: Boolean, right: Boolean, line: Int): String = {
+    val chars: Char => Boolean = args match {
+      case Vector()          => _.isWhitespace
+      case Vector(c: String) => c.toSet
+      case _ => throw new PyLiteException("strip() argument must be a string", line)
+    }
+    var a = 0
+    var b = s.length
+    if (left) while (a < b && chars(s.charAt(a))) a += 1
+    if (right) while (b > a && chars(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+}
+
+object PyInterp {
+  import scala.collection.mutable
+
+  final case class PyFunc(fd: PFuncDef)
+  final case class PyBuiltin(name: String)
+  final case class PyType(name: String)
+
+  // Control-flow signals: no stack traces captured (hot path).
+  private final class ReturnEx(val value: Any) extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private object BreakEx extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private object ContinueEx extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  def truthy(v: Any): Boolean = v match {
+    case null                 => false
+    case b: java.lang.Boolean => b.booleanValue
+    case l: java.lang.Long    => l.longValue != 0L
+    case d: java.lang.Double  => d.doubleValue != 0.0
+    case s: String            => s.nonEmpty
+    case b: mutable.ArrayBuffer[Any @unchecked] => b.nonEmpty
+    case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => m.nonEmpty
+    case _ => true
+  }
+
+  def pyEq(l: Any, r: Any): Boolean = (l, r) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (a: java.lang.Boolean, b: java.lang.Boolean) => a.booleanValue == b.booleanValue
+    case (a: java.lang.Boolean, b) => pyEq(java.lang.Long.valueOf(if (a) 1L else 0L), b)
+    case (a, b: java.lang.Boolean) => pyEq(a, java.lang.Long.valueOf(if (b) 1L else 0L))
+    case (a: java.lang.Long, b: java.lang.Long)     => a.longValue == b.longValue
+    case (a: java.lang.Long, b: java.lang.Double)   => a.doubleValue == b.doubleValue
+    case (a: java.lang.Double, b: java.lang.Long)   => a.doubleValue == b.doubleValue
+    case (a: java.lang.Double, b: java.lang.Double) => a.doubleValue == b.doubleValue
+    case (a: String, b: String) => a == b
+    case (a: mutable.ArrayBuffer[Any @unchecked], b: mutable.ArrayBuffer[Any @unchecked]) =>
+      a.length == b.length && a.indices.forall(i => pyEq(a(i), b(i)))
+    case (a: mutable.LinkedHashMap[Any @unchecked, Any @unchecked], b: mutable.LinkedHashMap[Any @unchecked, Any @unchecked]) =>
+      a.size == b.size && a.forall { case (k, v) => b.get(k).exists(pyEq(_, v)) }
+    case _ => false
+  }
+
+  def pyCompare(l: Any, r: Any, line: Int): Int = (l, r) match {
+    case (a: java.lang.Long, b: java.lang.Long)     => java.lang.Long.compare(a, b)
+    case (a: java.lang.Long, b: java.lang.Double)   => java.lang.Double.compare(a.doubleValue, b)
+    case (a: java.lang.Double, b: java.lang.Long)   => java.lang.Double.compare(a, b.doubleValue)
+    case (a: java.lang.Double, b: java.lang.Double) => java.lang.Double.compare(a, b)
+    case (a: java.lang.Boolean, b) => pyCompare(java.lang.Long.valueOf(if (a) 1L else 0L), b, line)
+    case (a, b: java.lang.Boolean) => pyCompare(a, java.lang.Long.valueOf(if (b) 1L else 0L), line)
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: mutable.ArrayBuffer[Any @unchecked], b: mutable.ArrayBuffer[Any @unchecked]) =>
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = pyCompare(a(i), b(i), line)
+        if (c != 0) return c
+        i += 1
+      }
+      Integer.compare(a.length, b.length)
+    case _ => throw new PyLiteException(
+      s"'<' not supported between instances of '${typeName(l)}' and '${typeName(r)}'", line)
+  }
+
+  def typeName(v: Any): String = v match {
+    case null                 => "NoneType"
+    case _: java.lang.Boolean => "bool"
+    case _: java.lang.Long    => "int"
+    case _: java.lang.Double  => "float"
+    case _: String            => "str"
+    case _: mutable.ArrayBuffer[Any @unchecked] => "list"
+    case _: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => "dict"
+    case _: PyFunc | _: PyBuiltin => "function"
+    case _: PyType => "type"
+    case o => o.getClass.getSimpleName
+  }
+
+  /** python str(): no quotes on top-level strings. */
+  def pyStr(v: Any): String = v match {
+    case null                 => "None"
+    case b: java.lang.Boolean => if (b) "True" else "False"
+    case l: java.lang.Long    => l.toString
+    case d: java.lang.Double  => formatDouble(d)
+    case s: String            => s
+    case _ => pyRepr(v)
+  }
+
+  /** python repr(): strings quoted, containers rendered recursively. */
+  def pyRepr(v: Any): String = v match {
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case b: mutable.ArrayBuffer[Any @unchecked] => b.map(pyRepr).mkString("[", ", ", "]")
+    case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
+      m.map { case (k, x) => s"${pyRepr(k)}: ${pyRepr(x)}" }.mkString("{", ", ", "}")
+    case other => pyStr(other)
+  }
+
+  private def formatDouble(d: Double): String = {
+    if (d.isNaN) "nan"
+    else if (d.isInfinite) { if (d > 0) "inf" else "-inf" }
+    else if (d == math.rint(d) && math.abs(d) < 1e16) {
+      // python renders integral floats as "3.0"
+      val l = d.toLong
+      s"$l.0"
+    } else d.toString
+  }
+}

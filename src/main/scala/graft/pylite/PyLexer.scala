@@ -1,0 +1,165 @@
+package graft.pylite
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Indentation-aware tokenizer for PyLite.
+  *
+  * Python's block structure lives in the lexer: each physical line's
+  * leading whitespace is compared against an indent stack and emits
+  * INDENT/DEDENT tokens; newlines inside (), [], {} are implicit
+  * continuations and emit nothing. Tabs count as 8 columns (CPython's
+  * tokenizer rule) so mixed files still parse deterministically.
+  */
+object PyLexer {
+
+  sealed trait Kind
+  case object NAME extends Kind
+  case object NUM extends Kind      // integer literal
+  case object FLT extends Kind      // float literal
+  case object STR extends Kind
+  case object OP extends Kind
+  case object KW extends Kind
+  case object NEWLINE extends Kind
+  case object INDENT extends Kind
+  case object DEDENT extends Kind
+  case object EOF extends Kind
+
+  final case class Tok(kind: Kind, text: String, line: Int)
+
+  private val keywords = Set(
+    "def", "return", "if", "elif", "else", "for", "while", "in", "is",
+    "not", "and", "or", "None", "True", "False", "pass", "break",
+    "continue", "lambda", "import", "from", "class", "try", "except",
+    "raise", "with", "global", "del", "yield", "assert")
+
+  // Longest-first so '**'/'//'/'<=' win over their prefixes.
+  private val ops = Array(
+    "**", "//", "==", "!=", "<=", ">=", "+=", "-=", "*=", "/=",
+    "+", "-", "*", "/", "%", "<", ">", "=", "(", ")", "[", "]",
+    "{", "}", ",", ":", ".", ";")
+
+  def lex(src: String): Vector[Tok] = {
+    val out = ArrayBuffer[Tok]()
+    val indents = ArrayBuffer[Int](0)
+    var i = 0
+    var line = 1
+    var depth = 0            // bracket nesting: >0 suppresses NEWLINE/indent
+    var atLineStart = true
+    val n = src.length
+
+    def err(msg: String) = throw new PyLiteException(msg, line)
+
+    while (i < n) {
+      if (atLineStart && depth == 0) {
+        // Measure indentation of this physical line.
+        var col = 0
+        var j = i
+        var cont = true
+        while (cont && j < n) src.charAt(j) match {
+          case ' '  => col += 1; j += 1
+          case '\t' => col = (col / 8 + 1) * 8; j += 1
+          case _    => cont = false
+        }
+        if (j >= n || src.charAt(j) == '\n' || src.charAt(j) == '\r' || src.charAt(j) == '#') {
+          // blank or comment-only line: no tokens, no indent change
+          while (j < n && src.charAt(j) != '\n') j += 1
+          if (j < n) { j += 1; line += 1 }
+          i = j
+        } else {
+          if (col > indents.last) { indents += col; out += Tok(INDENT, "", line) }
+          else while (col < indents.last) {
+            indents.remove(indents.length - 1)
+            out += Tok(DEDENT, "", line)
+            if (col > indents.last) err("unindent does not match any outer indentation level")
+          }
+          i = j
+          atLineStart = false
+        }
+      } else {
+        val c = src.charAt(i)
+        if (c == '\n') {
+          line += 1; i += 1
+          if (depth == 0) {
+            // collapse runs of NEWLINE
+            if (out.nonEmpty && out.last.kind != NEWLINE && out.last.kind != INDENT && out.last.kind != DEDENT)
+              out += Tok(NEWLINE, "", line - 1)
+            atLineStart = true
+          }
+        } else if (c == '\r') { i += 1 }
+        else if (c == ' ' || c == '\t') { i += 1 }
+        else if (c == '#') { while (i < n && src.charAt(i) != '\n') i += 1 }
+        else if (c == '\\' && i + 1 < n && (src.charAt(i + 1) == '\n' || src.charAt(i + 1) == '\r')) {
+          // explicit line continuation
+          while (i < n && src.charAt(i) != '\n') i += 1
+          if (i < n) { i += 1; line += 1 }
+        } else if (c == '"' || c == '\'') {
+          val (s, ni, nl) = lexString(src, i, line)
+          out += Tok(STR, s, line); i = ni; line = nl
+        } else if (c.isDigit || (c == '.' && i + 1 < n && src.charAt(i + 1).isDigit)) {
+          var j = i
+          var isFloat = false
+          while (j < n && (src.charAt(j).isDigit || src.charAt(j) == '_')) j += 1
+          if (j < n && src.charAt(j) == '.') { isFloat = true; j += 1
+            while (j < n && src.charAt(j).isDigit) j += 1 }
+          if (j < n && (src.charAt(j) == 'e' || src.charAt(j) == 'E')) { isFloat = true; j += 1
+            if (j < n && (src.charAt(j) == '+' || src.charAt(j) == '-')) j += 1
+            while (j < n && src.charAt(j).isDigit) j += 1 }
+          val text = src.substring(i, j).replace("_", "")
+          out += Tok(if (isFloat) FLT else NUM, text, line)
+          i = j
+        } else if (c.isLetter || c == '_') {
+          var j = i
+          while (j < n && (src.charAt(j).isLetterOrDigit || src.charAt(j) == '_')) j += 1
+          val w = src.substring(i, j)
+          out += Tok(if (keywords(w)) KW else NAME, w, line)
+          i = j
+        } else {
+          val op = ops.find(o => src.startsWith(o, i)).getOrElse(err(s"unexpected character '$c'"))
+          if (op == "(" || op == "[" || op == "{") depth += 1
+          if (op == ")" || op == "]" || op == "}") depth = math.max(0, depth - 1)
+          out += Tok(OP, op, line)
+          i += op.length
+        }
+      }
+    }
+    if (out.nonEmpty && out.last.kind != NEWLINE) out += Tok(NEWLINE, "", line)
+    while (indents.last > 0) { indents.remove(indents.length - 1); out += Tok(DEDENT, "", line) }
+    out += Tok(EOF, "", line)
+    out.toVector
+  }
+
+  /** Single- or triple-quoted string with the escape set the reference
+    * playbooks use; returns (value, next index, next line). */
+  private def lexString(src: String, start: Int, startLine: Int): (String, Int, Int) = {
+    val q = src.charAt(start)
+    val n = src.length
+    var line = startLine
+    val triple = src.startsWith(s"$q$q$q", start)
+    var i = start + (if (triple) 3 else 1)
+    val sb = new StringBuilder
+    while (i < n) {
+      val c = src.charAt(i)
+      if (c == '\\' && i + 1 < n) {
+        src.charAt(i + 1) match {
+          case 'n'  => sb += '\n'
+          case 't'  => sb += '\t'
+          case 'r'  => sb += '\r'
+          case '\\' => sb += '\\'
+          case '\'' => sb += '\''
+          case '"'  => sb += '"'
+          case '\n' => line += 1 // escaped newline: skip
+          case other => sb += '\\' += other
+        }
+        i += 2
+      } else if (triple && src.startsWith(s"$q$q$q", i)) {
+        return (sb.toString, i + 3, line)
+      } else if (!triple && c == q) {
+        return (sb.toString, i + 1, line)
+      } else if (c == '\n') {
+        if (!triple) throw new PyLiteException("unterminated string literal", line)
+        line += 1; sb += c; i += 1
+      } else { sb += c; i += 1 }
+    }
+    throw new PyLiteException("unterminated string literal", line)
+  }
+}

@@ -1,0 +1,307 @@
+package graft
+
+import graft.pylite._
+import graft.pylite.PyInterp._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** PyLite language semantics + the four Spark steps, exercised with the
+  * reference's OWN playbook code blocks verbatim
+  * (test/examples/code-ref/{map,filter,flatMap,reduce}.py and
+  * test/examples/pfb/transform.yaml). */
+class PyLiteSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def run(code: String, method: String, args: Any*): Any =
+    new PyInterp(PyParser.compile(code, method)).call(method, args: _*)
+
+  private def dict(kv: (Any, Any)*): mutable.LinkedHashMap[Any, Any] =
+    mutable.LinkedHashMap[Any, Any](kv: _*)
+  private def list(xs: Any*): mutable.ArrayBuffer[Any] =
+    mutable.ArrayBuffer[Any](xs: _*)
+
+  // ---- language level ---------------------------------------------------
+
+  test("reference map.py: increments a dict field in place") {
+    // test/examples/code-ref/map.py, verbatim
+    val code = "def update(x):\n    x[\"value\"] = x[\"value\"] + 1\n    return x"
+    val out = run(code, "update", dict("value" -> 41L, "name" -> "alice"))
+    assert(out === dict("value" -> 42L, "name" -> "alice"))
+  }
+
+  test("reference filter.py: equality test (tab-indented source)") {
+    // filter.py is indented with a TAB
+    val code = "def filter_bob(row):\n\treturn row['name'] == \"bob\""
+    assert(run(code, "filter_bob", dict("name" -> "bob")) === java.lang.Boolean.TRUE)
+    assert(run(code, "filter_bob", dict("name" -> "alice")) === java.lang.Boolean.FALSE)
+  }
+
+  test("reference flatMap.py: nested literals, str(int()), is not None, else branch") {
+    val code =
+      """def fix(row):
+        |    out = {
+        |        "identifier":[{
+        |        "system": "https://redivis.com/datasets/ye2v-6skh7wdr7/tables",
+        |        "value":str(int(row["person_id"]))
+        |        }]
+        |    }
+        |
+        |    if(row["person_source_value"] is not None):
+        |        out["identifier"].append({
+        |        "value": row["person_source_value"],
+        |        "system": "https://redivis.com/datasets/ye2v-6skh7wdr7/tables"
+        |        })
+        |    else:
+        |        out["identifier"].append({"value": "None", "system": "https://redivis.com/datasets/ye2v-6skh7wdr7/tables"})
+        |
+        |    out["identifier"][1]["value"] =  str(out["identifier"][1]["value"]) + "_" + "None"
+        |
+        |    return out["identifier"]
+        |""".stripMargin
+    val out = run(code, "fix", dict("person_id" -> 3589912774911670272L, "person_source_value" -> 10009628L))
+      .asInstanceOf[mutable.ArrayBuffer[Any]]
+    assert(out.length === 2)
+    assert(out(0).asInstanceOf[mutable.LinkedHashMap[Any, Any]]("value") === "3589912774911670272")
+    // nested-subscript assignment target mutated element 1
+    assert(out(1).asInstanceOf[mutable.LinkedHashMap[Any, Any]]("value") === "10009628_None")
+    // the None branch
+    val out2 = run(code, "fix", dict("person_id" -> 7L, "person_source_value" -> null))
+      .asInstanceOf[mutable.ArrayBuffer[Any]]
+    assert(out2(1).asInstanceOf[mutable.LinkedHashMap[Any, Any]]("value") === "None_None")
+  }
+
+  test("reference pfb transform: recursion, isinstance, len, in, items() over nested values") {
+    // test/examples/pfb/transform.yaml lines 37-57, verbatim
+    val code =
+      """def transform(x):
+        |  if x is None:
+        |    return x
+        |  if isinstance(x, dict):
+        |      if len(x) == 1 and "string" in x:
+        |          return x["string"]
+        |      elif len(x) == 1 and "float" in x:
+        |          return x["float"]
+        |      elif len(x) == 1 and "long" in x:
+        |          return x["long"]
+        |      else:
+        |          out = {}
+        |          for i in x.items():
+        |              out[i[0]] = transform(i[1])
+        |          return out
+        |  elif isinstance(x, list):
+        |      out = []
+        |      for i in x:
+        |          out.append(transform(i))
+        |      return out
+        |  return x
+        |""".stripMargin
+    val in = dict(
+      "a" -> dict("string" -> "hello"),
+      "b" -> list(dict("long" -> 7L), dict("float" -> 1.5), null),
+      "c" -> dict("x" -> dict("string" -> "deep"), "y" -> 3L))
+    val out = run(code, "transform", in)
+    assert(out === dict(
+      "a" -> "hello",
+      "b" -> list(7L, 1.5, null),
+      "c" -> dict("x" -> "deep", "y" -> 3L)))
+  }
+
+  test("reference reduce.py merge: list concat with accumulator") {
+    val code = "def merge(x,y):\n\tx[\"proteins\"] = [x[\"PROTEIN\"]] + y[\"proteins\"]\n\treturn x"
+    val acc0 = dict("proteins" -> list())
+    val r1 = run(code, "merge", dict("COMPLEX_ID" -> "c1", "PROTEIN" -> "p1"), acc0)
+    val r2 = run(code, "merge", dict("COMPLEX_ID" -> "c1", "PROTEIN" -> "p2"), r1)
+    assert(r2.asInstanceOf[mutable.LinkedHashMap[Any, Any]]("proteins") === list("p2", "p1"))
+  }
+
+  test("arithmetic: int/float promotion, floor div/mod, division is float, ** precedence") {
+    val code =
+      """def f():
+        |  return [7 // 2, -7 // 2, 7 % 3, -7 % 3, 7 / 2, 2 ** 3 ** 1, -2 ** 2, 1.5 * 2]
+        |""".stripMargin
+    assert(run(code, "f") === list(3L, -4L, 1L, 2L, 3.5, 8L, -4L, 3.0))
+  }
+
+  test("string methods: no-arg split vs literal split, strip/join/replace/startswith") {
+    val code =
+      """def f(s):
+        |  parts = s.split()
+        |  csv = s.strip().replace("  ", " ")
+        |  return {"n": len(parts), "j": "-".join(parts), "lit": "a,,b".split(","),
+        |          "sw": s.strip().startswith("he"), "up": "a b".title()}
+        |""".stripMargin
+    val out = run(code, "f", "  hello   world  ").asInstanceOf[mutable.LinkedHashMap[Any, Any]]
+    assert(out("n") === 2L)
+    assert(out("j") === "hello-world")
+    assert(out("lit") === list("a", "", "b")) // literal split keeps empties
+    assert(out("sw") === java.lang.Boolean.TRUE)
+    assert(out("up") === "A B")
+  }
+
+  test("truthiness, and/or return operands, conditional expression, not in") {
+    val code =
+      """def f(x):
+        |  a = x or "dflt"
+        |  b = x and "set"
+        |  c = "yes" if len(a) > 3 else "no"
+        |  d = "q" not in a
+        |  return [a, b, c, d]
+        |""".stripMargin
+    assert(run(code, "f", "") === list("dflt", "", "yes", true))
+    assert(run(code, "f", "hi") === list("hi", "set", "no", true))
+  }
+
+  test("while/break/continue, augmented assignment, range") {
+    val code =
+      """def f(n):
+        |  total = 0
+        |  i = 0
+        |  while True:
+        |    i += 1
+        |    if i > n:
+        |      break
+        |    if i % 2 == 0:
+        |      continue
+        |    total += i
+        |  evens = []
+        |  for j in range(0, n + 1, 2):
+        |    evens.append(j)
+        |  return {"odd_sum": total, "evens": evens}
+        |""".stripMargin
+    val out = run(code, "f", 10L).asInstanceOf[mutable.LinkedHashMap[Any, Any]]
+    assert(out("odd_sum") === 25L)
+    assert(out("evens") === list(0L, 2L, 4L, 6L, 8L, 10L))
+  }
+
+  test("slices, negative indices, dict get/pop/update, sorted/min/max/sum") {
+    val code =
+      """def f():
+        |  xs = [3, 1, 2]
+        |  d = {"a": 1}
+        |  d.update({"b": 2})
+        |  return {"s1": "hello"[1:4], "s2": "hello"[-3:], "e": xs[-1],
+        |          "g": d.get("z", 9), "srt": sorted(xs), "mn": min(xs),
+        |          "mx": max(1, 5, 3), "sm": sum(xs), "b": d["b"]}
+        |""".stripMargin
+    val out = run(code, "f").asInstanceOf[mutable.LinkedHashMap[Any, Any]]
+    assert(out("s1") === "ell"); assert(out("s2") === "llo")
+    assert(out("e") === 2L); assert(out("g") === 9L)
+    assert(out("srt") === list(1L, 2L, 3L))
+    assert(out("mn") === 1L); assert(out("mx") === 5L); assert(out("sm") === 6L)
+  }
+
+  test("loud failures: KeyError, missing name, bad method, chained comparison, step budget") {
+    intercept[PyLiteException](run("def f(d):\n  return d[\"nope\"]", "f", dict()))
+    intercept[PyLiteException](run("def f():\n  return zzz", "f"))
+    intercept[PyLiteException](PyParser.compile("def g():\n  return 1", "other"))
+    intercept[PyLiteException](PyParser.compile("def f(a):\n  return 1 < a < 3", "f"))
+    intercept[PyLiteException](PyParser.compile("def f():\n  import os\n  return 1", "f"))
+    val budget = new PyInterp(PyParser.compile("def f():\n  while True:\n    pass", "f"), maxSteps = 10000)
+    intercept[PyLiteException](budget.call("f"))
+  }
+
+  test("int overflow raises instead of wrapping") {
+    intercept[PyLiteException](run("def f(x):\n  return x * x * x * x", "f", 3037000500L))
+  }
+
+  // ---- Spark level ------------------------------------------------------
+
+  test("mapPy: schema inference + execution matches a Column-based plan") {
+    val df = Seq((0L, "alice"), (1L, "bob"), (2L, "charlie")).toDF("value", "name")
+    val code = "def update(x):\n    x[\"value\"] = x[\"value\"] + 1\n    return x"
+    val out = PyOps.mapPy(df, code, "update")
+    assert(out.schema.fieldNames.toSeq === Seq("value", "name"))
+    assert(out.orderBy("value").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "alice"), (2L, "bob"), (3L, "charlie")))
+  }
+
+  test("filterPy keeps schema and matches the reference filter example") {
+    val df = Seq(("alice", 1L), ("bob", 2L), ("charlie", 3L)).toDF("name", "k")
+    val code = "def filter_bob(row):\n\treturn row['name'] == \"bob\""
+    val out = PyOps.filterPy(df, code, "filter_bob")
+    assert(out.schema === df.schema)
+    assert(out.collect().map(_.getString(0)).toSeq === Seq("bob"))
+  }
+
+  test("flatMapPy: one row to N rows with nested struct schema inferred") {
+    val df = Seq((3589912774911670272L, Some(10009628L)), (7L, None))
+      .toDF("person_id", "person_source_value")
+    val code =
+      """def fix(row):
+        |    out = [{"value": str(int(row["person_id"])), "n": 0}]
+        |    if row["person_source_value"] is not None:
+        |        out.append({"value": str(row["person_source_value"]), "n": 1})
+        |    return out
+        |""".stripMargin
+    val out = PyOps.flatMapPy(df, code, "fix")
+    assert(out.count() === 3)
+    assert(out.where($"n" === 1).select("value").as[String].collect().toSeq === Seq("10009628"))
+  }
+
+  test("reducePy: fold from init dict per key, reference arg order merge(row, acc)") {
+    val df = Seq(("c1", "p1"), ("c1", "p2"), ("c2", "p3"))
+      .toDF("COMPLEX_ID", "PROTEIN")
+    val code = "def merge(x,y):\n\tx[\"proteins\"] = [x[\"PROTEIN\"]] + y[\"proteins\"]\n\treturn x"
+    val out = PyOps.reducePy(df, "COMPLEX_ID", code, "merge", initJson = Some("""{"proteins": []}"""))
+    val rows = out.collect().map { r =>
+      r.getAs[String]("COMPLEX_ID") -> r.getAs[scala.collection.Seq[String]]("proteins").sorted.toSeq
+    }.toMap
+    assert(rows("c1") === Seq("p1", "p2"))
+    assert(rows("c2") === Seq("p3"))
+  }
+
+  test("schema inference unions shapes across sampled rows; missing keys are null") {
+    val df = Seq(1L, 2L, 3L).toDF("v")
+    val code =
+      """def f(x):
+        |  if x["v"] == 1:
+        |    return {"a": x["v"]}
+        |  return {"a": x["v"], "b": "extra"}
+        |""".stripMargin
+    val out = PyOps.mapPy(df, code, "f")
+    assert(out.schema.fieldNames.sorted.toSeq === Seq("a", "b"))
+    assert(out.where($"b".isNull).count() === 1)
+  }
+
+  test("a key outside the inferred/explicit schema fails the task loudly") {
+    val df = Seq(1L, 2L).toDF("v")
+    val code = "def f(x):\n  return {\"a\": x[\"v\"]}"
+    val explicit = StructType(Seq(StructField("z", LongType)))
+    val ex = intercept[Exception] {
+      PyOps.mapPy(df, code, "f", schema = Some(explicit)).collect()
+    }
+    assert(ex.getMessage.contains("output schema") || ex.getCause != null)
+  }
+
+  test("mixed-type field widens to string with deterministic rendering") {
+    val df = Seq(1L, 2L).toDF("v")
+    val code =
+      """def f(x):
+        |  if x["v"] == 1:
+        |    return {"v": x["v"], "a": 5}
+        |  return {"v": x["v"], "a": "five"}
+        |""".stripMargin
+    val out = PyOps.mapPy(df, code, "f")
+    assert(out.schema("a").dataType === StringType)
+    assert(out.orderBy("v").select("a").as[String].collect().toSeq === Seq("5", "five"))
+  }
+
+  test("bridge round-trips arrays, maps, structs, decimals and timestamps") {
+    val df = spark.sql(
+      """select array(1, 2) as arr, map('k', 1.5D) as m,
+        |       named_struct('x', 1L, 'y', 'z') as st,
+        |       cast(3.14 as decimal(5,2)) as dec,
+        |       timestamp'2026-01-02 03:04:05' as ts""".stripMargin)
+    val code = "def f(r):\n  return {\"a0\": r[\"arr\"][0], \"mk\": r[\"m\"][\"k\"], \"sx\": r[\"st\"][\"x\"], \"sy\": r[\"st\"][\"y\"], \"d\": r[\"dec\"], \"t\": r[\"ts\"]}"
+    val out = PyOps.mapPy(df, code, "f").collect().head
+    assert(out.getAs[Long]("a0") === 1L)
+    assert(out.getAs[Double]("mk") === 1.5)
+    assert(out.getAs[Long]("sx") === 1L)
+    assert(out.getAs[String]("sy") === "z")
+    assert(out.getAs[Double]("d") === 3.14)
+    assert(out.getAs[String]("t").startsWith("2026-01-02"))
+  }
+}

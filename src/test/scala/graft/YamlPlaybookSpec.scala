@@ -306,4 +306,78 @@ class YamlPlaybookSpec extends AnyFunSuite {
     val err = intercept[RuntimeException] { YamlPlaybook.load(yaml, dir.toString) }
     assert(err.getMessage.contains("out of scope"))
   }
+
+  test("gpython steps end-to-end: map ($ref + inline), filter, flatMap, reduce with init") {
+    // the code-ref harness shape (test/examples/code-ref/Pipeline.yaml +
+    // flatMappipeline.yaml): chained map blocks, a python filter, a
+    // flatMap fan-out and a keyed reduce fold — fresh data, PyLite engine
+    val dir = Files.createTempDirectory("graft_pylite_pb")
+    Files.writeString(dir.resolve("bump.py"),
+      "def update(x):\n    x[\"value\"] = x[\"value\"] + 10\n    return x\n")
+    Files.writeString(dir.resolve("keep.py"),
+      "def keep_even(row):\n    return row[\"value\"] % 2 == 0\n")
+    val yaml =
+      """name: pyliteTest
+        |inputs:
+        |  startData:
+        |    embedded:
+        |      - {"value": 0, "name": "ann", "grp": "g1"}
+        |      - {"value": 1, "name": "bob", "grp": "g1"}
+        |      - {"value": 2, "name": "cyd", "grp": "g2"}
+        |pipelines:
+        |  mapped:
+        |    - from: startData
+        |    - map:
+        |        method: update
+        |        gpython:
+        |          $ref: bump.py
+        |    - map:
+        |        method: update
+        |        gpython: |
+        |          def update(x):
+        |            x["value"] = x["value"] + 1
+        |            return x
+        |  evens:
+        |    - from: mapped
+        |    - filter:
+        |        method: keep_even
+        |        gpython:
+        |          $ref: keep.py
+        |  fanned:
+        |    - from: mapped
+        |    - flatMap:
+        |        method: fan
+        |        gpython: |
+        |          def fan(row):
+        |            out = []
+        |            for i in range(2):
+        |              out.append({"name": row["name"], "copy": i})
+        |            return out
+        |  folded:
+        |    - from: mapped
+        |    - reduce:
+        |        field: grp
+        |        method: merge
+        |        init: { "names": [] }
+        |        gpython: |
+        |          def merge(x, y):
+        |            y["grp"] = x["grp"]
+        |            y["names"] = sorted(y["names"] + [x["name"]])
+        |            return y
+        |outputs: {}
+        |""".stripMargin
+    val pb = YamlPlaybook.load(yaml, dir.toString).playbook
+    // map: 0,1,2 -> +10 -> +1 = 11,12,13
+    val mapped = pb.resolve(spark, "mapped").orderBy("value")
+      .collect().map(r => (r.getAs[String]("name"), r.getAs[Long]("value")))
+    assert(mapped.toSeq === Seq(("ann", 11L), ("bob", 12L), ("cyd", 13L)))
+    // filter keeps the single even value
+    assert(pb.resolve(spark, "evens").collect().map(_.getAs[String]("name")).toSeq === Seq("bob"))
+    // flatMap doubles every row
+    assert(pb.resolve(spark, "fanned").count() === 6)
+    // reduce folds names per grp from the init list
+    val folded = pb.resolve(spark, "folded").collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[scala.collection.Seq[String]]("names").toSeq).toMap
+    assert(folded === Map("g1" -> Seq("ann", "bob"), "g2" -> Seq("cyd")))
+  }
 }
