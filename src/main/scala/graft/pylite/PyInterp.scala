@@ -49,11 +49,18 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
 
   private final class Env(val locals: mutable.HashMap[String, Any],
                           val globalScope: mutable.HashMap[String, Any]) {
-    def lookup(n: String, line: Int): Any =
-      locals.getOrElse(n, globalScope.getOrElse(n,
-        builtinOrType(n).getOrElse(
-          throw new PyLiteException(s"name '$n' is not defined", line))))
+    // null-based fast path: getOrNull avoids the by-name-thunk allocation
+    // of getOrElse on every name reference (hottest call in the tree walk)
+    def lookup(n: String, line: Int): Any = {
+      val l = locals.getOrElse(n, NotFound)
+      if (l.asInstanceOf[AnyRef] ne NotFound) return l
+      val g = globalScope.getOrElse(n, NotFound)
+      if (g.asInstanceOf[AnyRef] ne NotFound) return g
+      builtinOrType(n).getOrElse(
+        throw new PyLiteException(s"name '$n' is not defined", line))
+    }
   }
+  private object NotFound
 
   private def tick(line: Int): Unit = {
     steps += 1
@@ -222,9 +229,35 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
   }
 
   private def numOp(op: String, l: Any, r: Any, line: Int): Any =
-    try numOp0(op, l, r, line)
-    catch { case _: ArithmeticException =>
+    try {
+      // fast path: both ints (the overwhelmingly common case in row
+      // code) — no Either boxing, no tuple
+      (l, r) match {
+        case (a: java.lang.Long, b: java.lang.Long) => intOp(op, a.longValue, b.longValue, line)
+        case _ => numOp0(op, l, r, line)
+      }
+    } catch { case _: ArithmeticException =>
       throw new PyLiteException(s"integer overflow in '$op' (PyLite ints are 64-bit, not bignum)", line) }
+
+  private def intOp(op: String, a: Long, b: Long, line: Int): Any = {
+    def zero(z: Boolean) = if (z) throw new PyLiteException("division by zero", line)
+    op match {
+      case "+"  => java.lang.Long.valueOf(Math.addExact(a, b))
+      case "-"  => java.lang.Long.valueOf(Math.subtractExact(a, b))
+      case "*"  => java.lang.Long.valueOf(Math.multiplyExact(a, b))
+      case "/"  => zero(b == 0); java.lang.Double.valueOf(a.toDouble / b.toDouble)
+      case "//" => zero(b == 0); java.lang.Long.valueOf(Math.floorDiv(a, b))
+      case "%"  => zero(b == 0); java.lang.Long.valueOf(Math.floorMod(a, b))
+      case "**" =>
+        if (b < 0) java.lang.Double.valueOf(math.pow(a.toDouble, b.toDouble))
+        else {
+          var acc = 1L; var i = 0L
+          while (i < b) { acc = Math.multiplyExact(acc, a); i += 1 }
+          java.lang.Long.valueOf(acc)
+        }
+      case other => throw new PyLiteException(s"unknown operator '$other'", line)
+    }
+  }
 
   private def numOp0(op: String, l: Any, r: Any, line: Int): Any = {
     val (ln, rn) = (asNum(l, op, line), asNum(r, op, line))
