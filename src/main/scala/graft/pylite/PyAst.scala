@@ -44,6 +44,7 @@ final case class PPass(line: Int) extends PStmt
 final case class PBreak(line: Int) extends PStmt
 final case class PContinue(line: Int) extends PStmt
 final case class PFuncDef(name: String, params: Vector[String], body: Vector[PStmt], line: Int) extends PStmt
+final case class PImport(modules: Vector[String], line: Int) extends PStmt
 
 /** A compiled module: named functions (callable from Spark tasks) plus
   * any top-level statements (run once per interpreter instantiation,

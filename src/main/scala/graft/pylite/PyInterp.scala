@@ -146,6 +146,12 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
         }
       }
     case fd: PFuncDef => env.locals(fd.name) = PyFunc(fd)
+    case PImport(mods, line) =>
+      mods.foreach {
+        case m @ "hashlib" => env.locals(m) = PyModule(m)
+        case other => throw new PyLiteException(
+          s"module '$other' is not available in PyLite (available: hashlib)", line)
+      }
   } }
 
   // ---- evaluation -------------------------------------------------------
@@ -294,7 +300,12 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
   }
 
   private def contains(container: Any, item: Any, line: Int): Boolean = container match {
-    case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => m.keys.exists(pyEq(_, item))
+    case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
+      // hash lookup first; the linear fallback only exists for python's
+      // cross-type numeric key equality (1 == 1.0)
+      m.contains(hashableKey(item, line)) ||
+        ((item.isInstanceOf[java.lang.Long] || item.isInstanceOf[java.lang.Double]) &&
+          m.keys.exists(pyEq(_, item)))
     case b: mutable.ArrayBuffer[Any @unchecked] => b.exists(pyEq(_, item))
     case s: String => item match {
       case sub: String => s.contains(sub)
@@ -393,6 +404,7 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
       arity("len", args, 1, line)
       args.head match {
         case s: String => java.lang.Long.valueOf(s.length.toLong)
+        case b: Array[Byte] => java.lang.Long.valueOf(b.length.toLong)
         case b: mutable.ArrayBuffer[Any @unchecked] => java.lang.Long.valueOf(b.length.toLong)
         case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => java.lang.Long.valueOf(m.size.toLong)
         case o => throw new PyLiteException(s"object of type '${typeName(o)}' has no len()", line)
@@ -670,7 +682,39 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
         }
         case "isdigit" => arityM(0); java.lang.Boolean.valueOf(s.nonEmpty && s.forall(_.isDigit))
         case "isalpha" => arityM(0); java.lang.Boolean.valueOf(s.nonEmpty && s.forall(_.isLetter))
+        case "encode" =>
+          arityM(0, 1)
+          args.headOption.foreach {
+            case enc: String if enc.toLowerCase(java.util.Locale.ROOT).replace("-", "") == "utf8" => ()
+            case enc => throw new PyLiteException(s"encode(): only utf-8 is supported, got ${pyRepr(enc)}", line)
+          }
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         case other => throw new PyLiteException(s"'str' object has no method '$other'", line)
+      }
+      case PyModule("hashlib") => name match {
+        // hashlib.sha1(data).hexdigest() — the cbio playbook's allele-id
+        // pattern; CPython requires bytes input and so do we
+        case "md5" | "sha1" | "sha256" | "sha512" | "sha224" | "sha384" =>
+          arityM(0, 1)
+          val h = PyHash(name)
+          args.headOption.foreach {
+            case b: Array[Byte] => h.update(b)
+            case o => throw new PyLiteException(
+              s"hashlib.$name() requires bytes (call .encode() on the string), got ${typeName(o)}", line)
+          }
+          h
+        case other => throw new PyLiteException(s"hashlib has no attribute '$other'", line)
+      }
+      case h: PyHash => name match {
+        case "hexdigest" => arityM(0); h.hexdigest
+        case "digest"    => arityM(0); h.digestBytes
+        case "update" =>
+          arityM(1)
+          args.head match {
+            case b: Array[Byte] => h.update(b); null
+            case o => throw new PyLiteException(s"update() requires bytes, got ${typeName(o)}", line)
+          }
+        case other => throw new PyLiteException(s"hash object has no method '$other'", line)
       }
       case null => throw new PyLiteException(s"'NoneType' object has no method '$name'", line)
       case o    => throw new PyLiteException(s"'${typeName(o)}' object has no method '$name'", line)
@@ -706,6 +750,21 @@ object PyInterp {
   final case class PyFunc(fd: PFuncDef)
   final case class PyBuiltin(name: String)
   final case class PyType(name: String)
+  final case class PyModule(name: String)
+
+  /** hashlib digest object (md5/sha1/sha256/...): thin wrapper over
+    * java.security.MessageDigest with CPython's hexdigest contract —
+    * digest() does not consume the accumulated state. */
+  final class PyHash(algo: String) {
+    private val md = java.security.MessageDigest.getInstance(algo match {
+      case "md5" => "MD5"; case "sha1" => "SHA-1"; case "sha224" => "SHA-224"
+      case "sha256" => "SHA-256"; case "sha384" => "SHA-384"; case "sha512" => "SHA-512"
+    })
+    def update(b: Array[Byte]): Unit = md.update(b)
+    def digestBytes: Array[Byte] = md.clone().asInstanceOf[java.security.MessageDigest].digest()
+    def hexdigest: String = digestBytes.map(b => f"$b%02x").mkString
+  }
+  object PyHash { def apply(algo: String): PyHash = new PyHash(algo) }
 
   // Control-flow signals: no stack traces captured (hot path).
   private final class ReturnEx(val value: Any) extends RuntimeException {
@@ -724,6 +783,7 @@ object PyInterp {
     case l: java.lang.Long    => l.longValue != 0L
     case d: java.lang.Double  => d.doubleValue != 0.0
     case s: String            => s.nonEmpty
+    case b: Array[Byte]       => b.nonEmpty
     case b: mutable.ArrayBuffer[Any @unchecked] => b.nonEmpty
     case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => m.nonEmpty
     case _ => true
@@ -776,8 +836,11 @@ object PyInterp {
     case _: String            => "str"
     case _: mutable.ArrayBuffer[Any @unchecked] => "list"
     case _: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => "dict"
+    case _: Array[Byte] => "bytes"
     case _: PyFunc | _: PyBuiltin => "function"
-    case _: PyType => "type"
+    case _: PyType   => "type"
+    case _: PyModule => "module"
+    case _: PyHash   => "hash"
     case o => o.getClass.getSimpleName
   }
 

@@ -59,7 +59,16 @@ private final class PyParser(toks: Vector[Tok]) {
       case "pass"     => advance(); expect(NEWLINE); PPass(line)
       case "break"    => advance(); expect(NEWLINE); PBreak(line)
       case "continue" => advance(); expect(NEWLINE); PContinue(line)
-      case kw @ ("import" | "from" | "class" | "try" | "raise" | "with" |
+      case "import" =>
+        // `import hashlib` appears in real sifter playbooks (cbio);
+        // availability of a given module is the interpreter's call
+        advance()
+        val mods = Vector.newBuilder[String]
+        mods += expect(NAME).text
+        while (accept(OP, ",")) mods += expect(NAME).text
+        expect(NEWLINE)
+        PImport(mods.result(), line)
+      case kw @ ("from" | "class" | "try" | "raise" | "with" |
                  "global" | "del" | "yield" | "assert" | "except" | "lambda") =>
         err(s"'$kw' is outside the PyLite subset (sifter playbook code blocks don't use it)")
       case other => err(s"unexpected keyword '$other'")

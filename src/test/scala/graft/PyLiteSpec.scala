@@ -198,13 +198,119 @@ class PyLiteSpec extends AnyFunSuite {
     intercept[PyLiteException](run("def f():\n  return zzz", "f"))
     intercept[PyLiteException](PyParser.compile("def g():\n  return 1", "other"))
     intercept[PyLiteException](PyParser.compile("def f(a):\n  return 1 < a < 3", "f"))
-    intercept[PyLiteException](PyParser.compile("def f():\n  import os\n  return 1", "f"))
+    // imports parse (playbooks write `import hashlib`), but a module
+    // outside the allow-list fails at execution
+    intercept[PyLiteException](run("def f():\n  import os\n  return 1", "f"))
+    intercept[PyLiteException](PyParser.compile("def f():\n  class X:\n    pass\n  return 1", "f"))
     val budget = new PyInterp(PyParser.compile("def f():\n  while True:\n    pass", "f"), maxSteps = 10000)
     intercept[PyLiteException](budget.call("f"))
   }
 
   test("int overflow raises instead of wrapping") {
     intercept[PyLiteException](run("def f(x):\n  return x * x * x * x", "f", 3037000500L))
+  }
+
+  test("cbio alleleID: import hashlib + sha1(s.encode()).hexdigest() (examples/cbio.yaml)") {
+    val code =
+      """import hashlib
+        |def alleleID(row):
+        |  s = "GRCh37" + row["Chromosome"] + str(row["Start_Position"]) + str(row["End_Position"]) + row["Reference_Allele"] + row["Tumor_Seq_Allele1"]
+        |  row["allele_id"] = "Allele:" + hashlib.sha1(s.encode()).hexdigest()
+        |  return row
+        |""".stripMargin
+    val out = run(code, "alleleID", dict(
+      "Chromosome" -> "7", "Start_Position" -> 140453136L, "End_Position" -> 140453136L,
+      "Reference_Allele" -> "A", "Tumor_Seq_Allele1" -> "T"))
+      .asInstanceOf[mutable.LinkedHashMap[Any, Any]]
+    val expected = java.security.MessageDigest.getInstance("SHA-1")
+      .digest("GRCh377140453136140453136AT".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(out("allele_id") === s"Allele:$expected")
+  }
+
+  test("cbio nodeMap: for k,v over items with not-in keep-list") {
+    val code =
+      """def nodeMap(x):
+        |  values = {}
+        |  for k, v in x.items():
+        |    if k not in ["id", "aliquot_id", "Entrez_Gene_Id"]:
+        |      values[k] = v
+        |  return {
+        |    "id": x["id"],
+        |    "aliquot_id": x["aliquot_id"],
+        |    "metric": "OTHER",
+        |    "values": values
+        |  }
+        |""".stripMargin
+    val out = run(code, "nodeMap", dict(
+      "id" -> "s1", "aliquot_id" -> "a1", "Entrez_Gene_Id" -> 7L, "TP53" -> 0.5, "KRAS" -> 1.5))
+      .asInstanceOf[mutable.LinkedHashMap[Any, Any]]
+    assert(out("metric") === "OTHER")
+    assert(out("values") === dict("TP53" -> 0.5, "KRAS" -> 1.5))
+  }
+
+  test("gdc test.py parses despite mixed tab/8-space indentation (tab = 8 cols)") {
+    val code = "def test(row):\n\trow[\"TEST\"] = \"test_string\"\n        return row\n"
+    val out = run(code, "test", dict("a" -> 1L)).asInstanceOf[mutable.LinkedHashMap[Any, Any]]
+    assert(out("TEST") === "test_string")
+  }
+
+  test("every python block in the reference repo compiles under PyLite") {
+    // parse-certification over the reference's OWN playbooks: walk
+    // test/examples + examples for gpython/python blocks and .py code
+    // files; each must lex+parse (the CLI scripts under docschema/ and
+    // gdc-scan-docker/ are dev tooling, not playbook code blocks)
+    val refRoot = java.nio.file.Paths.get("/root/reference")
+    assume(java.nio.file.Files.isDirectory(refRoot), "reference repo not present")
+    val keyRx = "^(\\s*)(?:gpython|python):\\s*\\|[-+]?\\s*$".r
+    /** YAML block-scalar extraction: after a `gpython: |` key, the code
+      * is every following line blank or indented deeper than the key. */
+    def yamlBlocks(src: String): Seq[String] = {
+      val lines = src.split("\n", -1)
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < lines.length) {
+        keyRx.findFirstMatchIn(lines(i)) match {
+          case Some(m) =>
+            val keyIndent = m.group(1).length
+            val body = Seq.newBuilder[String]
+            var j = i + 1
+            while (j < lines.length &&
+              (lines(j).trim.isEmpty || lines(j).takeWhile(_ == ' ').length > keyIndent)) {
+              body += lines(j); j += 1
+            }
+            val bl = body.result()
+            val indents = bl.filter(_.trim.nonEmpty).map(_.takeWhile(_ == ' ').length)
+            val cut = if (indents.isEmpty) 0 else indents.min
+            out += bl.map(l => if (l.length >= cut) l.substring(cut) else l).mkString("\n")
+            i = j
+          case None => i += 1
+        }
+      }
+      out.result()
+    }
+    def blocks(dir: String): Seq[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(refRoot.resolve(dir)).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .flatMap { p =>
+          val name = p.toString
+          if (name.endsWith(".py")) {
+            Seq(name -> new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+          } else if (name.endsWith(".yaml") || name.endsWith(".yml")) {
+            yamlBlocks(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+              .zipWithIndex.map { case (code, k) => s"$name#gpython$k" -> code }
+          } else Seq.empty
+        }.toSeq
+    }
+    val all = (blocks("test/examples") ++ blocks("examples"))
+      .filterNot(_._1.contains("gdc-scan-docker"))
+    assert(all.size >= 12, s"expected the reference's known code blocks, found ${all.size}")
+    val failures = all.flatMap { case (src, code) =>
+      try { PyParser.parse(code); None }
+      catch { case e: PyLiteException => Some(s"$src: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 
   // ---- Spark level ------------------------------------------------------
