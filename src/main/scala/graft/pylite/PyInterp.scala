@@ -851,16 +851,23 @@ object PyInterp {
     case l: java.lang.Long    => l.toString
     case d: java.lang.Double  => formatDouble(d)
     case s: String            => s
-    case _ => pyRepr(v)
+    case _ => pyRepr(v) // containers/bytes/others: repr form, as python
   }
 
-  /** python repr(): strings quoted, containers rendered recursively. */
+  /** python repr(): strings quoted, containers rendered recursively.
+    * Every runtime type has an explicit arm here or in the scalar set
+    * below — the default delegates only to scalars, never back to
+    * pyStr (a type missed by both would otherwise recurse forever). */
   def pyRepr(v: Any): String = v match {
     case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case b: mutable.ArrayBuffer[Any @unchecked] => b.map(pyRepr).mkString("[", ", ", "]")
     case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
       m.map { case (k, x) => s"${pyRepr(k)}: ${pyRepr(x)}" }.mkString("{", ", ", "}")
-    case other => pyStr(other)
+    case b: Array[Byte] =>
+      "b'" + b.map(c => if (c >= 0x20 && c < 0x7f && c != '\'' && c != '\\') c.toChar.toString
+                        else f"\\x$c%02x").mkString + "'"
+    case null | _: java.lang.Boolean | _: java.lang.Long | _: java.lang.Double => pyStr(v)
+    case other => s"<${typeName(other)}>"
   }
 
   private def formatDouble(d: Double): String = {
