@@ -392,7 +392,7 @@ object YamlPlaybook {
         val code = codeBlock(pipe, "map", c, resolvePath)
         val method = str(c.getOrElse("method", ""))
         require(method.nonEmpty, s"pipeline '$pipe': map needs method:")
-        df => graft.pylite.PyOps.mapPy(df, code, method)
+        df => graft.pylite.PyOps.mapPy(df, code, method, schema = ddlSchema(c))
       case "flatmap" | "flatMap" =>
         // Go's json unmarshal matches field names case-insensitively, so
         // reference playbooks spell this both ways (interface.go:71 tag
@@ -400,14 +400,15 @@ object YamlPlaybook {
         val code = codeBlock(pipe, "flatMap", c, resolvePath)
         val method = str(c.getOrElse("method", ""))
         require(method.nonEmpty, s"pipeline '$pipe': flatMap needs method:")
-        df => graft.pylite.PyOps.flatMapPy(df, code, method)
+        df => graft.pylite.PyOps.flatMapPy(df, code, method, schema = ddlSchema(c))
       case "reduce" =>
         val code = codeBlock(pipe, "reduce", c, resolvePath)
         val method = str(c.getOrElse("method", ""))
         require(method.nonEmpty, s"pipeline '$pipe': reduce needs method:")
         val keyField = str(c.getOrElse("field", ""))
         val init = c.get("init").map(i => toJsonString(asMap(i)))
-        df => graft.pylite.PyOps.reducePy(df, keyField, code, method, init)
+        df => graft.pylite.PyOps.reducePy(df, keyField, code, method, init,
+          schema = ddlSchema(c))
       case "plugin" =>
         sys.error(s"pipeline '$pipe': step 'plugin' runs an external executable — " +
           "use graft.sources.Plugin.transform from the Scala DSL, where the " +
@@ -416,6 +417,13 @@ object YamlPlaybook {
     }
     key -> fn
   }
+
+  /** Optional `schema:` DDL on python steps (an extension over the
+    * schema-free reference): at 100 TB, pinning the output schema skips
+    * the driver-side sample-inference pass and catches shape drift at
+    * load time instead of mid-job. */
+  private def ddlSchema(c: Map[String, Any]): Option[org.apache.spark.sql.types.StructType] =
+    c.get("schema").map(s => org.apache.spark.sql.types.StructType.fromDDL(str(s)))
 
   /** Resolve a `gpython:` block — inline code string or `{$ref: file}`
     * loaded relative to the playbook dir (refs/code_block.go:16-45).

@@ -395,6 +395,25 @@ class PyLiteSpec extends AnyFunSuite {
     assert(out.orderBy("v").select("a").as[String].collect().toSeq === Seq("5", "five"))
   }
 
+  test("mapPy works inside Structured Streaming (file stream, explicit schema)") {
+    // the python step is a deserialize->mapPartitions->serialize island,
+    // legal in a streaming plan; explicit schema because sample
+    // inference cannot run on an unstarted stream
+    val dir = java.nio.file.Files.createTempDirectory("pylite_stream").toString
+    Seq((1L, "a"), (2L, "b")).toDF("v", "s").write.mode("overwrite").parquet(dir)
+    val in = spark.readStream.schema("v LONG, s STRING").parquet(dir)
+    val out = PyOps.mapPy(in, "def f(x):\n  return {\"v2\": x[\"v\"] * 2, \"s\": x[\"s\"]}", "f",
+      schema = Some(StructType(Seq(StructField("v2", LongType), StructField("s", StringType)))))
+    val q = out.writeStream.format("memory").queryName("pylite_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT v2, s FROM pylite_stream_out ORDER BY v2")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === Seq((2L, "a"), (4L, "b")))
+    } finally q.stop()
+  }
+
   test("bridge round-trips arrays, maps, structs, decimals and timestamps") {
     val df = spark.sql(
       """select array(1, 2) as arr, map('k', 1.5D) as m,

@@ -380,4 +380,45 @@ class YamlPlaybookSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("grp") -> r.getAs[scala.collection.Seq[String]]("names").toSeq).toMap
     assert(folded === Map("g1" -> Seq("ann", "bob"), "g2" -> Seq("cyd")))
   }
+
+  test("map step with explicit schema: DDL pins the output shape, bad shape fails loudly") {
+    val dir = Files.createTempDirectory("graft_pylite_schema")
+    val yaml =
+      """inputs:
+        |  a:
+        |    embedded:
+        |      - {"v": 1}
+        |      - {"v": 2}
+        |pipelines:
+        |  good:
+        |    - from: a
+        |    - map:
+        |        method: f
+        |        schema: "v BIGINT, tag STRING"
+        |        gpython: |
+        |          def f(x):
+        |            x["tag"] = "t" + str(x["v"])
+        |            return x
+        |  bad:
+        |    - from: a
+        |    - map:
+        |        method: f
+        |        schema: "only_this BIGINT"
+        |        gpython: |
+        |          def f(x):
+        |            x["tag"] = "t"
+        |            return x
+        |outputs: {}
+        |""".stripMargin
+    val pb = YamlPlaybook.load(yaml, dir.toString).playbook
+    val good = pb.resolve(spark, "good")
+    assert(good.schema.map(f => f.name -> f.dataType.simpleString).toSeq ===
+      Seq("v" -> "bigint", "tag" -> "string"))
+    assert(good.orderBy("v").collect().map(_.getString(1)).toSeq === Seq("t1", "t2"))
+    // keys outside the declared schema fail the task, not silently drop
+    val err = intercept[Exception] { pb.resolve(spark, "bad").collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+    assert(chain(err).exists(m => m != null && m.contains("output schema")))
+  }
 }
