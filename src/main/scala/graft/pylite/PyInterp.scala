@@ -804,6 +804,7 @@ object PyInterp {
       a.length == b.length && a.indices.forall(i => pyEq(a(i), b(i)))
     case (a: mutable.LinkedHashMap[Any @unchecked, Any @unchecked], b: mutable.LinkedHashMap[Any @unchecked, Any @unchecked]) =>
       a.size == b.size && a.forall { case (k, v) => b.get(k).exists(pyEq(_, v)) }
+    case (a: PyType, b: PyType) => a == b // type(x) == dict
     case _ => false
   }
 

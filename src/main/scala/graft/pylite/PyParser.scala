@@ -52,13 +52,7 @@ private final class PyParser(toks: Vector[Tok]) {
     else if (at(KW, "for")) forStmt()
     else if (at(KW, "while")) whileStmt()
     else if (at(KW)) cur.text match {
-      case "return" =>
-        advance()
-        val e = if (at(NEWLINE)) None else Some(exprTop())
-        expect(NEWLINE); PReturn(e, line)
-      case "pass"     => advance(); expect(NEWLINE); PPass(line)
-      case "break"    => advance(); expect(NEWLINE); PBreak(line)
-      case "continue" => advance(); expect(NEWLINE); PContinue(line)
+      case "return" | "pass" | "break" | "continue" => smallStmt()
       case "import" =>
         // `import hashlib` appears in real sifter playbooks (cbio);
         // availability of a given module is the interpreter's call
@@ -74,6 +68,22 @@ private final class PyParser(toks: Vector[Tok]) {
       case other => err(s"unexpected keyword '$other'")
     }
     else simpleStmt()
+  }
+
+  /** One simple statement incl. the control keywords — shared by
+    * statement() and single-line blocks (`if x: return y`). */
+  private def smallStmt(): PStmt = {
+    val line = cur.line
+    if (at(KW)) cur.text match {
+      case "return" =>
+        advance()
+        val e = if (at(NEWLINE)) None else Some(exprTop())
+        expect(NEWLINE); PReturn(e, line)
+      case "pass"     => advance(); expect(NEWLINE); PPass(line)
+      case "break"    => advance(); expect(NEWLINE); PBreak(line)
+      case "continue" => advance(); expect(NEWLINE); PContinue(line)
+      case _          => simpleStmt()
+    } else simpleStmt()
   }
 
   private def simpleStmt(): PStmt = {
@@ -117,7 +127,7 @@ private final class PyParser(toks: Vector[Tok]) {
       val r = stmts.result()
       if (r.isEmpty) err("empty block")
       r
-    } else Vector(simpleStmt()) // single-line body: `if x: return y`
+    } else Vector(smallStmt()) // single-line body: `if x: return y`
   }
 
   private def ifStmt(): PStmt = {

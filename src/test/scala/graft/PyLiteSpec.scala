@@ -206,6 +206,19 @@ class PyLiteSpec extends AnyFunSuite {
     intercept[PyLiteException](budget.call("f"))
   }
 
+  test("single-line blocks take keyword statements; type(x) == dict compares true") {
+    val code =
+      """def f(x):
+        |  if x > 10: return "big"
+        |  while x < 5: x += 1
+        |  for i in range(2): pass
+        |  if type({}) == dict and type(x) == int: return x
+        |  return -1
+        |""".stripMargin
+    assert(run(code, "f", 20L) === "big")
+    assert(run(code, "f", 1L) === 5L)
+  }
+
   test("int overflow raises instead of wrapping") {
     intercept[PyLiteException](run("def f(x):\n  return x * x * x * x", "f", 3037000500L))
   }
