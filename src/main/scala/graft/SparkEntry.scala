@@ -431,10 +431,14 @@ object SparkEntry {
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars % 3 <> 0",
     "q_flatmap_py" ->
       // python str.split() == whitespace-run split of the trimmed text
+      // `a[u.i] <> ''` aligns the edge python defines away: str.split()
+      // with no args never yields empty tokens, but regex-splitting a
+      // whitespace-only string yields one '' element
       """WITH s AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\r\n]+') AS a
         |           FROM documents)
         |SELECT doc_id, u.i - 1 AS pos, a[u.i] AS tok
-        |FROM s, unnest(range(1, least(3, len(a)) + 1)) AS u(i)""".stripMargin,
+        |FROM s, unnest(range(1, least(3, len(a)) + 1)) AS u(i)
+        |WHERE a[u.i] <> ''""".stripMargin,
     "q_reduce_py" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang""".stripMargin,
