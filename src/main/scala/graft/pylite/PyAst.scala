@@ -32,6 +32,9 @@ final case class PCall(fn: PExpr, args: Vector[PExpr], line: Int) extends PExpr
 final case class PBin(op: String, l: PExpr, r: PExpr, line: Int) extends PExpr
 final case class PUn(op: String, e: PExpr, line: Int) extends PExpr
 final case class PCond(c: PExpr, t: PExpr, f: PExpr, line: Int) extends PExpr
+/** `[elem for v1[, v2] in iter if cond]` — one for-clause, optional if. */
+final case class PListComp(elem: PExpr, vars: Vector[String], iter: PExpr,
+    cond: Option[PExpr], line: Int) extends PExpr
 
 sealed trait PStmt extends Serializable { def line: Int }
 final case class PAssign(target: PExpr, op: String, value: PExpr, line: Int) extends PStmt

@@ -193,6 +193,28 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
     }
     case PUn(op, _, line) => throw new PyLiteException(s"unknown unary op '$op'", line)
     case PCond(c, t, f, _) => if (truthy(eval(c, env))) eval(t, env) else eval(f, env)
+    case PListComp(elem, vars, iterE, cond, line) =>
+      // python 3 comprehensions have their own scope: shadowed outer
+      // names are saved and restored around the loop
+      val saved = vars.map(v => v -> env.locals.get(v))
+      val out = mutable.ArrayBuffer[Any]()
+      try {
+        iterate(eval(iterE, env), line).foreach { item =>
+          tick(line)
+          if (vars.length == 1) env.locals(vars.head) = item
+          else item match {
+            case buf: mutable.ArrayBuffer[Any @unchecked] if buf.length == vars.length =>
+              vars.indices.foreach(i => env.locals(vars(i)) = buf(i))
+            case _ => throw new PyLiteException(
+              s"cannot unpack ${typeName(item)} into ${vars.length} names", line)
+          }
+          if (cond.forall(c => truthy(eval(c, env)))) out += eval(elem, env)
+        }
+      } finally saved.foreach {
+        case (v, Some(old)) => env.locals(v) = old
+        case (v, None)      => env.locals.remove(v)
+      }
+      out
   } }
 
   // ---- operators --------------------------------------------------------
@@ -493,8 +515,14 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
         java.lang.Long.valueOf(math.rint(d.doubleValue).toLong) // banker's rounding, as python
       case Vector(l: java.lang.Long) => l
       case Vector(d: java.lang.Double, nd: java.lang.Long) =>
-        val f = math.pow(10, nd.doubleValue)
-        java.lang.Double.valueOf(math.rint(d.doubleValue * f) / f)
+        // CPython rounds the EXACT binary value half-to-even at the
+        // requested decimal place (round(2.675, 2) == 2.67 because
+        // 2.675 is really 2.67499...); multiply-rint-divide gets that
+        // wrong whenever the scaling multiplication rounds up
+        if (d.isNaN || d.isInfinite) d
+        else java.lang.Double.valueOf(
+          new java.math.BigDecimal(d.doubleValue)
+            .setScale(nd.intValue, java.math.RoundingMode.HALF_EVEN).doubleValue)
       case _ => throw new PyLiteException("round() expects (number[, ndigits])", line)
     }
     case "min" | "max" =>

@@ -318,13 +318,28 @@ private final class PyParser(toks: Vector[Tok]) {
         } else { expect(OP, ")"); first }
       case OP if t.text == "[" =>
         advance()
-        val items = Vector.newBuilder[PExpr]
-        if (!at(OP, "]")) {
-          items += exprTop()
-          while (accept(OP, ",")) if (!at(OP, "]")) items += exprTop()
+        if (at(OP, "]")) { advance(); PListLit(Vector.empty, t.line) }
+        else {
+          val first = exprTop()
+          if (at(KW, "for")) { // list comprehension, single for-clause
+            advance()
+            val vars = Vector.newBuilder[String]
+            vars += expect(NAME).text
+            while (accept(OP, ",")) vars += expect(NAME).text
+            expect(KW, "in")
+            val iter = orExpr() // stop before a trailing `if`
+            val cond = if (accept(KW, "if")) Some(exprTop()) else None
+            if (at(KW, "for")) err("nested comprehension for-clauses are outside the PyLite subset")
+            expect(OP, "]")
+            PListComp(first, vars.result(), iter, cond, t.line)
+          } else {
+            val items = Vector.newBuilder[PExpr]
+            items += first
+            while (accept(OP, ",")) if (!at(OP, "]")) items += exprTop()
+            expect(OP, "]")
+            PListLit(items.result(), t.line)
+          }
         }
-        expect(OP, "]")
-        PListLit(items.result(), t.line)
       case OP if t.text == "{" =>
         advance()
         val items = Vector.newBuilder[(PExpr, PExpr)]

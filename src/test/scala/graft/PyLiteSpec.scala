@@ -326,6 +326,33 @@ class PyLiteSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("CPython differential goldens: 36 semantic cases match real python output") {
+    // src/test/resources/pylite_golden.json is generated ONCE by
+    // tools/gen_pylite_golden.py under real CPython (the same
+    // golden-row pattern the uuid5 expressions use): arithmetic incl.
+    // negative floor-div/mod, string/list/dict methods, slicing,
+    // truthiness, and/or returns, round()'s banker's rounding,
+    // conversions, isinstance, recursion
+    val url = getClass.getResource("/pylite_golden.json")
+    assert(url != null, "pylite_golden.json fixture missing")
+    val cases = PyBridge.jsonToPy(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(url.toURI)), "UTF-8"))
+      .asInstanceOf[mutable.ArrayBuffer[Any]]
+    assert(cases.length >= 36)
+    val failures = cases.flatMap { c =>
+      val m = c.asInstanceOf[mutable.LinkedHashMap[Any, Any]]
+      val name = m("name").asInstanceOf[String]
+      val args = m("args").asInstanceOf[mutable.ArrayBuffer[Any]].toSeq
+      try {
+        val got = run(m("code").asInstanceOf[String], m("method").asInstanceOf[String],
+          args.map(PyBridge.deepCopy): _*)
+        if (pyEq(got, m("expected"))) None
+        else Some(s"$name: PyLite=${pyRepr(got)} CPython=${pyRepr(m("expected"))}")
+      } catch { case e: PyLiteException => Some(s"$name: threw ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   // ---- Spark level ------------------------------------------------------
 
   test("mapPy: schema inference + execution matches a Column-based plan") {
