@@ -35,6 +35,9 @@ final case class PCond(c: PExpr, t: PExpr, f: PExpr, line: Int) extends PExpr
 /** `[elem for v1[, v2] in iter if cond]` — one for-clause, optional if. */
 final case class PListComp(elem: PExpr, vars: Vector[String], iter: PExpr,
     cond: Option[PExpr], line: Int) extends PExpr
+/** `{k: v for v1[, v2] in iter if cond}` — one for-clause, optional if. */
+final case class PDictComp(key: PExpr, value: PExpr, vars: Vector[String],
+    iter: PExpr, cond: Option[PExpr], line: Int) extends PExpr
 
 sealed trait PStmt extends Serializable { def line: Int }
 final case class PAssign(target: PExpr, op: String, value: PExpr, line: Int) extends PStmt

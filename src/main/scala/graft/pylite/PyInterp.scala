@@ -194,28 +194,38 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
     case PUn(op, _, line) => throw new PyLiteException(s"unknown unary op '$op'", line)
     case PCond(c, t, f, _) => if (truthy(eval(c, env))) eval(t, env) else eval(f, env)
     case PListComp(elem, vars, iterE, cond, line) =>
-      // python 3 comprehensions have their own scope: shadowed outer
-      // names are saved and restored around the loop
-      val saved = vars.map(v => v -> env.locals.get(v))
       val out = mutable.ArrayBuffer[Any]()
-      try {
-        iterate(eval(iterE, env), line).foreach { item =>
-          tick(line)
-          if (vars.length == 1) env.locals(vars.head) = item
-          else item match {
-            case buf: mutable.ArrayBuffer[Any @unchecked] if buf.length == vars.length =>
-              vars.indices.foreach(i => env.locals(vars(i)) = buf(i))
-            case _ => throw new PyLiteException(
-              s"cannot unpack ${typeName(item)} into ${vars.length} names", line)
-          }
-          if (cond.forall(c => truthy(eval(c, env)))) out += eval(elem, env)
-        }
-      } finally saved.foreach {
-        case (v, Some(old)) => env.locals(v) = old
-        case (v, None)      => env.locals.remove(v)
-      }
+      comprehend(vars, iterE, cond, env, line)(() => out += eval(elem, env))
+      out
+    case PDictComp(k, v, vars, iterE, cond, line) =>
+      val out = mutable.LinkedHashMap[Any, Any]()
+      comprehend(vars, iterE, cond, env, line)(() =>
+        out(hashableKey(eval(k, env), line)) = eval(v, env))
       out
   } }
+
+  /** Shared comprehension loop. python 3 comprehensions have their own
+    * scope: shadowed outer names are saved and restored around it. */
+  private def comprehend(vars: Vector[String], iterE: PExpr, cond: Option[PExpr],
+      env: Env, line: Int)(emit: () => Unit): Unit = {
+    val saved = vars.map(v => v -> env.locals.get(v))
+    try {
+      iterate(eval(iterE, env), line).foreach { item =>
+        tick(line)
+        if (vars.length == 1) env.locals(vars.head) = item
+        else item match {
+          case buf: mutable.ArrayBuffer[Any @unchecked] if buf.length == vars.length =>
+            vars.indices.foreach(i => env.locals(vars(i)) = buf(i))
+          case _ => throw new PyLiteException(
+            s"cannot unpack ${typeName(item)} into ${vars.length} names", line)
+        }
+        if (cond.forall(c => truthy(eval(c, env)))) emit()
+      }
+    } finally saved.foreach {
+      case (v, Some(old)) => env.locals(v) = old
+      case (v, None)      => env.locals.remove(v)
+    }
+  }
 
   // ---- operators --------------------------------------------------------
 

@@ -342,14 +342,29 @@ private final class PyParser(toks: Vector[Tok]) {
         }
       case OP if t.text == "{" =>
         advance()
-        val items = Vector.newBuilder[(PExpr, PExpr)]
-        if (!at(OP, "}")) {
-          def kv(): Unit = { val k = exprTop(); expect(OP, ":"); items += ((k, exprTop())) }
-          kv()
-          while (accept(OP, ",")) if (!at(OP, "}")) kv()
+        if (at(OP, "}")) { advance(); PDictLit(Vector.empty, t.line) }
+        else {
+          val k0 = exprTop(); expect(OP, ":"); val v0 = exprTop()
+          if (at(KW, "for")) { // dict comprehension
+            advance()
+            val vars = Vector.newBuilder[String]
+            vars += expect(NAME).text
+            while (accept(OP, ",")) vars += expect(NAME).text
+            expect(KW, "in")
+            val iter = orExpr()
+            val cond = if (accept(KW, "if")) Some(exprTop()) else None
+            if (at(KW, "for")) err("nested comprehension for-clauses are outside the PyLite subset")
+            expect(OP, "}")
+            PDictComp(k0, v0, vars.result(), iter, cond, t.line)
+          } else {
+            val items = Vector.newBuilder[(PExpr, PExpr)]
+            items += ((k0, v0))
+            def kv(): Unit = { val k = exprTop(); expect(OP, ":"); items += ((k, exprTop())) }
+            while (accept(OP, ",")) if (!at(OP, "}")) kv()
+            expect(OP, "}")
+            PDictLit(items.result(), t.line)
+          }
         }
-        expect(OP, "}")
-        PDictLit(items.result(), t.line)
       case _ => err(s"unexpected token '${t.text}'")
     }
   }

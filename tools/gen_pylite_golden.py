@@ -96,6 +96,9 @@ CASES = [
     ("comprehension_nested_calls",
      "def f(rows):\n  return [r['v'] for r in rows if r['v'] is not None]",
      "f", [[{"v": 1}, {"v": None}, {"v": 3}]]),
+    ("dict_comprehension",
+     "def f(d):\n  return [{k: v * 2 for k, v in d.items()}, {k: v for k, v in d.items() if v > 1}, {str(v): k for k, v in d.items()}]",
+     "f", [{"a": 1, "b": 2, "c": 3}]),
 ]
 
 out = []
