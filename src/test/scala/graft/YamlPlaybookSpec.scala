@@ -381,6 +381,36 @@ class YamlPlaybookSpec extends AnyFunSuite {
     assert(folded === Map("g1" -> Seq("ann", "bob"), "g2" -> Seq("cyd")))
   }
 
+  test("the reference's own code-ref playbooks run UNMODIFIED (incl. $ref python files)") {
+    // the strongest migration proof available: load
+    // test/examples/code-ref/{Pipeline,flatMappipeline}.yaml from the
+    // reference checkout byte-for-byte — embedded inputs, chained map
+    // blocks ($ref + inline), python filter, flatMap fan-out, keyed
+    // reduce with init — and assert the exact rows sifter produces
+    val refDir = java.nio.file.Paths.get("/root/reference/test/examples/code-ref")
+    assume(java.nio.file.Files.isDirectory(refDir), "reference repo not present")
+
+    val pb1 = YamlPlaybook.loadFile(refDir.resolve("Pipeline.yaml").toString).playbook
+    // codeTest: map($ref map.py: value+1) then inline map(value+1)
+    val got1 = pb1.resolve(spark, "codeTest").orderBy("value")
+      .collect().map(r => (r.getAs[String]("name"), r.getAs[Long]("value")))
+    assert(got1.toSeq === Seq(("alice", 2L), ("bob", 3L), ("charlie", 4L)))
+
+    val pb2 = YamlPlaybook.loadFile(refDir.resolve("flatMappipeline.yaml").toString).playbook
+    // filterpipeline: reduce.py merge per COMPLEX_ID from init {proteins: []}
+    val folded = pb2.resolve(spark, "filterpipeline").collect()
+    assert(folded.length === 3) // three distinct COMPLEX_IDs
+    folded.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("proteins").toSeq ===
+        Seq(r.getAs[String]("PROTEIN")))
+    }
+    // otherpipelines: filter.py keeps bob; flatMap.py fans to 2 identifier rows
+    val fanned = pb2.resolve(spark, "otherpipelines").collect()
+    assert(fanned.length === 2)
+    val bySystem = fanned.map(_.getAs[String]("value")).sorted
+    assert(bySystem.toSeq === Seq("-3210373572193940992", "10011398_None"))
+  }
+
   test("map step with explicit schema: DDL pins the output shape, bad shape fails loudly") {
     val dir = Files.createTempDirectory("graft_pylite_schema")
     val yaml =
