@@ -247,6 +247,8 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
         val out = mutable.ArrayBuffer[Any](); out ++= a; out ++= b; out
       case _ => numOp(op, l, r, line)
     }
+    case "%" if l.isInstanceOf[String] =>
+      PyFormat.percent(l.asInstanceOf[String], r, line)
     case "*" => (l, r) match {
       case (a: String, b: java.lang.Long) => a * math.max(0, b.toInt)
       case (a: java.lang.Long, b: String) => b * math.max(0, a.toInt)
@@ -720,6 +722,7 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
         }
         case "isdigit" => arityM(0); java.lang.Boolean.valueOf(s.nonEmpty && s.forall(_.isDigit))
         case "isalpha" => arityM(0); java.lang.Boolean.valueOf(s.nonEmpty && s.forall(_.isLetter))
+        case "format" => PyFormat.format(s, args.toIndexedSeq, line)
         case "encode" =>
           arityM(0, 1)
           args.headOption.foreach {

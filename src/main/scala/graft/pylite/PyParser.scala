@@ -308,6 +308,7 @@ private final class PyParser(toks: Vector[Tok]) {
       case KW if t.text == "False" => advance(); PBoolLit(false, t.line)
       case OP if t.text == "(" =>
         advance()
+        if (at(OP, ")")) { advance(); return PTupleLit(Vector.empty, t.line) } // ()
         val first = exprTop()
         if (at(OP, ",")) { // tuple
           val items = Vector.newBuilder[PExpr]

@@ -99,6 +99,12 @@ CASES = [
     ("dict_comprehension",
      "def f(d):\n  return [{k: v * 2 for k, v in d.items()}, {k: v for k, v in d.items() if v > 1}, {str(v): k for k, v in d.items()}]",
      "f", [{"a": 1, "b": 2, "c": 3}]),
+    ("percent_format",
+     "def f():\n  return ['%s=%d' % ('k', 7), '%s' % 'solo', '%05d' % 42, '%-6d|' % 42, '%+d %+d' % (5, -5), '%.2f' % 2.675, '%08.2f' % -3.5, '%x %X %o' % (255, 255, 8), '%r' % 'quoted', '100%% done' % (), '%s' % [1, 2], '%.3s' % 'truncate', '%e' % 12345.678]",
+     "f", []),
+    ("str_format",
+     "def f():\n  return ['{}={}'.format('k', 7), '{1}-{0}'.format('a', 'b'), '{:>6}|'.format('ab'), '{:<6}|'.format('ab'), '{:^6}|'.format('ab'), '{:*^7}|'.format('ab'), '{:05d}'.format(42), '{:+d}'.format(5), '{:.2f}'.format(2.675), '{:x}'.format(255), '{:b}'.format(5), '{{literal}}'.format(), '{:.3}'.format('truncate'), '{:08.2f}'.format(-3.5)]",
+     "f", []),
 ]
 
 out = []
