@@ -95,6 +95,26 @@ object PyLexer {
         } else if (c == '"' || c == '\'') {
           val (s, ni, nl) = lexString(src, i, line)
           out += Tok(STR, s, line); i = ni; line = nl
+        } else if ((c == 'f' || c == 'F') && i + 1 < n &&
+            (src.charAt(i + 1) == '"' || src.charAt(i + 1) == '\'')) {
+          // f-string: desugared AT LEX TIME into "<fmt>".format(e1, ...)
+          // — the format specs then go through the same CPython-golden
+          // formatter as explicit .format() calls
+          val (s, ni, nl) = lexString(src, i + 1, line)
+          val (fmt, exprs) = splitFString(s, line)
+          out += Tok(STR, fmt, line)
+          out += Tok(OP, ".", line)
+          out += Tok(NAME, "format", line)
+          out += Tok(OP, "(", line)
+          exprs.zipWithIndex.foreach { case (exprSrc, k) =>
+            if (k > 0) out += Tok(OP, ",", line)
+            val inner = lex(exprSrc).filter(t =>
+              t.kind != NEWLINE && t.kind != INDENT && t.kind != DEDENT && t.kind != EOF)
+            if (inner.isEmpty) err("empty expression in f-string")
+            inner.foreach(t => out += Tok(t.kind, t.text, line))
+          }
+          out += Tok(OP, ")", line)
+          i = ni; line = nl
         } else if (c.isDigit || (c == '.' && i + 1 < n && src.charAt(i + 1).isDigit)) {
           var j = i
           var isFloat = false
@@ -126,6 +146,53 @@ object PyLexer {
     while (indents.last > 0) { indents.remove(indents.length - 1); out += Tok(DEDENT, "", line) }
     out += Tok(EOF, "", line)
     out.toVector
+  }
+
+  /** Split an (already-unescaped) f-string body: returns the .format
+    * template (replacement fields reduced to `{[:spec]}`, literal
+    * braces kept as `{{`/`}}`) and the embedded expression sources in
+    * order. Brace/bracket/paren depth tracking lets dict literals and
+    * subscripts appear inside fields; a `:` at top depth starts the
+    * format spec; `!r`-style conversions are outside the subset. */
+  private def splitFString(s: String, line: Int): (String, Vector[String]) = {
+    val fmt = new StringBuilder
+    val exprs = Vector.newBuilder[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '{' && i + 1 < n && s.charAt(i + 1) == '{') { fmt ++= "{{"; i += 2 }
+      else if (c == '}' && i + 1 < n && s.charAt(i + 1) == '}') { fmt ++= "}}"; i += 2 }
+      else if (c == '{') {
+        var j = i + 1
+        var depth = 0
+        var colon = -1
+        var done = false
+        while (!done) {
+          if (j >= n) throw new PyLiteException("unterminated replacement field in f-string", line)
+          s.charAt(j) match {
+            case '{' | '[' | '(' => depth += 1; j += 1
+            case '}' if depth == 0 => done = true
+            case '}' | ']' | ')' => depth -= 1; j += 1
+            case ':' if depth == 0 && colon < 0 => colon = j; j += 1
+            case '!' if depth == 0 =>
+              throw new PyLiteException("f-string conversions (!r/!s/!a) are outside the PyLite subset", line)
+            case _ => j += 1
+          }
+        }
+        val exprEnd = if (colon >= 0) colon else j
+        val exprSrc = s.substring(i + 1, exprEnd).trim
+        if (exprSrc.isEmpty) throw new PyLiteException("empty expression in f-string", line)
+        exprs += exprSrc
+        fmt += '{'
+        if (colon >= 0) { fmt += ':'; fmt ++= s.substring(colon + 1, j) }
+        fmt += '}'
+        i = j + 1
+      } else if (c == '}') {
+        throw new PyLiteException("single '}' in f-string", line)
+      } else { fmt += c; i += 1 }
+    }
+    (fmt.toString, exprs.result())
   }
 
   /** Single- or triple-quoted string with the escape set the reference
