@@ -175,7 +175,9 @@ object PyLexer {
             case '}' if depth == 0 => done = true
             case '}' | ']' | ')' => depth -= 1; j += 1
             case ':' if depth == 0 && colon < 0 => colon = j; j += 1
-            case '!' if depth == 0 =>
+            case '!' if depth == 0 && j + 2 < n && "rsa".contains(s.charAt(j + 1)) &&
+                (s.charAt(j + 2) == '}' || s.charAt(j + 2) == ':') =>
+              // a conversion (`!r}`), not the `!=` operator
               throw new PyLiteException("f-string conversions (!r/!s/!a) are outside the PyLite subset", line)
             case _ => j += 1
           }
