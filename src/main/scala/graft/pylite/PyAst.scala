@@ -51,6 +51,9 @@ final case class PBreak(line: Int) extends PStmt
 final case class PContinue(line: Int) extends PStmt
 final case class PFuncDef(name: String, params: Vector[String], body: Vector[PStmt], line: Int) extends PStmt
 final case class PImport(modules: Vector[String], line: Int) extends PStmt
+/** `try: ... except[ Exception]: ...` — catch-all handler only (a named
+  * specific exception would silently catch more than python does). */
+final case class PTry(body: Vector[PStmt], handler: Vector[PStmt], line: Int) extends PStmt
 
 /** A compiled module: named functions (callable from Spark tasks) plus
   * any top-level statements (run once per interpreter instantiation,
@@ -61,6 +64,13 @@ final case class PProgram(stmts: Vector[PStmt]) extends Serializable {
     stmts.collect { case f: PFuncDef => f.name -> f }.toMap
 }
 
-/** Parse or runtime error, with the 1-based source line. */
+/** Parse or runtime error, with the 1-based source line. Catchable by
+  * a playbook's `except:` — like python exceptions. */
 final class PyLiteException(msg: String, val pyLine: Int)
+    extends RuntimeException(s"PyLite: $msg (line $pyLine)")
+
+/** Step-budget exhaustion. Deliberately NOT a [[PyLiteException]]: an
+  * `except:` handler must not be able to swallow it, or a runaway loop
+  * inside try would wedge the executor the budget exists to protect. */
+final class PyBudgetExceeded(msg: String, val pyLine: Int)
     extends RuntimeException(s"PyLite: $msg (line $pyLine)")

@@ -65,7 +65,7 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
   private def tick(line: Int): Unit = {
     steps += 1
     if (steps > maxSteps)
-      throw new PyLiteException(s"step budget exceeded ($maxSteps) — non-terminating loop?", line)
+      throw new PyBudgetExceeded(s"step budget exceeded ($maxSteps) — non-terminating loop?", line)
   }
 
   private def callValue(f: Any, args: Vector[Any], line: Int): Any = f match {
@@ -146,6 +146,11 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
         }
       }
     case fd: PFuncDef => env.locals(fd.name) = PyFunc(fd)
+    case PTry(body, handler, _) =>
+      // control-flow signals (return/break/continue) and the step
+      // budget pass through; python-level errors run the handler
+      try execBlock(body, env)
+      catch { case _: PyLiteException => execBlock(handler, env) }
     case PImport(mods, line) =>
       mods.foreach {
         case m @ "hashlib" => env.locals(m) = PyModule(m)
@@ -919,6 +924,28 @@ object PyInterp {
       // python renders integral floats as "3.0"
       val l = d.toLong
       s"$l.0"
-    } else d.toString
+    } else {
+      // java's shortest repr, re-zoned to python's thresholds: python
+      // prints positionally for 1e-4 <= |x| < 1e16 (java switches to
+      // E-notation at 1e7 / 1e-3) and pads exponents to 2 digits with
+      // an explicit sign ('1.5e+20', '1e-05')
+      val s = d.toString
+      val ei = s.indexOf('E')
+      if (ei < 0) s
+      else {
+        val exp = s.substring(ei + 1).toInt
+        if (exp >= -4 && exp < 16)
+          // stripTrailingZeros: java's "1.0E-4" mantissa would otherwise
+          // leak its placeholder zero into "0.00010"
+          new java.math.BigDecimal(s).stripTrailingZeros.toPlainString
+        else {
+          var mant = s.substring(0, ei)
+          if (mant.endsWith(".0")) mant = mant.dropRight(2)
+          val ae = math.abs(exp)
+          val digits = if (ae < 10) s"0$ae" else ae.toString
+          s"${mant}e${if (exp < 0) "-" else "+"}$digits"
+        }
+      }
+    }
   }
 }

@@ -51,6 +51,7 @@ private final class PyParser(toks: Vector[Tok]) {
     else if (at(KW, "if")) ifStmt()
     else if (at(KW, "for")) forStmt()
     else if (at(KW, "while")) whileStmt()
+    else if (at(KW, "try")) tryStmt()
     else if (at(KW)) cur.text match {
       case "return" | "pass" | "break" | "continue" => smallStmt()
       case "import" =>
@@ -62,7 +63,7 @@ private final class PyParser(toks: Vector[Tok]) {
         while (accept(OP, ",")) mods += expect(NAME).text
         expect(NEWLINE)
         PImport(mods.result(), line)
-      case kw @ ("from" | "class" | "try" | "raise" | "with" |
+      case kw @ ("from" | "class" | "raise" | "with" |
                  "global" | "del" | "yield" | "assert" | "except" | "lambda") =>
         err(s"'$kw' is outside the PyLite subset (sifter playbook code blocks don't use it)")
       case other => err(s"unexpected keyword '$other'")
@@ -158,6 +159,26 @@ private final class PyParser(toks: Vector[Tok]) {
     val it = exprTop()
     expect(OP, ":")
     PFor(vars.result(), it, block(), line)
+  }
+
+  private def tryStmt(): PStmt = {
+    val line = cur.line
+    expect(KW, "try")
+    expect(OP, ":")
+    val body = block()
+    expect(KW, "except")
+    if (at(NAME)) {
+      val n = advance().text
+      if (n != "Exception")
+        err(s"`except $n:` is outside the PyLite subset — a named filter would catch " +
+          "everything here and silently diverge from python; use bare `except:`")
+      if (at(NAME, "as") || at(KW, "as")) err("`except ... as name` is outside the PyLite subset")
+    }
+    expect(OP, ":")
+    val handler = block()
+    if (at(KW, "except") || at(NAME, "finally") || at(KW, "else"))
+      err("multiple except clauses / else / finally are outside the PyLite subset")
+    PTry(body, handler, line)
   }
 
   private def whileStmt(): PStmt = {

@@ -203,7 +203,32 @@ class PyLiteSpec extends AnyFunSuite {
     intercept[PyLiteException](run("def f():\n  import os\n  return 1", "f"))
     intercept[PyLiteException](PyParser.compile("def f():\n  class X:\n    pass\n  return 1", "f"))
     val budget = new PyInterp(PyParser.compile("def f():\n  while True:\n    pass", "f"), maxSteps = 10000)
-    intercept[PyLiteException](budget.call("f"))
+    intercept[PyBudgetExceeded](budget.call("f"))
+    // and an except: handler cannot swallow the budget — the runaway
+    // loop still fails the task
+    val sneaky = new PyInterp(PyParser.compile(
+      "def f():\n  try:\n    while True:\n      pass\n  except:\n    return 'swallowed'", "f"),
+      maxSteps = 10000)
+    intercept[PyBudgetExceeded](sneaky.call("f"))
+  }
+
+  test("try/except: defensive parse pattern; control flow passes through") {
+    val code =
+      """def parse(row):
+        |  try:
+        |    row["n"] = int(row["s"])
+        |  except:
+        |    row["n"] = None
+        |  return row
+        |""".stripMargin
+    assert(run(code, "parse", dict("s" -> "42")).asInstanceOf[mutable.LinkedHashMap[Any, Any]]("n") === 42L)
+    assert(run(code, "parse", dict("s" -> "oops")).asInstanceOf[mutable.LinkedHashMap[Any, Any]]("n") === null)
+    // return inside try is control flow, not an exception
+    val ret = "def g():\n  try:\n    return 'from_try'\n  except Exception:\n    return 'from_handler'"
+    assert(run(ret, "g") === "from_try")
+    // a named specific exception is rejected loudly at parse
+    intercept[PyLiteException](PyParser.compile(
+      "def h():\n  try:\n    pass\n  except ValueError:\n    pass", "h"))
   }
 
   test("single-line blocks take keyword statements; type(x) == dict compares true") {
@@ -326,7 +351,7 @@ class PyLiteSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("CPython differential goldens: 40 semantic cases match real python output") {
+  test("CPython differential goldens: 42 semantic cases match real python output") {
     // src/test/resources/pylite_golden.json is generated ONCE by
     // tools/gen_pylite_golden.py under real CPython (the same
     // golden-row pattern the uuid5 expressions use): arithmetic incl.
@@ -338,7 +363,7 @@ class PyLiteSpec extends AnyFunSuite {
     val cases = PyBridge.jsonToPy(
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(url.toURI)), "UTF-8"))
       .asInstanceOf[mutable.ArrayBuffer[Any]]
-    assert(cases.length >= 40)
+    assert(cases.length >= 42)
     val failures = cases.flatMap { c =>
       val m = c.asInstanceOf[mutable.LinkedHashMap[Any, Any]]
       val name = m("name").asInstanceOf[String]
