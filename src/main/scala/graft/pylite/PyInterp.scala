@@ -669,7 +669,14 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
           case Vector(sep: String) =>
             if (sep.isEmpty) throw new PyLiteException("empty separator", line)
             mutable.ArrayBuffer[Any](splitLiteral(s, sep): _*)
-          case _ => throw new PyLiteException("split() takes at most 1 string argument in PyLite", line)
+          case Vector(sep: String, max: java.lang.Long) =>
+            if (sep.isEmpty) throw new PyLiteException("empty separator", line)
+            val parts = splitLiteral(s, sep)
+            val m = max.intValue
+            if (m < 0 || m >= parts.length - 1) mutable.ArrayBuffer[Any](parts: _*)
+            else mutable.ArrayBuffer[Any](
+              (parts.take(m) :+ parts.drop(m).mkString(sep)): _*)
+          case _ => throw new PyLiteException("split() takes (sep[, maxsplit]) in PyLite", line)
         }
         case "strip"  => arityM(0, 1); stripStr(s, args, both = true, left = true, right = true, line)
         case "lstrip" => arityM(0, 1); stripStr(s, args, both = false, left = true, right = false, line)

@@ -351,7 +351,7 @@ class PyLiteSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("CPython differential goldens: 42 semantic cases match real python output") {
+  test("CPython differential goldens: 43 semantic cases match real python output") {
     // src/test/resources/pylite_golden.json is generated ONCE by
     // tools/gen_pylite_golden.py under real CPython (the same
     // golden-row pattern the uuid5 expressions use): arithmetic incl.
@@ -363,7 +363,7 @@ class PyLiteSpec extends AnyFunSuite {
     val cases = PyBridge.jsonToPy(
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(url.toURI)), "UTF-8"))
       .asInstanceOf[mutable.ArrayBuffer[Any]]
-    assert(cases.length >= 42)
+    assert(cases.length >= 43)
     val failures = cases.flatMap { c =>
       val m = c.asInstanceOf[mutable.LinkedHashMap[Any, Any]]
       val name = m("name").asInstanceOf[String]
