@@ -378,6 +378,31 @@ class PyLiteSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("fuzz: arbitrary input parses or raises PyLiteException — never hangs or leaks") {
+    // an executor wedged or killed by a MatchError from a malformed
+    // code block is the worst failure mode an embedded interpreter can
+    // have; every input must terminate in a clean parse or a clean
+    // PyLiteException
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val pieces = Array(
+      "def ", "f", "(", ")", ":", "\n", "  ", "\t", "return ", "if ", "else",
+      "elif ", "for ", "in ", "while ", "try", "except", "import ", "[", "]",
+      "{", "}", ",", ".", "=", "==", "+", "-", "*", "/", "%", "'", "\"",
+      "f'", "x", "1", "2.5", "'a'", "\"b\"", "not ", "and ", "or ", "None",
+      "True", "lambda", "#c", "@", "$", "\\", "0x", "!", "!=", "**", "...",
+      "f\"{", "}'", "'''", ":=")
+    var parsed = 0
+    (1 to 800).foreach { _ =>
+      val src = Seq.fill(rnd.nextInt(30) + 1)(pieces(rnd.nextInt(pieces.length))).mkString
+      try { PyParser.parse(src); parsed += 1 }
+      catch {
+        case _: PyLiteException => () // the contract
+        case t: Throwable => fail(s"non-PyLite failure on input ${src.take(120).replace("\n", "\\n")}: $t")
+      }
+    }
+    assert(parsed > 0) // sanity: the generator does produce some valid programs
+  }
+
   // ---- Spark level ------------------------------------------------------
 
   test("mapPy: schema inference + execution matches a Column-based plan") {
