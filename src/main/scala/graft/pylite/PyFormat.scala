@@ -29,6 +29,21 @@ object PyFormat {
   private val pctSpec = "%([-+0 #]*)(\\d+)?(?:\\.(\\d+))?([srdifeExXo%])".r
 
   def percent(fmt: String, arg: Any, line: Int): String = {
+    // every '%' must start a recognized conversion (or '%%') — a '%q'
+    // left verbatim in output would be a silent misformat where CPython
+    // raises ValueError
+    locally {
+      val starts = pctSpec.findAllMatchIn(fmt).map(_.start).toSet
+      var i = fmt.indexOf('%')
+      while (i >= 0) {
+        if (!starts.contains(i))
+          throw new PyLiteException(
+            s"unsupported format character at index $i of ${pyRepr(fmt)}", line)
+        // skip past this conversion before looking for the next '%'
+        val m = pctSpec.findPrefixMatchOf(fmt.substring(i)).get
+        i = fmt.indexOf('%', i + m.matched.length)
+      }
+    }
     val specs = pctSpec.findAllMatchIn(fmt).filter(_.group(4) != "%").length
     val args: IndexedSeq[Any] = arg match {
       case b: mutable.ArrayBuffer[Any @unchecked] =>
@@ -80,15 +95,24 @@ object PyFormat {
       case "e" | "E" =>
         // java's %e matches C/python's 2-digit-minimum exponent
         String.format(s"%.${prec.getOrElse(6)}${conv}", java.lang.Double.valueOf(asDouble))
-      case "x" => java.lang.Long.toHexString(asLong)
-      case "X" => java.lang.Long.toHexString(asLong).toUpperCase(java.util.Locale.ROOT)
-      case "o" => java.lang.Long.toOctalString(asLong)
+      case "x" => radix(asLong, 16, upper = false)
+      case "X" => radix(asLong, 16, upper = true)
+      case "o" => radix(asLong, 8, upper = false)
     }
     pad(body, flags, width, numeric = conv != "s" && conv != "r")
   }
 
   private def fixed(d: Double, prec: Int): String =
-    new java.math.BigDecimal(d).setScale(prec, java.math.RoundingMode.HALF_EVEN).toPlainString
+    if (d.isNaN) "nan"
+    else if (d.isInfinite) { if (d > 0) "inf" else "-inf" } // python '%f' % inf
+    else new java.math.BigDecimal(d).setScale(prec, java.math.RoundingMode.HALF_EVEN).toPlainString
+
+  /** python renders negative ints in radix form as '-'+magnitude, not
+    * two's complement; BigInteger also survives Long.MinValue. */
+  private def radix(a: Long, base: Int, upper: Boolean): String = {
+    val s = java.math.BigInteger.valueOf(a).toString(base)
+    if (upper) s.toUpperCase(java.util.Locale.ROOT) else s
+  }
 
   private def pad(body0: String, flags: String, width: Option[Int], numeric: Boolean): String = {
     var body = body0
@@ -160,23 +184,33 @@ object PyFormat {
         case b: java.lang.Boolean => if (b) 1L else 0L
         case o => throw new PyLiteException(s"format spec '$spec' needs an int, got ${typeName(o)}", line)
       }
+      // an empty type behaves numerically for numeric VALUES (python:
+      // '{:010}'.format(42) right-aligns and zero-pads like {:010d})
+      val numeric = typ match {
+        case ""  => v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Double]
+        case "s" => false
+        case _   => true
+      }
       var body = typ match {
         case "" | "s" => val s = pyStr(v); prec.fold(s)(p => s.take(p))
         case "d" => asLong.toString
         case "f" => fixed(asDouble, prec.getOrElse(6))
         case "e" => String.format(s"%.${prec.getOrElse(6)}e", java.lang.Double.valueOf(asDouble))
-        case "x" => java.lang.Long.toHexString(asLong)
-        case "X" => java.lang.Long.toHexString(asLong).toUpperCase(java.util.Locale.ROOT)
-        case "o" => java.lang.Long.toOctalString(asLong)
-        case "b" => java.lang.Long.toBinaryString(asLong)
+        case "x" => radix(asLong, 16, upper = false)
+        case "X" => radix(asLong, 16, upper = true)
+        case "o" => radix(asLong, 8, upper = false)
+        case "b" => radix(asLong, 2, upper = false)
       }
-      if (sign == "+" && !body.startsWith("-") && typ != "" && typ != "s") body = "+" + body
+      if (sign == "+" && numeric && !body.startsWith("-")) body = "+" + body
+      if (zero == "0" && align == null && !numeric)
+        throw new PyLiteException(
+          s"'=' alignment (the bare '0' shorthand) is not allowed for ${typeName(v)} in format spec '$spec'", line)
       val width = Option(width0).map(_.toInt).getOrElse(0)
       if (body.length >= width) body
       else {
         val fill = Option(fill0).map(_.head).getOrElse(if (zero == "0") '0' else ' ')
         val padLen = width - body.length
-        Option(align).getOrElse(if (typ != "" && typ != "s") ">" else "<") match {
+        Option(align).getOrElse(if (numeric) ">" else "<") match {
           case "<" => body + fill.toString * padLen
           case ">" =>
             if (fill == '0' && (body.startsWith("-") || body.startsWith("+")))

@@ -191,7 +191,10 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
     case PBin(op, l, r, line) => binOp(op, eval(l, env), eval(r, env), line)
     case PUn("not", x, _)     => java.lang.Boolean.valueOf(!truthy(eval(x, env)))
     case PUn("-", x, line) => eval(x, env) match {
-      case l: java.lang.Long   => java.lang.Long.valueOf(Math.negateExact(l.longValue))
+      case l: java.lang.Long   =>
+        if (l.longValue == Long.MinValue)
+          throw new PyLiteException("integer overflow in unary - (PyLite ints are 64-bit, not bignum)", line)
+        java.lang.Long.valueOf(-l.longValue)
       case d: java.lang.Double => java.lang.Double.valueOf(-d.doubleValue)
       case b: java.lang.Boolean => java.lang.Long.valueOf(if (b) -1L else 0L)
       case o => throw new PyLiteException(s"bad operand type for unary -: '${typeName(o)}'", line)
@@ -296,8 +299,10 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
       case "**" =>
         if (b < 0) java.lang.Double.valueOf(math.pow(a.toDouble, b.toDouble))
         else {
+          // ticked: a base of -1/0/1 never overflows, so without the
+          // budget a huge exponent would spin the executor forever
           var acc = 1L; var i = 0L
-          while (i < b) { acc = Math.multiplyExact(acc, a); i += 1 }
+          while (i < b) { tick(line); acc = Math.multiplyExact(acc, a); i += 1 }
           java.lang.Long.valueOf(acc)
         }
       case other => throw new PyLiteException(s"unknown operator '$other'", line)
@@ -308,21 +313,7 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
     val (ln, rn) = (asNum(l, op, line), asNum(r, op, line))
     def zero(b: Boolean) = if (b) throw new PyLiteException("division by zero", line)
     (ln, rn) match {
-      case (Left(a), Left(b)) => op match {
-        case "+"  => java.lang.Long.valueOf(Math.addExact(a, b))
-        case "-"  => java.lang.Long.valueOf(Math.subtractExact(a, b))
-        case "*"  => java.lang.Long.valueOf(Math.multiplyExact(a, b))
-        case "/"  => zero(b == 0); java.lang.Double.valueOf(a.toDouble / b.toDouble)
-        case "//" => zero(b == 0); java.lang.Long.valueOf(Math.floorDiv(a, b))
-        case "%"  => zero(b == 0); java.lang.Long.valueOf(Math.floorMod(a, b))
-        case "**" =>
-          if (b < 0) java.lang.Double.valueOf(math.pow(a.toDouble, b.toDouble))
-          else {
-            var acc = 1L; var i = 0L
-            while (i < b) { acc = Math.multiplyExact(acc, a); i += 1 }
-            java.lang.Long.valueOf(acc)
-          }
-      }
+      case (Left(a), Left(b)) => intOp(op, a, b, line) // one int path, one budget
       case _ =>
         val a = ln.fold(_.toDouble, identity)
         val b = rn.fold(_.toDouble, identity)
@@ -340,11 +331,15 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
 
   private def contains(container: Any, item: Any, line: Int): Boolean = container match {
     case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
-      // hash lookup first; the linear fallback only exists for python's
-      // cross-type numeric key equality (1 == 1.0)
-      m.contains(hashableKey(item, line)) ||
-        ((item.isInstanceOf[java.lang.Long] || item.isInstanceOf[java.lang.Double]) &&
-          m.keys.exists(pyEq(_, item)))
+      // pure hash lookup: hashableKey canonicalizes True->1 and
+      // integral floats->int, so python's cross-type key equality
+      // (d[1] == d[1.0] == d[True]) holds without a linear scan
+      m.contains(hashableKey(item, line))
+    case r: PyRange => item match {
+      case l: java.lang.Long => r.containsValue(l.longValue)
+      case d: java.lang.Double => d.doubleValue == math.rint(d.doubleValue) && r.containsValue(d.longValue)
+      case _ => false
+    }
     case b: mutable.ArrayBuffer[Any @unchecked] => b.exists(pyEq(_, item))
     case s: String => item match {
       case sub: String => s.contains(sub)
@@ -354,7 +349,27 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
   }
 
   private def iterate(v: Any, line: Int): Iterable[Any] = v match {
-    case b: mutable.ArrayBuffer[Any @unchecked] => b
+    case b: mutable.ArrayBuffer[Any @unchecked] =>
+      // by-INDEX iteration over the live buffer, python's rule: a loop
+      // body may append (sees new items) or pop (skips) — Scala's
+      // checked iterator would instead leak ConcurrentModificationEx
+      new Iterable[Any] {
+        def iterator: Iterator[Any] = new Iterator[Any] {
+          private var i = 0
+          def hasNext: Boolean = i < b.length
+          def next(): Any = { tick(line); val x = b(i); i += 1; x }
+        }
+      }
+    case r: PyRange =>
+      // ticking in next() keeps list(range(10**9)) and friends under
+      // the budget even outside a for-loop
+      new Iterable[Any] {
+        def iterator: Iterator[Any] = new Iterator[Any] {
+          private var i = r.start
+          def hasNext: Boolean = if (r.step > 0) i < r.stop else i > r.stop
+          def next(): Any = { tick(line); val x = i; i += r.step; java.lang.Long.valueOf(x) }
+        }
+      }
     case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => m.keys.toVector
     case s: String => s.map(_.toString)
     case o => throw new PyLiteException(s"'${typeName(o)}' object is not iterable", line)
@@ -379,6 +394,14 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
     case s: String => k match {
       case i: java.lang.Long => s.charAt(normIndex(i, s.length, line, "string")).toString
       case o2 => throw new PyLiteException(s"string indices must be integers, not ${typeName(o2)}", line)
+    }
+    case r: PyRange => k match {
+      case i: java.lang.Long =>
+        val len = r.length
+        val j = if (i < 0) i + len else i.longValue
+        if (j < 0 || j >= len) throw new PyLiteException("range object index out of range", line)
+        java.lang.Long.valueOf(r.start + j * r.step)
+      case o2 => throw new PyLiteException(s"range indices must be integers, not ${typeName(o2)}", line)
     }
     case null => throw new PyLiteException("'NoneType' object is not subscriptable", line)
     case o2   => throw new PyLiteException(s"'${typeName(o2)}' object is not subscriptable", line)
@@ -412,11 +435,16 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
     }
   }
 
-  // dict keys must be hashable-by-value: reject mutable containers
+  // dict keys must be hashable-by-value: reject mutable containers.
+  // Numeric keys canonicalize to Long when integral — python hashes
+  // 1, 1.0 and True identically, so d[1.0] must find d's key 1.
   private def hashableKey(k: Any, line: Int): Any = k match {
     case _: mutable.ArrayBuffer[Any @unchecked] | _: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
       throw new PyLiteException(s"unhashable type: '${typeName(k)}'", line)
-    case b: java.lang.Boolean => java.lang.Long.valueOf(if (b) 1L else 0L) // python: True == 1 as a key
+    case b: java.lang.Boolean => java.lang.Long.valueOf(if (b) 1L else 0L)
+    case d: java.lang.Double
+        if d.doubleValue == math.rint(d.doubleValue) && math.abs(d.doubleValue) < 9.2e18 =>
+      java.lang.Long.valueOf(d.longValue)
     case other => other
   }
 
@@ -446,6 +474,7 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
         case b: Array[Byte] => java.lang.Long.valueOf(b.length.toLong)
         case b: mutable.ArrayBuffer[Any @unchecked] => java.lang.Long.valueOf(b.length.toLong)
         case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => java.lang.Long.valueOf(m.size.toLong)
+        case r: PyRange => java.lang.Long.valueOf(r.length)
         case o => throw new PyLiteException(s"object of type '${typeName(o)}' has no len()", line)
       }
     case "str" =>
@@ -469,7 +498,20 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
       case d: java.lang.Double  => d
       case b: java.lang.Boolean => java.lang.Double.valueOf(if (b) 1.0 else 0.0)
       case s: String =>
-        try java.lang.Double.valueOf(java.lang.Double.parseDouble(s.trim))
+        // java's parseDouble accepts "1.5d"/"0x1.8p1"/"Infinity" —
+        // validate against PYTHON's float grammar first (inf/infinity/
+        // nan are python-legal, case-insensitive)
+        val t = s.trim
+        val lower = t.toLowerCase(java.util.Locale.ROOT)
+        val pyFloat = "[+-]?(\\d+\\.?\\d*([eE][+-]?\\d+)?|\\.\\d+([eE][+-]?\\d+)?|inf|infinity|nan)"
+        if (!lower.matches(pyFloat))
+          throw new PyLiteException(s"could not convert string to float: ${pyRepr(s)}", line)
+        val norm =
+          if (lower.endsWith("inf") || lower.endsWith("infinity"))
+            if (lower.startsWith("-")) "-Infinity" else "Infinity"
+          else if (lower.endsWith("nan")) "NaN"
+          else t
+        try java.lang.Double.valueOf(java.lang.Double.parseDouble(norm))
         catch { case _: NumberFormatException =>
           throw new PyLiteException(s"could not convert string to float: ${pyRepr(s)}", line) }
       case o => throw new PyLiteException(s"float() argument must be a string or number, not '${typeName(o)}'", line)
@@ -489,20 +531,17 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
       }
       java.lang.Boolean.valueOf(types.exists(isInstance(args.head, _)))
     case "range" =>
-      val (start, stop, step) = args match {
-        case Vector(a: java.lang.Long) => (0L, a.longValue, 1L)
-        case Vector(a: java.lang.Long, b: java.lang.Long) => (a.longValue, b.longValue, 1L)
+      // LAZY, like python's range object: materializing eagerly would
+      // OOM the executor on range(10**8) before the step budget could
+      // fail it; consumers tick per element through iterate()
+      args match {
+        case Vector(a: java.lang.Long) => PyRange(0L, a.longValue, 1L)
+        case Vector(a: java.lang.Long, b: java.lang.Long) => PyRange(a.longValue, b.longValue, 1L)
         case Vector(a: java.lang.Long, b: java.lang.Long, c: java.lang.Long) =>
           if (c.longValue == 0) throw new PyLiteException("range() arg 3 must not be zero", line)
-          (a.longValue, b.longValue, c.longValue)
+          PyRange(a.longValue, b.longValue, c.longValue)
         case _ => throw new PyLiteException("range() expects 1-3 integer arguments", line)
       }
-      val out = mutable.ArrayBuffer[Any]()
-      var i = start
-      while (if (step > 0) i < stop else i > stop) {
-        tick(line); out += java.lang.Long.valueOf(i); i += step
-      }
-      out
     case "list" =>
       if (args.isEmpty) mutable.ArrayBuffer[Any]()
       else { arity("list", args, 1, line)
@@ -805,6 +844,19 @@ object PyInterp {
   final case class PyType(name: String)
   final case class PyModule(name: String)
 
+  /** Lazy integer sequence, python's `range` object: O(1) memory, O(1)
+    * len/membership/indexing; iteration ticks the step budget. */
+  final case class PyRange(start: Long, stop: Long, step: Long) {
+    def length: Long =
+      if (step > 0) math.max(0L, (stop - start + step - 1) / step)
+      else math.max(0L, (start - stop - step - 1) / (-step))
+    def containsValue(v: Long): Boolean =
+      length > 0 && (v - start) % step == 0 && {
+        val k = (v - start) / step
+        k >= 0 && k < length
+      }
+  }
+
   /** hashlib digest object (md5/sha1/sha256/...): thin wrapper over
     * java.security.MessageDigest with CPython's hexdigest contract —
     * digest() does not consume the accumulated state. */
@@ -895,6 +947,7 @@ object PyInterp {
     case _: PyType   => "type"
     case _: PyModule => "module"
     case _: PyHash   => "hash"
+    case _: PyRange  => "range"
     case o => o.getClass.getSimpleName
   }
 
@@ -920,6 +973,9 @@ object PyInterp {
     case b: Array[Byte] =>
       "b'" + b.map(c => if (c >= 0x20 && c < 0x7f && c != '\'' && c != '\\') c.toChar.toString
                         else f"\\x$c%02x").mkString + "'"
+    case r: PyRange =>
+      if (r.step == 1) s"range(${r.start}, ${r.stop})"
+      else s"range(${r.start}, ${r.stop}, ${r.step})"
     case null | _: java.lang.Boolean | _: java.lang.Long | _: java.lang.Double => pyStr(v)
     case other => s"<${typeName(other)}>"
   }

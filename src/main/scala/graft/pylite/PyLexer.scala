@@ -121,9 +121,15 @@ object PyLexer {
           while (j < n && (src.charAt(j).isDigit || src.charAt(j) == '_')) j += 1
           if (j < n && src.charAt(j) == '.') { isFloat = true; j += 1
             while (j < n && src.charAt(j).isDigit) j += 1 }
-          if (j < n && (src.charAt(j) == 'e' || src.charAt(j) == 'E')) { isFloat = true; j += 1
-            if (j < n && (src.charAt(j) == '+' || src.charAt(j) == '-')) j += 1
-            while (j < n && src.charAt(j).isDigit) j += 1 }
+          if (j < n && (src.charAt(j) == 'e' || src.charAt(j) == 'E')) {
+            // only an exponent if digits follow — otherwise '1e' must
+            // lex as NUM(1) NAME(e), not a malformed float
+            var k = j + 1
+            if (k < n && (src.charAt(k) == '+' || src.charAt(k) == '-')) k += 1
+            var digits = 0
+            while (k < n && src.charAt(k).isDigit) { k += 1; digits += 1 }
+            if (digits > 0) { isFloat = true; j = k }
+          }
           val text = src.substring(i, j).replace("_", "")
           out += Tok(if (isFloat) FLT else NUM, text, line)
           i = j
@@ -171,6 +177,15 @@ object PyLexer {
         while (!done) {
           if (j >= n) throw new PyLiteException("unterminated replacement field in f-string", line)
           s.charAt(j) match {
+            case q @ ('\'' | '"') =>
+              // skip string literals wholesale: a ':' or brace inside
+              // f"{'a:b'}" is data, not a spec separator
+              j += 1
+              while (j < n && s.charAt(j) != q) {
+                if (s.charAt(j) == '\\' && j + 1 < n) j += 2 else j += 1
+              }
+              if (j >= n) throw new PyLiteException("unterminated string inside f-string field", line)
+              j += 1
             case '{' | '[' | '(' => depth += 1; j += 1
             case '}' if depth == 0 => done = true
             case '}' | ']' | ')' => depth -= 1; j += 1

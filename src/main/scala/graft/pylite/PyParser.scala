@@ -315,8 +315,17 @@ private final class PyParser(toks: Vector[Tok]) {
   private def atom(): PExpr = {
     val t = cur
     t.kind match {
-      case NUM  => advance(); PNum(java.lang.Long.parseLong(t.text), t.line)
-      case FLT  => advance(); PFlt(java.lang.Double.parseDouble(t.text), t.line)
+      case NUM  =>
+        advance()
+        try PNum(java.lang.Long.parseLong(t.text), t.line)
+        catch { case _: NumberFormatException =>
+          throw new PyLiteException(
+            s"integer literal '${t.text}' does not fit a 64-bit int (PyLite has no bignum)", t.line) }
+      case FLT  =>
+        advance()
+        try PFlt(java.lang.Double.parseDouble(t.text), t.line)
+        catch { case _: NumberFormatException =>
+          throw new PyLiteException(s"malformed float literal '${t.text}'", t.line) }
       case STR  =>
         advance()
         // adjacent string literal concatenation: "a" "b"

@@ -246,6 +246,29 @@ class PyLiteSpec extends AnyFunSuite {
 
   test("int overflow raises instead of wrapping") {
     intercept[PyLiteException](run("def f(x):\n  return x * x * x * x", "f", 3037000500L))
+    // unary minus on Long.MinValue raises the same PyLite overflow
+    intercept[PyLiteException](run("def f(x):\n  return -x", "f", Long.MinValue))
+  }
+
+  test("review-batch regressions: power budget, literal errors, float strictness") {
+    // 1 ** huge cannot overflow its way out of the loop — the budget
+    // (not wall-clock) must stop it
+    val p = new PyInterp(PyParser.compile("def f():\n  return 1 ** 1000000000000", "f"), maxSteps = 10000)
+    intercept[PyBudgetExceeded](p.call("f"))
+    // bignum literal and malformed float literal fail as PyLite parse
+    // errors, not raw NumberFormatException
+    intercept[PyLiteException](PyParser.parse("x = 99999999999999999999"))
+    // '1e' lexes as NUM(1) NAME(e), so the parser reports a clean
+    // syntax error rather than a raw NumberFormatException
+    intercept[PyLiteException](PyParser.parse("x = 1e"))
+    // float() rejects java-isms CPython rejects, accepts python's inf/nan
+    intercept[PyLiteException](run("def f():\n  return float('1.5d')", "f"))
+    intercept[PyLiteException](run("def f():\n  return float('0x1p3')", "f"))
+    assert(run("def f():\n  return float('inf')", "f").asInstanceOf[Double].isPosInfinity)
+    // %f of inf prints like python instead of crashing
+    assert(run("def f():\n  return '%.2f' % float('-inf')", "f") === "-inf")
+    // stray conversion raises instead of passing through
+    intercept[PyLiteException](run("def f():\n  return '%s %q' % 'a'", "f"))
   }
 
   test("cbio alleleID: import hashlib + sha1(s.encode()).hexdigest() (examples/cbio.yaml)") {
@@ -351,7 +374,7 @@ class PyLiteSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("CPython differential goldens: 43 semantic cases match real python output") {
+  test("CPython differential goldens: 45 semantic cases match real python output") {
     // src/test/resources/pylite_golden.json is generated ONCE by
     // tools/gen_pylite_golden.py under real CPython (the same
     // golden-row pattern the uuid5 expressions use): arithmetic incl.
@@ -363,7 +386,7 @@ class PyLiteSpec extends AnyFunSuite {
     val cases = PyBridge.jsonToPy(
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(url.toURI)), "UTF-8"))
       .asInstanceOf[mutable.ArrayBuffer[Any]]
-    assert(cases.length >= 43)
+    assert(cases.length >= 45)
     val failures = cases.flatMap { c =>
       val m = c.asInstanceOf[mutable.LinkedHashMap[Any, Any]]
       val name = m("name").asInstanceOf[String]
