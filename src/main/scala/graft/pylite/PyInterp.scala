@@ -894,21 +894,29 @@ object PyInterp {
     case _ => true
   }
 
-  def pyEq(l: Any, r: Any): Boolean = (l, r) match {
+  def pyEq(l: Any, r: Any): Boolean = pyEq0(l, r, 0)
+
+  private def pyEq0(l: Any, r: Any, depth: Int): Boolean = {
+    if (depth > 200)
+      throw new PyLiteException("maximum recursion depth exceeded in comparison (cyclic container?)", 1)
+    pyEq1(l, r, depth)
+  }
+
+  private def pyEq1(l: Any, r: Any, depth: Int): Boolean = (l, r) match {
     case (null, null) => true
     case (null, _) | (_, null) => false
     case (a: java.lang.Boolean, b: java.lang.Boolean) => a.booleanValue == b.booleanValue
-    case (a: java.lang.Boolean, b) => pyEq(java.lang.Long.valueOf(if (a) 1L else 0L), b)
-    case (a, b: java.lang.Boolean) => pyEq(a, java.lang.Long.valueOf(if (b) 1L else 0L))
+    case (a: java.lang.Boolean, b) => pyEq0(java.lang.Long.valueOf(if (a) 1L else 0L), b, depth + 1)
+    case (a, b: java.lang.Boolean) => pyEq0(a, java.lang.Long.valueOf(if (b) 1L else 0L), depth + 1)
     case (a: java.lang.Long, b: java.lang.Long)     => a.longValue == b.longValue
     case (a: java.lang.Long, b: java.lang.Double)   => a.doubleValue == b.doubleValue
     case (a: java.lang.Double, b: java.lang.Long)   => a.doubleValue == b.doubleValue
     case (a: java.lang.Double, b: java.lang.Double) => a.doubleValue == b.doubleValue
     case (a: String, b: String) => a == b
     case (a: mutable.ArrayBuffer[Any @unchecked], b: mutable.ArrayBuffer[Any @unchecked]) =>
-      a.length == b.length && a.indices.forall(i => pyEq(a(i), b(i)))
+      a.length == b.length && a.indices.forall(i => pyEq0(a(i), b(i), depth + 1))
     case (a: mutable.LinkedHashMap[Any @unchecked, Any @unchecked], b: mutable.LinkedHashMap[Any @unchecked, Any @unchecked]) =>
-      a.size == b.size && a.forall { case (k, v) => b.get(k).exists(pyEq(_, v)) }
+      a.size == b.size && a.forall { case (k, v) => b.get(k).exists(pyEq0(_, v, depth + 1)) }
     case (a: PyType, b: PyType) => a == b // type(x) == dict
     case _ => false
   }
@@ -964,12 +972,22 @@ object PyInterp {
   /** python repr(): strings quoted, containers rendered recursively.
     * Every runtime type has an explicit arm here or in the scalar set
     * below — the default delegates only to scalars, never back to
-    * pyStr (a type missed by both would otherwise recurse forever). */
-  def pyRepr(v: Any): String = v match {
+    * pyStr (a type missed by both would otherwise recurse forever).
+    * Self-referential containers render as python's `[...]`/`{...}`
+    * instead of overflowing the stack. */
+  def pyRepr(v: Any): String =
+    pyRepr0(v, java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]()))
+
+  private def pyRepr0(v: Any, seen: java.util.Set[AnyRef]): String = v match {
     case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    case b: mutable.ArrayBuffer[Any @unchecked] => b.map(pyRepr).mkString("[", ", ", "]")
+    case b: mutable.ArrayBuffer[Any @unchecked] =>
+      if (!seen.add(b)) "[...]"
+      else try b.map(pyRepr0(_, seen)).mkString("[", ", ", "]") finally seen.remove(b)
     case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
-      m.map { case (k, x) => s"${pyRepr(k)}: ${pyRepr(x)}" }.mkString("{", ", ", "}")
+      if (!seen.add(m)) "{...}"
+      else try m.map { case (k, x) => s"${pyRepr0(k, seen)}: ${pyRepr0(x, seen)}" }
+        .mkString("{", ", ", "}") finally seen.remove(m)
     case b: Array[Byte] =>
       "b'" + b.map(c => if (c >= 0x20 && c < 0x7f && c != '\'' && c != '\\') c.toChar.toString
                         else f"\\x$c%02x").mkString + "'"

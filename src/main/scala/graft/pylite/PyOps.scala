@@ -339,16 +339,22 @@ object PyBridge {
     case other => throw new PyLiteException(s"unsupported JSON value: ${other.getClass}", 1)
   }
 
-  def deepCopy(v: Any): Any = v match {
-    case b: mutable.ArrayBuffer[Any @unchecked] =>
-      val out = mutable.ArrayBuffer[Any]()
-      b.foreach(x => out += deepCopy(x))
-      out
-    case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
-      val out = mutable.LinkedHashMap[Any, Any]()
-      m.foreach { case (k, x) => out(k) = deepCopy(x) }
-      out
-    case other => other // scalars are immutable
+  def deepCopy(v: Any): Any = deepCopy0(v, 0)
+
+  private def deepCopy0(v: Any, depth: Int): Any = {
+    if (depth > 200)
+      throw new PyLiteException("maximum recursion depth exceeded copying a container (cyclic?)", 1)
+    v match {
+      case b: mutable.ArrayBuffer[Any @unchecked] =>
+        val out = mutable.ArrayBuffer[Any]()
+        b.foreach(x => out += deepCopy0(x, depth + 1))
+        out
+      case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
+        val out = mutable.LinkedHashMap[Any, Any]()
+        m.foreach { case (k, x) => out(k) = deepCopy0(x, depth + 1) }
+        out
+      case other => other // scalars are immutable
+    }
   }
 
   // ---- inference --------------------------------------------------------

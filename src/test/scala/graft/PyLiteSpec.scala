@@ -401,6 +401,13 @@ class PyLiteSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("self-referential containers: str() renders [...] like python; == raises cleanly") {
+    assert(run("def f():\n  x = [1]\n  x.append(x)\n  return str(x)", "f") === "[1, [...]]")
+    assert(run("def f():\n  d = {}\n  d['self'] = d\n  return str(d)", "f") === "{'self': {...}}")
+    intercept[PyLiteException](
+      run("def f():\n  x = [1]\n  x.append(x)\n  y = [1]\n  y.append(y)\n  return x == y", "f"))
+  }
+
   test("fuzz: arbitrary input parses or raises PyLiteException — never hangs or leaks") {
     // an executor wedged or killed by a MatchError from a malformed
     // code block is the worst failure mode an embedded interpreter can
