@@ -285,16 +285,22 @@ object PyBridge {
 
   /** Deterministic JSON rendering for container values that landed in a
     * string-typed column (inference widened a mixed field). */
-  def toJson(v: Any): String = v match {
-    case null                 => "null"
-    case b: java.lang.Boolean => if (b) "true" else "false"
-    case l: java.lang.Long    => l.toString
-    case d: java.lang.Double  => if (d.doubleValue == math.rint(d.doubleValue) && math.abs(d) < 1e15) s"${d.longValue}.0" else d.toString
-    case s: String            => jsonQuote(s)
-    case b: mutable.ArrayBuffer[Any @unchecked] => b.map(toJson).mkString("[", ",", "]")
-    case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
-      m.map { case (k, x) => s"${jsonQuote(pyStr(k))}:${toJson(x)}" }.mkString("{", ",", "}")
-    case other => jsonQuote(pyStr(other))
+  def toJson(v: Any): String = toJson0(v, 0)
+
+  private def toJson0(v: Any, depth: Int): String = {
+    if (depth > 200)
+      throw new PyLiteException("maximum recursion depth exceeded rendering JSON (cyclic container?)", 1)
+    v match {
+      case null                 => "null"
+      case b: java.lang.Boolean => if (b) "true" else "false"
+      case l: java.lang.Long    => l.toString
+      case d: java.lang.Double  => if (d.doubleValue == math.rint(d.doubleValue) && math.abs(d) < 1e15) s"${d.longValue}.0" else d.toString
+      case s: String            => jsonQuote(s)
+      case b: mutable.ArrayBuffer[Any @unchecked] => b.map(toJson0(_, depth + 1)).mkString("[", ",", "]")
+      case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
+        m.map { case (k, x) => s"${jsonQuote(pyStr(k))}:${toJson0(x, depth + 1)}" }.mkString("{", ",", "}")
+      case other => jsonQuote(pyStr(other))
+    }
   }
 
   private def jsonQuote(s: String): String = {
@@ -359,27 +365,33 @@ object PyBridge {
 
   // ---- inference --------------------------------------------------------
 
-  def inferStruct(d: mutable.LinkedHashMap[Any, Any]): StructType = {
-    val fields = d.map {
-      case (k: String, v) => StructField(k, inferType(v), nullable = true)
-      case (k, _) => throw new PyLiteException(
-        s"dict with non-string key ${pyRepr(k)} cannot become a row; pass an explicit schema (MapType)", 1)
-    }
-    StructType(fields.toSeq)
-  }
+  def inferStruct(d: mutable.LinkedHashMap[Any, Any]): StructType =
+    inferType0(d, 0).asInstanceOf[StructType]
 
-  def inferType(v: Any): DataType = v match {
-    case null                 => NullType
-    case _: java.lang.Boolean => BooleanType
-    case _: java.lang.Long    => LongType
-    case _: java.lang.Double  => DoubleType
-    case _: String            => StringType
-    case _: Array[Byte]       => BinaryType
-    case b: mutable.ArrayBuffer[Any @unchecked] =>
-      val et = if (b.isEmpty) NullType else b.map(inferType).reduce(mergeTypes)
-      ArrayType(if (et == NullType) StringType else et, containsNull = true)
-    case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => inferStruct(m)
-    case other => throw new PyLiteException(s"cannot infer a Spark type for ${typeName(other)}", 1)
+  def inferType(v: Any): DataType = inferType0(v, 0)
+
+  private def inferType0(v: Any, depth: Int): DataType = {
+    if (depth > 100)
+      throw new PyLiteException("maximum nesting depth exceeded inferring a schema (cyclic container?)", 1)
+    v match {
+      case null                 => NullType
+      case _: java.lang.Boolean => BooleanType
+      case _: java.lang.Long    => LongType
+      case _: java.lang.Double  => DoubleType
+      case _: String            => StringType
+      case _: Array[Byte]       => BinaryType
+      case b: mutable.ArrayBuffer[Any @unchecked] =>
+        val et = if (b.isEmpty) NullType else b.map(inferType0(_, depth + 1)).reduce(mergeTypes)
+        ArrayType(if (et == NullType) StringType else et, containsNull = true)
+      case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
+        val fields = m.map {
+          case (k: String, x) => StructField(k, inferType0(x, depth + 1), nullable = true)
+          case (k, _) => throw new PyLiteException(
+            s"dict with non-string key ${pyRepr(k)} cannot become a row; pass an explicit schema (MapType)", 1)
+        }
+        StructType(fields.toSeq)
+      case other => throw new PyLiteException(s"cannot infer a Spark type for ${typeName(other)}", 1)
+    }
   }
 
   def mergeStructs(a: StructType, b: StructType): StructType = {
