@@ -902,9 +902,22 @@ object PyInterp {
     pyEq1(l, r, depth)
   }
 
+  // canonical dict-key form, mirroring hashableKey (True == 1 == 1.0)
+  private def canonKey(k: Any): Any = k match {
+    case b: java.lang.Boolean => java.lang.Long.valueOf(if (b) 1L else 0L)
+    case d: java.lang.Double
+        if d.doubleValue == math.rint(d.doubleValue) && math.abs(d.doubleValue) < 9.2e18 =>
+      java.lang.Long.valueOf(d.longValue)
+    case other => other
+  }
+
   private def pyEq1(l: Any, r: Any, depth: Int): Boolean = (l, r) match {
     case (null, null) => true
     case (null, _) | (_, null) => false
+    // identity fast path, CPython's PyObject_RichCompareBool rule:
+    // makes x == x on a cyclic container True instead of recursing
+    case (a: AnyRef, b: AnyRef) if (a eq b) &&
+        (a.isInstanceOf[mutable.ArrayBuffer[_]] || a.isInstanceOf[mutable.LinkedHashMap[_, _]]) => true
     case (a: java.lang.Boolean, b: java.lang.Boolean) => a.booleanValue == b.booleanValue
     case (a: java.lang.Boolean, b) => pyEq0(java.lang.Long.valueOf(if (a) 1L else 0L), b, depth + 1)
     case (a, b: java.lang.Boolean) => pyEq0(a, java.lang.Long.valueOf(if (b) 1L else 0L), depth + 1)
@@ -916,25 +929,36 @@ object PyInterp {
     case (a: mutable.ArrayBuffer[Any @unchecked], b: mutable.ArrayBuffer[Any @unchecked]) =>
       a.length == b.length && a.indices.forall(i => pyEq0(a(i), b(i), depth + 1))
     case (a: mutable.LinkedHashMap[Any @unchecked, Any @unchecked], b: mutable.LinkedHashMap[Any @unchecked, Any @unchecked]) =>
-      a.size == b.size && a.forall { case (k, v) => b.get(k).exists(pyEq0(_, v, depth + 1)) }
+      a.size == b.size && a.forall { case (k, v) => b.get(canonKey(k)).exists(pyEq0(_, v, depth + 1)) }
     case (a: PyType, b: PyType) => a == b // type(x) == dict
     case _ => false
   }
 
-  def pyCompare(l: Any, r: Any, line: Int): Int = (l, r) match {
+  def pyCompare(l: Any, r: Any, line: Int): Int = pyCompare0(l, r, line, 0)
+
+  private def pyCompare0(l: Any, r: Any, line: Int, depth: Int): Int = {
+    if (depth > 200)
+      throw new PyLiteException("maximum recursion depth exceeded in ordering comparison (cyclic container?)", line)
+    pyCompare1(l, r, line, depth)
+  }
+
+  private def pyCompare1(l: Any, r: Any, line: Int, depth: Int): Int = (l, r) match {
     case (a: java.lang.Long, b: java.lang.Long)     => java.lang.Long.compare(a, b)
     case (a: java.lang.Long, b: java.lang.Double)   => java.lang.Double.compare(a.doubleValue, b)
     case (a: java.lang.Double, b: java.lang.Long)   => java.lang.Double.compare(a, b.doubleValue)
     case (a: java.lang.Double, b: java.lang.Double) => java.lang.Double.compare(a, b)
-    case (a: java.lang.Boolean, b) => pyCompare(java.lang.Long.valueOf(if (a) 1L else 0L), b, line)
-    case (a, b: java.lang.Boolean) => pyCompare(a, java.lang.Long.valueOf(if (b) 1L else 0L), line)
+    case (a: java.lang.Boolean, b) => pyCompare0(java.lang.Long.valueOf(if (a) 1L else 0L), b, line, depth + 1)
+    case (a, b: java.lang.Boolean) => pyCompare0(a, java.lang.Long.valueOf(if (b) 1L else 0L), line, depth + 1)
     case (a: String, b: String) => a.compareTo(b)
     case (a: mutable.ArrayBuffer[Any @unchecked], b: mutable.ArrayBuffer[Any @unchecked]) =>
       val n = math.min(a.length, b.length)
       var i = 0
       while (i < n) {
-        val c = pyCompare(a(i), b(i), line)
-        if (c != 0) return c
+        // identity skip mirrors pyEq: shared/cyclic elements are equal
+        if (!(a(i).asInstanceOf[AnyRef] eq b(i).asInstanceOf[AnyRef])) {
+          val c = pyCompare0(a(i), b(i), line, depth + 1)
+          if (c != 0) return c
+        }
         i += 1
       }
       Integer.compare(a.length, b.length)
@@ -975,18 +999,28 @@ object PyInterp {
     * pyStr (a type missed by both would otherwise recurse forever).
     * Self-referential containers render as python's `[...]`/`{...}`
     * instead of overflowing the stack. */
-  def pyRepr(v: Any): String =
-    pyRepr0(v, java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]()))
+  def pyRepr(v: Any): String = v match {
+    // scalar fast path: no seen-set allocation on the hot per-row
+    // paths ('%r', error messages) unless a container is involved
+    case _: mutable.ArrayBuffer[Any @unchecked] | _: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
+      pyRepr0(v, java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]()), 0)
+    case other => pyRepr0(other, null, 0)
+  }
 
-  private def pyRepr0(v: Any, seen: java.util.Set[AnyRef]): String = v match {
+  private def pyRepr0(v: Any, seen: java.util.Set[AnyRef], depth: Int): String = {
+    // depth cap besides the cycle set: 100k DISTINCT nested lists are
+    // acyclic but would still blow the JVM stack
+    if (depth > 200)
+      throw new PyLiteException("maximum recursion depth exceeded in repr (deeply nested container)", 1)
+    v match {
     case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case b: mutable.ArrayBuffer[Any @unchecked] =>
       if (!seen.add(b)) "[...]"
-      else try b.map(pyRepr0(_, seen)).mkString("[", ", ", "]") finally seen.remove(b)
+      else try b.map(pyRepr0(_, seen, depth + 1)).mkString("[", ", ", "]") finally seen.remove(b)
     case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
       if (!seen.add(m)) "{...}"
-      else try m.map { case (k, x) => s"${pyRepr0(k, seen)}: ${pyRepr0(x, seen)}" }
+      else try m.map { case (k, x) => s"${pyRepr0(k, seen, depth + 1)}: ${pyRepr0(x, seen, depth + 1)}" }
         .mkString("{", ", ", "}") finally seen.remove(m)
     case b: Array[Byte] =>
       "b'" + b.map(c => if (c >= 0x20 && c < 0x7f && c != '\'' && c != '\\') c.toChar.toString
@@ -996,7 +1030,7 @@ object PyInterp {
       else s"range(${r.start}, ${r.stop}, ${r.step})"
     case null | _: java.lang.Boolean | _: java.lang.Long | _: java.lang.Double => pyStr(v)
     case other => s"<${typeName(other)}>"
-  }
+  } }
 
   private def formatDouble(d: Double): String = {
     if (d.isNaN) "nan"

@@ -406,6 +406,14 @@ class PyLiteSpec extends AnyFunSuite {
     assert(run("def f():\n  d = {}\n  d['self'] = d\n  return str(d)", "f") === "{'self': {...}}")
     intercept[PyLiteException](
       run("def f():\n  x = [1]\n  x.append(x)\n  y = [1]\n  y.append(y)\n  return x == y", "f"))
+    // identity fast path: x == x on a cyclic container is True (CPython)
+    assert(run("def f():\n  x = [1]\n  x.append(x)\n  return x == x", "f") === java.lang.Boolean.TRUE)
+    // ordering on cyclic lists raises cleanly, not StackOverflowError
+    intercept[PyLiteException](
+      run("def f():\n  x = [1]\n  x.append(x)\n  y = [1]\n  y.append(y)\n  return x < y", "f"))
+    // deeply nested ACYCLIC container: repr raises cleanly too
+    intercept[PyLiteException](
+      run("def f():\n  x = []\n  i = 0\n  while i < 5000:\n    x = [x]\n    i += 1\n  return str(x)", "f"))
   }
 
   test("fuzz: arbitrary input parses or raises PyLiteException — never hangs or leaks") {
