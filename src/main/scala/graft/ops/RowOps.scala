@@ -202,10 +202,15 @@ object RowOps {
     val srcs = copies.map(_._2)
     // one row per key: the reference loads the lookup file into a map,
     // so duplicate keys collapse to one value — without this a dup key
-    // would MULTIPLY matching probe rows through the left join
-    val lk = lookup.select(rightKey.as("__lk_key") +:
+    // would MULTIPLY matching probe rows through the left join.
+    // Winner rule: lexicographically-greatest value tuple (deterministic
+    // across runs/partitionings, unlike dropDuplicates' arbitrary row).
+    val projected = lookup.select(rightKey.as("__lk_key") +:
       srcs.zipWithIndex.map { case (s, i) => lookup(s).as(s"__lk_src_$i") }: _*)
-      .dropDuplicates("__lk_key")
+    val packed = struct(srcs.indices.map(i => col(s"__lk_src_$i")): _*)
+    val lk = projected.groupBy(col("__lk_key")).agg(max(packed).as("__lk_row"))
+      .select(col("__lk_key") +:
+        srcs.indices.map(i => col(s"__lk_row.__lk_src_$i").as(s"__lk_src_$i")): _*)
     val joined = df.join(broadcast(lk), leftKey === col("__lk_key"), "left")
     copies.zipWithIndex.foldLeft(joined) { case (d, ((dst, _), i)) =>
       d.withColumn(dst, col(s"__lk_src_$i"))
@@ -218,7 +223,8 @@ object RowOps {
   def lookupReplace(df: DataFrame, lookup: DataFrame, field: String,
       rightKey: String, rightValue: String): DataFrame = {
     val lk = lookup.select(col(rightKey).as("__lk_key"), col(rightValue).as("__lk_val"))
-      .dropDuplicates("__lk_key") // map semantics — see lookupCopy
+      // map semantics, deterministic winner (greatest value) — see lookupCopy
+      .groupBy("__lk_key").agg(max(col("__lk_val")).as("__lk_val"))
     df.join(broadcast(lk), df(field) === col("__lk_key"), "left")
       .withColumn(field, coalesce(col("__lk_val"), col(field)))
       .drop("__lk_key", "__lk_val")
@@ -234,11 +240,18 @@ object RowOps {
   private def litMap(lookup: DataFrame, keyCol: String, valCol: String): Column = {
     val rows = lookup
       .select(col(keyCol).cast("string"), col(valCol).cast("string")).collect()
-    require(rows.length <= 100000,
+    require(rows.length <= 10000,
       s"lookup table too large for a literal map (${rows.length} rows); " +
         "use the join-based lookupReplace/lookupCopy")
-    map(rows.toIndexedSeq.flatMap(r =>
-      Seq(lit(r.getString(0)), lit(r.getString(1)))): _*)
+    // dup keys collapse to the greatest value — same deterministic winner
+    // rule as lookupCopy/lookupReplace (map() would throw on duplicates);
+    // null keys/values can't live in a map literal and a null-keyed entry
+    // can never match an element lookup anyway
+    val deduped = rows.toIndexedSeq
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .groupMapReduce(_.getString(0))(_.getString(1))((a, b) => if (a >= b) a else b)
+      .toIndexedSeq.sortBy(_._1)
+    map(deduped.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
   }
 
   /** `lookup:` with `replace:` over an ARRAY field — each element is

@@ -487,10 +487,16 @@ object YamlPlaybook {
       val (lk, k, v) = lookupTable(df.sparkSession)
       RowOps.lookupReplace(df, lk, replace, k,
         if (v.nonEmpty) v else lk.columns.find(_ != k).getOrElse(v))
-    } else if (copy.nonEmpty) { df =>
-      val (lk, k, _) = lookupTable(df.sparkSession)
-      val leftKey = colTemplate(str(c.getOrElse("lookup", "")))
-      RowOps.lookupCopy(df, lk, leftKey, col(k), copy.toSeq: _*)
+    } else if (copy.nonEmpty) {
+      // loud load-time failure: an absent/empty `lookup:` template would
+      // otherwise join every row on "" and silently attach nothing
+      val tpl = str(c.getOrElse("lookup", ""))
+      if (tpl.isEmpty)
+        sys.error(s"pipeline '$pipe': lookup copy needs a non-empty `lookup:` key template")
+      df => {
+        val (lk, k, _) = lookupTable(df.sparkSession)
+        RowOps.lookupCopy(df, lk, colTemplate(tpl), col(k), copy.toSeq: _*)
+      }
     } else sys.error(s"pipeline '$pipe': lookup needs replace: or copy:")
   }
 

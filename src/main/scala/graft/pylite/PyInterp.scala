@@ -371,8 +371,29 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
         }
       }
     case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => m.keys.toVector
-    case s: String => s.map(_.toString)
+    case s: String =>
+      // by codepoint, like python — never yields surrogate halves
+      s.codePoints().toArray.toIndexedSeq.map(cp => new String(Character.toChars(cp)))
     case o => throw new PyLiteException(s"'${typeName(o)}' object is not iterable", line)
+  }
+
+  // ---- codepoint-correct string helpers ---------------------------------
+  // CPython counts CHARACTERS (codepoints): len("🙂") == 1, "🙂"[0] is the
+  // whole emoji. Java Strings are UTF-16, so every length/index/slice on a
+  // string goes through these instead of charAt/substring, which would
+  // count astral-plane characters as 2 and split surrogate pairs.
+
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  private def cpSubstring(s: String, from: Int, until: Int): String = {
+    val a = s.offsetByCodePoints(0, from)
+    val b = s.offsetByCodePoints(a, math.max(0, until - from))
+    s.substring(a, b)
+  }
+
+  private def cpAt(s: String, i: Int): String = {
+    val a = s.offsetByCodePoints(0, i)
+    new String(Character.toChars(s.codePointAt(a)))
   }
 
   // ---- subscripts and slices --------------------------------------------
@@ -392,7 +413,7 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
       case o2 => throw new PyLiteException(s"list indices must be integers, not ${typeName(o2)}", line)
     }
     case s: String => k match {
-      case i: java.lang.Long => s.charAt(normIndex(i, s.length, line, "string")).toString
+      case i: java.lang.Long => cpAt(s, normIndex(i, cpLen(s), line, "string"))
       case o2 => throw new PyLiteException(s"string indices must be integers, not ${typeName(o2)}", line)
     }
     case r: PyRange => k match {
@@ -429,8 +450,9 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
         val s = bound(lo, 0, b.length); val e = bound(hi, b.length, b.length)
         mutable.ArrayBuffer[Any](b.slice(s, math.max(s, e)).toSeq: _*)
       case s: String =>
-        val st = bound(lo, 0, s.length); val e = bound(hi, s.length, s.length)
-        s.substring(st, math.max(st, e))
+        val n = cpLen(s)
+        val st = bound(lo, 0, n); val e = bound(hi, n, n)
+        cpSubstring(s, st, math.max(st, e))
       case x => throw new PyLiteException(s"'${typeName(x)}' object is not sliceable", line)
     }
   }
@@ -470,7 +492,7 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
     case "len" =>
       arity("len", args, 1, line)
       args.head match {
-        case s: String => java.lang.Long.valueOf(s.length.toLong)
+        case s: String => java.lang.Long.valueOf(cpLen(s).toLong)
         case b: Array[Byte] => java.lang.Long.valueOf(b.length.toLong)
         case b: mutable.ArrayBuffer[Any @unchecked] => java.lang.Long.valueOf(b.length.toLong)
         case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => java.lang.Long.valueOf(m.size.toLong)
@@ -744,12 +766,15 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
           case o => throw new PyLiteException(s"endswith() argument must be str, not ${typeName(o)}", line)
         }
         case "find" => arityM(1); args.head match {
-          case p: String => java.lang.Long.valueOf(s.indexOf(p).toLong)
+          case p: String =>
+            // python reports a CHARACTER index, not a UTF-16 offset
+            val i = s.indexOf(p)
+            java.lang.Long.valueOf(if (i < 0) -1L else s.codePointCount(0, i).toLong)
           case o => throw new PyLiteException(s"find() argument must be str, not ${typeName(o)}", line)
         }
         case "count" => arityM(1); args.head match {
           case p: String =>
-            if (p.isEmpty) java.lang.Long.valueOf((s.length + 1).toLong)
+            if (p.isEmpty) java.lang.Long.valueOf((cpLen(s) + 1).toLong)
             else {
               var c = 0L; var i = s.indexOf(p)
               while (i >= 0) { c += 1; i = s.indexOf(p, i + p.length) }
@@ -765,7 +790,7 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
           parts.mkString(s)
         case "zfill" => arityM(1); args.head match {
           case w: java.lang.Long =>
-            val pad = w.toInt - s.length
+            val pad = w.toInt - cpLen(s)
             if (pad <= 0) s
             else if (s.startsWith("-") || s.startsWith("+")) s.head.toString + ("0" * pad) + s.tail
             else ("0" * pad) + s

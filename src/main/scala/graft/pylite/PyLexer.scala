@@ -130,7 +130,18 @@ object PyLexer {
             while (k < n && src.charAt(k).isDigit) { k += 1; digits += 1 }
             if (digits > 0) { isFloat = true; j = k }
           }
-          val text = src.substring(i, j).replace("_", "")
+          val raw = src.substring(i, j)
+          // CPython's rule: underscores only singly, BETWEEN digits —
+          // 1_0 lexes, but 1_, 1__0, 1_.5 are invalid decimal literals
+          var k2 = 0
+          while (k2 < raw.length) {
+            if (raw.charAt(k2) == '_' &&
+                (k2 == 0 || !raw.charAt(k2 - 1).isDigit ||
+                  k2 + 1 >= raw.length || !raw.charAt(k2 + 1).isDigit))
+              err(s"invalid decimal literal '$raw'")
+            k2 += 1
+          }
+          val text = raw.replace("_", "")
           out += Tok(if (isFloat) FLT else NUM, text, line)
           i = j
         } else if (c.isLetter || c == '_') {
@@ -224,17 +235,32 @@ object PyLexer {
     while (i < n) {
       val c = src.charAt(i)
       if (c == '\\' && i + 1 < n) {
-        src.charAt(i + 1) match {
-          case 'n'  => sb += '\n'
-          case 't'  => sb += '\t'
-          case 'r'  => sb += '\r'
-          case '\\' => sb += '\\'
-          case '\'' => sb += '\''
-          case '"'  => sb += '"'
-          case '\n' => line += 1 // escaped newline: skip
-          case other => sb += '\\' += other
+        // \x/\u/\U hex escapes carry their own width (CPython rules:
+        // exactly 2/4/8 hex digits, short runs are a SyntaxError)
+        def hexEscape(width: Int): Unit = {
+          val h = src.substring(i + 2, math.min(n, i + 2 + width))
+          if (h.length < width || !h.forall(ch => Character.digit(ch, 16) >= 0))
+            throw new PyLiteException(
+              s"truncated \\${src.charAt(i + 1)}$h escape", line)
+          val cp = java.lang.Integer.parseInt(h, 16)
+          if (cp > 0x10FFFF)
+            throw new PyLiteException(s"illegal Unicode character \\U$h", line)
+          sb ++= new String(Character.toChars(cp))
+          i += 2 + width
         }
-        i += 2
+        src.charAt(i + 1) match {
+          case 'n'  => sb += '\n'; i += 2
+          case 't'  => sb += '\t'; i += 2
+          case 'r'  => sb += '\r'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case '\'' => sb += '\''; i += 2
+          case '"'  => sb += '"'; i += 2
+          case 'x'  => hexEscape(2)
+          case 'u'  => hexEscape(4)
+          case 'U'  => hexEscape(8)
+          case '\n' => line += 1; i += 2 // escaped newline: skip
+          case other => sb += '\\' += other; i += 2
+        }
       } else if (triple && src.startsWith(s"$q$q$q", i)) {
         return (sb.toString, i + 3, line)
       } else if (!triple && c == q) {

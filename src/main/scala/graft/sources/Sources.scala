@@ -241,7 +241,10 @@ object Sources {
         val df = inner(spark, p.toString)
         val withName = storeFilename.fold(df)(c => df.withColumn(c, lit(p.getName)))
         storeFilepath.fold(withName)(c => withName.withColumn(c, lit(p.toString)))
-      }.reduce(_ unionByName _)
+      // allowMissingColumns: per-file schema inference (NDJSON with
+      // optional fields) must union like one multi-file scan would —
+      // fields absent in a file null-fill instead of AnalysisException
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 

@@ -374,7 +374,7 @@ class PyLiteSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("CPython differential goldens: 45 semantic cases match real python output") {
+  test("CPython differential goldens: 46 semantic cases match real python output") {
     // src/test/resources/pylite_golden.json is generated ONCE by
     // tools/gen_pylite_golden.py under real CPython (the same
     // golden-row pattern the uuid5 expressions use): arithmetic incl.
@@ -386,7 +386,7 @@ class PyLiteSpec extends AnyFunSuite {
     val cases = PyBridge.jsonToPy(
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(url.toURI)), "UTF-8"))
       .asInstanceOf[mutable.ArrayBuffer[Any]]
-    assert(cases.length >= 45)
+    assert(cases.length >= 46)
     val failures = cases.flatMap { c =>
       val m = c.asInstanceOf[mutable.LinkedHashMap[Any, Any]]
       val name = m("name").asInstanceOf[String]
@@ -399,6 +399,24 @@ class PyLiteSpec extends AnyFunSuite {
       } catch { case e: PyLiteException => Some(s"$name: threw ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("numeric underscores: 1_000 lexes; 1_, 1__0, 1_.5 raise like CPython") {
+    assert(run("def f():\n  return 1_000 + 2_5", "f") === java.lang.Long.valueOf(1025L))
+    for (bad <- Seq("1_", "1__0", "1_.5", "_1" /* lexes as a NAME → undefined */ ))
+      intercept[PyLiteException](run(s"def f():\n  return $bad", "f"))
+  }
+
+  test("astral-plane strings: len/index/slice/iterate count codepoints, not UTF-16 units") {
+    val s = "😀é🚀z" // 😀é🚀z — 4 chars, 6 UTF-16 units
+    assert(run("def f(s):\n  return len(s)", "f", s) === java.lang.Long.valueOf(4L))
+    assert(run("def f(s):\n  return s[0]", "f", s) === "😀")
+    assert(run("def f(s):\n  return s[-1]", "f", s) === "z")
+    assert(run("def f(s):\n  return s[1:3]", "f", s) === "é🚀")
+    assert(run("def f(s):\n  return [c for c in s]", "f", s)
+      .asInstanceOf[mutable.ArrayBuffer[Any]].toSeq ===
+      Seq("😀", "é", "🚀", "z"))
+    assert(run("def f(s):\n  return s.find('z')", "f", s) === java.lang.Long.valueOf(3L))
   }
 
   test("self-referential containers: str() renders [...] like python; == raises cleanly") {
