@@ -25,6 +25,15 @@ object SparkEntry {
   private val profiledCols =
     Seq("repo", "path", "commit", "lang", "content", "content_sha256")
 
+  /** Committed raw-file fixtures for the SOURCE oracles — the one thing
+    * parquet tables can't exercise is the file parsers themselves
+    * (tabular_load.go's comment/rowSkip/pad semantics, NDJSON schema
+    * union). Resolved relative to the repo root so both the Spark
+    * reader and the DuckDB oracle SQL (which re-derives the semantics
+    * from raw lines) see the same bytes. */
+  private val fixturesDir =
+    new java.io.File("fixtures/src_oracle").getAbsolutePath
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -81,6 +90,28 @@ object SparkEntry {
       DriftCheck.psi(f, length(col("content")), col("doc_id") % 2 === 0,
         FileRules.drift.bucketWidth)
     }),
+
+    // ---- sources over raw fixture files (SURVEY.md §2.1) ----
+    "q_table_src" -> ((s, _) =>
+      // sep/comment/rowSkip/header/short-row-"" semantics of the
+      // sequential reader (tabular_load.go:88-135)
+      sources.Sources.table(s, s"$fixturesDir/table_src.tsv",
+        sources.Sources.TableSpec(rowSkip = 1)).select("id", "name", "score")),
+    "q_table_native" -> ((s, _) =>
+      // the splittable native-CSV fast path (comment + header, nulls
+      // for empty/missing fields)
+      sources.Sources.tableNative(s, s"$fixturesDir/table_native.tsv")
+        .select("id", "name", "score")),
+    "q_ndjson_src" -> ((s, _) =>
+      // NDJSON schema inference: optional fields null-fill
+      sources.Sources.ndjson(s, s"$fixturesDir/ndjson_src.ndjson")
+        .select("id", "name", "opt", "val")),
+    "q_glob_src" -> ((s, _) =>
+      // glob + storeFilename: per-file reads union with null-filled
+      // missing fields (files have heterogeneous key sets)
+      sources.Sources.glob(s, s"$fixturesDir/glob/*.ndjson",
+        sources.Sources.ndjson(_, _), storeFilename = Some("src_file"))
+        .select("id", "tag", "w", "extra", "src_file")),
 
     // ---- sifter operator inventory (SURVEY.md §2.2-2.4) ----
     "q_project" -> ((s, d) => {
@@ -399,6 +430,34 @@ object SparkEntry {
     "v_profile" -> DuckSql.vProfile(profiledCols),
     "v_drift_ks" -> DuckSql.vDriftKs,
     "v_drift_psi" -> DuckSql.vDriftPsi,
+    // source oracles re-derive the parse semantics from RAW LINES (this
+    // DuckDB predates read_csv's `comment` param): comment lines dropped
+    // BEFORE records are numbered, rowSkip counts post-comment records,
+    // header is the first post-skip record, short rows pad with ""
+    "q_table_src" ->
+      s"""WITH lines AS (
+         |  SELECT line, row_number() OVER () - 1 AS rec
+         |  FROM (SELECT column0 AS line FROM read_csv('$fixturesDir/table_src.tsv',
+         |        delim=E'\\x01', header=false, all_varchar=true, quote='', escape=''))
+         |  WHERE line NOT LIKE '#%'
+         |)
+         |SELECT COALESCE(f[1],'') AS id, COALESCE(f[2],'') AS name, COALESCE(f[3],'') AS score
+         |FROM (SELECT string_split(line, E'\\t') AS f FROM lines WHERE rec > 1)""".stripMargin,
+    "q_table_native" ->
+      // native path: empty/missing fields are NULL (Spark CSV nullValue)
+      s"""WITH lines AS (
+         |  SELECT line, row_number() OVER () - 1 AS rec
+         |  FROM (SELECT column0 AS line FROM read_csv('$fixturesDir/table_native.tsv',
+         |        delim=E'\\x01', header=false, all_varchar=true, quote='', escape=''))
+         |  WHERE line NOT LIKE '#%'
+         |)
+         |SELECT NULLIF(f[1],'') AS id, NULLIF(f[2],'') AS name, NULLIF(f[3],'') AS score
+         |FROM (SELECT string_split(line, E'\\t') AS f FROM lines WHERE rec > 0)""".stripMargin,
+    "q_ndjson_src" ->
+      s"SELECT id, name, opt, val FROM read_json_auto('$fixturesDir/ndjson_src.ndjson')",
+    "q_glob_src" ->
+      s"""SELECT id, tag, w, extra, regexp_extract(filename, '[^/]+$$') AS src_file
+         |FROM read_json_auto('$fixturesDir/glob/*.ndjson', filename=true)""".stripMargin,
     "q_project" ->
       """SELECT n_nationkey AS id, 'nation:' || n_name AS label,
         |printf('key=%d region=%d', n_nationkey, n_regionkey) AS descr FROM nation""".stripMargin,
