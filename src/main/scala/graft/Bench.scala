@@ -44,12 +44,14 @@ object Bench {
     // a failed query must stay visible in the output (a swallowed error
     // would masquerade as a suspiciously fast timing): elapsed time is
     // NEGATED on failure and the name lands in an `errors` array.
-    // Each query is timed across TWO full passes and the per-query MIN
-    // kept: this sandbox's effective CPU fluctuates ~2x run-to-run
-    // (identical code measured 49.5s and 80.8s totals back-to-back), and
-    // minima are the standard way to report compute-bound timings under
-    // noisy neighbors — the second pass also cannot hide real cost,
-    // because nothing is cached between passes (no .persist here).
+    // Each query is timed across THREE full passes, per-query MIN kept,
+    // and the per-query SPREAD (max/min over succeeding passes) reported
+    // alongside: this sandbox's effective CPU fluctuates ~2x run-to-run
+    // (identical code measured 49.5s and 80.8s totals back-to-back), so
+    // minima are the comparable number and the spread field is what says
+    // whether a round-over-round delta is signal or tenancy noise.
+    // Nothing is cached between passes (no .persist here), so later
+    // passes cannot hide real cost.
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -60,16 +62,15 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         (name, if (ok) dt else -dt)
       }
-    val (p1, p2) = (pass(), pass())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
-      // min over the passes that SUCCEEDED; both failed -> negative
-      (n, (a > 0, b > 0) match {
-        case (true, true)   => math.min(a, b)
-        case (true, false)  => a
-        case (false, true)  => b
-        case (false, false) => -math.min(-a, -b)
-      })
+    val passes = Seq(pass(), pass(), pass())
+    val byQuery = passes.transpose.map { samples =>
+      val name = samples.head._1
+      val oks = samples.map(_._2).filter(_ > 0)
+      if (oks.nonEmpty) (name, oks.min, oks.max / oks.min)
+      else (name, -samples.map(s => -s._2).min, 1.0)
     }
+    val results = byQuery.map { case (n, t, _) => (n, t) }
+    val spreads = byQuery.map { case (n, _, s) => (n, s) }
     val errors = results.collect { case (n, t) if t < 0 => n }
 
     // recall@10 of the approximate ANN queries vs the exact baseline
@@ -88,11 +89,13 @@ object Bench {
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     val rc = recall.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(r => math.abs(r._2)).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$rc,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"recall":$rc,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,12 +52,7 @@ object SparkEntry {
     val sh = Dedup.withWordShingles(augDocs(s, d), "text")
       .select(col("doc_id"), col("shingles"))
     val cand = Dedup.lshCandidatePairs(Dedup.withMinhashSignature(sh), "doc_id")
-    cand
-      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
-      .withColumn("jaccard", Dedup.jaccardCol(col("sa"), col("sb")))
-      .filter(col("jaccard") >= 0.8)
-      .select("id_a", "id_b", "jaccard")
+    Dedup.verifyPairs(sh, cand, 0.8)
   }
 
   /** Flagship: full verdict grid of the validation engine on sf0.001. */

@@ -23,16 +23,33 @@ object Main {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "inspect" :: Nil => inspect()
+    case "inspect-yaml" :: pb :: params => inspectYaml(pb, params)
     case "run" :: files :: out :: Nil => run(files, out)
     case "run-yaml" :: pb :: params => runYaml(pb, params)
     case _ =>
       System.err.println(
         """usage:
           |  graft.cli.Main inspect
+          |  graft.cli.Main inspect-yaml <playbook.yaml> [param=value ...]
           |  graft.cli.Main run <filesParquet> <outRoot>
           |  graft.cli.Main run-yaml <playbook.yaml> [param=value ...]""".stripMargin)
       sys.exit(2)
   }
+
+  /** `sifter inspect playbook.yaml` analog: required params + resolved
+    * output paths as JSON, statically (no Spark session, no execution —
+    * cmd/inspect/main.go:18-78). */
+  def inspectYaml(playbookPath: String, params: Seq[String]): Unit =
+    println(graft.pipeline.YamlPlaybook.inspectFile(playbookPath,
+      parseParams(params)))
+
+  private def parseParams(params: Seq[String]): Map[String, String] =
+    params.map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case _ => sys.error(s"bad param '$kv' (expected k=v)")
+      }
+    }.toMap
 
   def inspect(): Unit = {
     println("input schema:")
@@ -82,12 +99,7 @@ object Main {
 
   /** `sifter run playbook.yaml -p k=v` analog. */
   def runYaml(playbookPath: String, params: Seq[String]): Unit = {
-    val overrides = params.map { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) => k -> v
-        case _ => sys.error(s"bad param '$kv' (expected k=v)")
-      }
-    }.toMap
+    val overrides = parseParams(params)
     val preexisting = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isDefined
     val spark = graft.GraftSession

@@ -265,6 +265,48 @@ object Dedup {
         size(array_intersect(a, b)).cast("double") /
           size(array_union(a, b)).cast("double"), 6))
 
+  /** Exact Jaccard verification of LSH candidate pairs against their
+    * shingle sets, shaped to shuffle as few array bytes as possible —
+    * the shingle arrays are the widest thing in the dedup job and this
+    * join is where a naive plan moves them twice for every candidate:
+    *
+    *  1. Semi-join the shingle table down to CANDIDATE ids first — at
+    *     corpus scale candidates are a vanishing fraction of docs, so
+    *     the array-carrying side of the verify join shrinks from
+    *     |corpus| to |candidate ids| before anything wide shuffles.
+    *  2. Ids+sizes-only prefilter: J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)
+    *     / max(|A|,|B|), so a pair whose shingle-count ratio is below
+    *     the threshold can NEVER verify — it is dropped after two
+    *     integer-only joins, without ever touching an array. This is an
+    *     exact bound (unlike a minhash-estimate filter), so the output
+    *     is bit-identical to verifying every candidate.
+    *  3. Only surviving pairs join the real arrays and compute
+    *     [[jaccardCol]].
+    *
+    * `cand` must have columns id_a/id_b; `sh` columns doc_id/shingles. */
+  def verifyPairs(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    // no .distinct() — a semi join dedups its build side internally,
+    // and the extra shuffle costs a whole stage of latency
+    val ids = cand.select(col("id_a").as("doc_id"))
+      .unionAll(cand.select(col("id_b").as("doc_id")))
+    // candidate ids are tiny next to the corpus → Spark broadcasts the
+    // semi join, so the corpus-wide array table shrinks without a
+    // shuffle; above the broadcast threshold AQE falls back to a
+    // shuffled semi join of (id) vs arrays — still arrays×1, not ×2
+    val shc = sh.join(ids, Seq("doc_id"), "left_semi")
+    cand
+      .join(shc.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
+      .join(shc.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
+      // size-ratio guard first: J ≤ min|A|,|B| / max|A|,|B|, so hopeless
+      // pairs never pay the O(n log n) intersect/union — a scalar
+      // comparison inside the same codegen stage, no extra joins
+      .filter(least(size(col("sa")), size(col("sb"))).cast("double") >=
+        greatest(size(col("sa")), size(col("sb"))).cast("double") * lit(threshold))
+      .withColumn("jaccard", jaccardCol(col("sa"), col("sb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Near-dup CLUSTERS from a verified pair list: connected components
     * by iterative min-label propagation — label(x) := min(label(x),
     * min over neighbors' labels) until fixpoint. Output: one row per
@@ -370,12 +412,7 @@ object Dedup {
       .select(col(idCol).as("doc_id"), col("shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidatePairs(withMinhashSignature(sh), "doc_id")
-    val pairs = cand
-      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
-      .withColumn("jaccard", jaccardCol(col("sa"), col("sb")))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select("id_a", "id_b", "jaccard")
+    val pairs = verifyPairs(sh, cand, jaccardThreshold)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cl = nearDupClusters(pairs)
     DedupResult(sh, pairs, cl, survivors(uniq, idCol, cl))

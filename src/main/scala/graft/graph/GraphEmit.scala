@@ -57,15 +57,51 @@ object GraphEmit {
       lit(cls.title).as("_label")) ++ dataCols.map(col): _*)
       .dropDuplicates("_id")
 
+  private def hasPath(schema: org.apache.spark.sql.types.StructType, path: String): Boolean =
+    graft.rules.SchemaLoader.hasPath(schema, path)
+
+  /** One edge set per schema link. Links carrying `templatePointers`
+    * resolve their href variable through the pointer (output_graph.go →
+    * bmeg/jsonschema Generate): `/projects/-/id` explodes the row's
+    * `projects` array and binds one edge per element's `id`; a pointer
+    * whose base field is absent from the frame's schema yields no edges
+    * (the reference's pointer resolution fails silently per row).
+    * Links without pointers keep the literal-column href rendering. */
   def schemaEdges(df: DataFrame, cls: graft.rules.SchemaLoader.SchemaClass,
       idField: String = "id"): DataFrame =
-    cls.links.map { link =>
-      df.filter(link.templateRequired.map(col(_).isNotNull)
-          .foldLeft(lit(true))(_ && _))
-        .select(
-          concat(lit(cls.id + "/"), col(idField)).as("_from"),
-          graft.rules.SchemaLoader.hrefColumn(link.href).as("_to"),
-          lit(link.rel).as("_label"))
+    cls.links.flatMap { link =>
+      val from = concat(lit(cls.id + "/"), col(idField)).as("_from")
+      if (link.templatePointers.isEmpty) {
+        val ok = link.templateRequired.forall(hasPath(df.schema, _))
+        if (!ok) None
+        else Some(df.filter(link.templateRequired.map(col(_).isNotNull)
+            .foldLeft(lit(true))(_ && _))
+          .select(from,
+            graft.rules.SchemaLoader.hrefColumn(link.href).as("_to"),
+            lit(link.rel).as("_label")))
+      } else {
+        // single-variable links are the reference's universal shape;
+        // multi-var pointer links would need a zip of explosions
+        require(link.templatePointers.size == 1,
+          s"link '${link.rel}' of class '${cls.id}': multi-variable templatePointers unsupported")
+        val (v, ptr) = link.templatePointers.head
+        val segs = ptr.stripPrefix("/").split("/").toIndexedSeq
+        val (base, sub) = segs.indexOf("-") match {
+          case -1 => (segs.mkString("."), None)
+          case i => (segs.take(i).mkString("."),
+            Some(segs.drop(i + 1).mkString(".")).filter(_.nonEmpty))
+        }
+        if (!hasPath(df.schema, base)) None // field absent: no edges
+        else {
+          val exploded = df.select(from, explode(col(base)).as("__e"))
+          val bound = sub.fold(col("__e"))(s => col(s"__e.$s"))
+          val to = graft.rules.SchemaLoader.hrefColumnBound(link.href,
+            Map(v -> bound))
+          Some(exploded
+            .filter(if (link.templateRequired.contains(v)) bound.isNotNull else lit(true))
+            .select(col("_from"), to.as("_to"), lit(link.rel).as("_label")))
+        }
+      }
     }.reduceOption(_ unionByName _)
       // leaf class (no links): an EMPTY edge table with the edge schema,
       // not emptyDataFrame (zero columns — dropDuplicates("_from") would

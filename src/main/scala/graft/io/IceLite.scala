@@ -117,18 +117,80 @@ class IceLite(val root: String) {
   }
 
   /** Write one partition's output tables, then its lineage record.
-    * The lineage rename is the commit point. */
+    * The lineage rename is the commit point. The record carries
+    * per-table NUMERIC column ranges harvested from the just-written
+    * parquet FOOTERS (no data re-read — the same place Iceberg's
+    * manifests get their lower/upper bounds), which
+    * [[readTablePruned]] uses to skip whole partitions at scan time. */
   def commitPartition(snap: Long, part: String, rowCount: Long,
       tables: Map[String, DataFrame]): Unit = {
-    tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(partDataDir(snap, name, part))
+    val stats = tables.map { case (name, df) =>
+      val dir = partDataDir(snap, name, part)
+      df.write.mode("overwrite").parquet(dir)
+      name -> footerStats(df.sparkSession, dir)
     }
     val doc = JObject(
       "snapshot" -> JLong(snap), "part" -> JString(part),
       "rows" -> JLong(rowCount),
-      "tables" -> JArray(tables.keys.toList.sorted.map(JString(_))))
+      "tables" -> JArray(tables.keys.toList.sorted.map(JString(_))),
+      "stats" -> JObject(stats.toList.sortBy(_._1).map { case (t, cols) =>
+        t -> JObject(cols.toList.sortBy(_._1).map { case (c, (mn, mx)) =>
+          c -> JObject("min" -> JDouble(mn), "max" -> JDouble(mx))
+        })
+      }))
     atomicWrite(lineageDir(snap).resolve(s"${enc(part)}.json"),
       JsonMethods.compact(JsonMethods.render(doc)))
+  }
+
+  /** Min/max per NUMERIC column across every row group of every parquet
+    * file in `dir`, read from footers only. Non-numeric and statless
+    * columns are absent (⇒ never pruned on). */
+  private def footerStats(spark: SparkSession,
+      dir: String): Map[String, (Double, Double)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val hconf = spark.sessionState.newHadoopConf()
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(hconf)
+    val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    fs.listStatus(hp).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, hconf))
+      try r.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { col =>
+          val st = col.getStatistics
+          if (st != null && st.hasNonNullValue) {
+            (st.genericGetMin, st.genericGetMax) match {
+              case (mn: Number, mx: Number) =>
+                val name = col.getPath.toDotString
+                val (mnD, mxD) = (mn.doubleValue, mx.doubleValue)
+                acc(name) = acc.get(name) match {
+                  case Some((a, b)) => (math.min(a, mnD), math.max(b, mxD))
+                  case None => (mnD, mxD)
+                }
+              case _ => () // binary/boolean: not pruned on
+            }
+          }
+        }
+      } finally r.close()
+    }
+    acc.toMap
+  }
+
+  /** Committed column ranges of one partition (from its lineage
+    * record); empty when the record predates stats collection. */
+  def partStats(snap: Long, part: String,
+      table: String): Map[String, (Double, Double)] = {
+    val f = lineageDir(snap).resolve(s"${enc(part)}.json")
+    if (!Files.exists(f)) Map.empty
+    else (JsonMethods.parse(Files.readString(f)) \ "stats" \ table) match {
+      case JObject(cols) => cols.toMap.flatMap { case (c, v) =>
+        for {
+          mn <- (v \ "min").extractOpt[Double]
+          mx <- (v \ "max").extractOpt[Double]
+        } yield c -> (mn, mx)
+      }
+      case _ => Map.empty
+    }
   }
 
   /** Finalize: manifest then pointer swap. */
@@ -148,8 +210,34 @@ class IceLite(val root: String) {
   }
 
   /** Read a table of a committed snapshot across all its partitions. */
-  def readTable(spark: SparkSession, snap: Long, table: String): DataFrame = {
-    val dirs = snapshotParts(snap).map(partDataDir(snap, table, _))
+  def readTable(spark: SparkSession, snap: Long, table: String): DataFrame =
+    readDirs(spark, snap, table, snapshotParts(snap))
+
+  /** [[readTable]] restricted to the partitions whose committed column
+    * ranges can overlap [lo, hi] on `column` — the Iceberg-shaped scan
+    * pruning that matters at 100 TB: whole partition directories never
+    * enter the file listing, verifiable via `df.inputFiles`. A
+    * partition with no recorded stats for the column is kept (pruning
+    * must never be lossy); if every partition prunes, an empty frame
+    * with the table's schema returns. */
+  def readTablePruned(spark: SparkSession, snap: Long, table: String,
+      column: String, lo: Double, hi: Double): DataFrame = {
+    val parts = snapshotParts(snap)
+    val kept = parts.filter { part =>
+      partStats(snap, part, table).get(column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    if (kept.isEmpty)
+      readDirs(spark, snap, table, parts)
+        .filter(org.apache.spark.sql.functions.lit(false))
+    else readDirs(spark, snap, table, kept)
+  }
+
+  private def readDirs(spark: SparkSession, snap: Long, table: String,
+      parts: Seq[String]): DataFrame = {
+    val dirs = parts.map(partDataDir(snap, table, _))
     // an empty input commits a VALID snapshot with zero partitions;
     // spark.read.parquet() with no paths throws UNABLE_TO_INFER_SCHEMA,
     // so surface the actual situation instead

@@ -54,21 +54,98 @@ object YamlPlaybook {
     load(java.nio.file.Files.readString(java.nio.file.Paths.get(path)),
       java.nio.file.Paths.get(path).toAbsolutePath.getParent.toString, params)
 
-  def load(yaml: String, baseDir: String,
-      params: Map[String, String] = Map.empty): Loaded = {
-    val root = asMap(new org.yaml.snakeyaml.Yaml().load[Any](yaml))
-
-    // params: YAML defaults overridden by caller values (config.Params).
-    // A spec map WITHOUT `default:` contributes no value — referencing
-    // it unoverridden must fail as `undefined param`, not silently
-    // substitute the spec map's toString into a path.
-    val defaults = asMap(root.getOrElse("params", null)).flatMap { case (k, v) =>
+  /** `params:` section → defaulted values. A spec map WITHOUT `default:`
+    * contributes no value — the param must come from the caller. */
+  private def paramDefaults(root: Map[String, Any]): Map[String, String] =
+    asMap(root.getOrElse("params", null)).flatMap { case (k, v) =>
       v match {
         case m: java.util.Map[_, _] => asMap(m).get("default").map(d => k -> str(d))
         case other => Some(k -> str(other))
       }
     }
-    val p = defaults ++ params
+
+  // ---------- inspect (cmd/inspect/main.go:18-78) ----------
+
+  def inspectFile(path: String, params: Map[String, String] = Map.empty): String =
+    inspect(java.nio.file.Files.readString(java.nio.file.Paths.get(path)),
+      java.nio.file.Paths.get(path).toAbsolutePath.getParent.toString, params)
+
+  /** `sifter inspect` parity for YAML playbooks: required-param
+    * discovery (every `{{params.x}}` referenced anywhere in the
+    * document — the analog of walking step templates,
+    * playbook/inspect.go:10-24) plus resolved output paths
+    * (inspect.go:26-37), as JSON. Purely static: no pipeline
+    * compilation, no Spark session — a playbook whose required params
+    * are NOT provided still inspects (unresolved placeholders stay
+    * verbatim in the reported paths). */
+  def inspect(yaml: String, baseDir: String,
+      params: Map[String, String] = Map.empty): String = {
+    val raw = new org.yaml.snakeyaml.Yaml().load[Any](yaml)
+    val root = asMap(raw)
+    val defaults = paramDefaults(root)
+    val have = defaults ++ params
+    val rx = "\\{\\{\\s*params\\.([A-Za-z0-9_]+)\\s*\\}\\}".r
+
+    def strings(o: Any): Iterator[String] = o match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.iterator.flatMap { case (k, v) => strings(k) ++ strings(v) }
+      case l: java.util.List[_] => l.asScala.iterator.flatMap(strings)
+      case null => Iterator.empty
+      case x => Iterator(x.toString)
+    }
+    val referenced = strings(raw)
+      .flatMap(s => rx.findAllMatchIn(s).map(_.group(1))).toSeq.distinct.sorted
+
+    // best-effort substitution: provided/defaulted params resolve,
+    // missing ones keep their {{params.x}} placeholder
+    def subst(s: String): String = rx.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        have.getOrElse(m.group(1), m.matched)))
+    def resolve(s: String): String = {
+      val sub = subst(s)
+      if (sub.startsWith("/") || sub.contains("://")) sub else s"$baseDir/$sub"
+    }
+    val outdir = resolve(str(root.getOrElse("outdir", ".")))
+    def outPath(p: String): String = {
+      val sub = subst(p)
+      if (sub.startsWith("/") || sub.contains("://")) sub else s"$outdir/$sub"
+    }
+    val outputs = asMap(root.getOrElse("outputs", null)).map { case (name, rawSink) =>
+      val m = asMap(rawSink)
+      val path =
+        if (m.contains("json")) outPath(str(asMap(m("json")).getOrElse("path", "")))
+        else if (m.contains("table")) outPath(str(asMap(m("table")).getOrElse("path", "")))
+        else if (m.contains("graph")) outPath(str(asMap(m("graph")).getOrElse("path", name)))
+        else s"<unsupported sink: ${m.keys.mkString(",")}>"
+      name -> path
+    }
+
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val out = om.createObjectNode()
+    out.put("name", str(root.getOrElse("name", "")))
+    out.put("outdir", outdir)
+    val cf = out.putObject("configFields")
+    referenced.foreach(n => cf.put(n, n))
+    val cfg = out.putArray("config")
+    referenced.foreach { n =>
+      val e = cfg.addObject()
+      e.put("name", n)
+      defaults.get(n).foreach(d => e.put("default", d))
+      e.put("provided", have.contains(n))
+    }
+    val outs = out.putObject("outputs")
+    outputs.toSeq.sortBy(_._1).foreach { case (k, v) => outs.put(k, v) }
+    om.writerWithDefaultPrettyPrinter().writeValueAsString(out)
+  }
+
+  def load(yaml: String, baseDir: String,
+      params: Map[String, String] = Map.empty): Loaded = {
+    val root = asMap(new org.yaml.snakeyaml.Yaml().load[Any](yaml))
+
+    // params: YAML defaults overridden by caller values (config.Params).
+    // Referencing an undefaulted, unoverridden param must fail as
+    // `undefined param`, not silently substitute junk into a path.
+    val p = paramDefaults(root) ++ params
     def subst(s: String): String =
       "\\{\\{\\s*params\\.([A-Za-z0-9_]+)\\s*\\}\\}".r.replaceAllIn(s, m =>
         java.util.regex.Matcher.quoteReplacement(
@@ -78,16 +155,21 @@ object YamlPlaybook {
       if (sub.startsWith("/") || sub.contains("://")) sub else s"$baseDir/$sub"
     }
 
-    // any remaining {{path}} is a row-context template -> Column
-    def colTemplate(s: String): Column = {
+    // any remaining {{path}} is a row-context template -> Column,
+    // resolved against the concrete frame's schema: a path that doesn't
+    // exist renders "" — raymond/handlebars semantics for missing
+    // fields (evaluate/template.go) — instead of failing analysis
+    def colTemplate(df: DataFrame)(s: String): Column = {
       val rx = "\\{\\{\\s*([^}]+?)\\s*\\}\\}".r
       val sub = subst(s)
       val lits = rx.split(sub)
       val fields = rx.findAllMatchIn(sub).map(_.group(1).stripPrefix("row.")).toSeq
+      def fieldCol(f: String): Column =
+        if (graft.rules.SchemaLoader.hasPath(df.schema, f)) col(f) else lit("")
       if (fields.isEmpty) lit(sub)
       else {
         val pieces = lits.toSeq.map(l => Option(l).filter(_.nonEmpty).map(lit))
-          .zipAll(fields.map(f => Some(col(f))), None, None)
+          .zipAll(fields.map(f => Some(fieldCol(f))), None, None)
           .flatMap { case (a, b) => Seq(a, b).flatten }
         if (pieces.size == 1) pieces.head else concat(pieces.map(_.cast("string")): _*)
       }
@@ -250,7 +332,7 @@ object YamlPlaybook {
 
   private def stepFn(pipe: String, m: Map[String, Any],
       resolvePath: String => String, subst: String => String,
-      colTemplate: String => Column,
+      colTemplate: DataFrame => String => Column,
       resolvePipeline: (SparkSession, String) => DataFrame): (String, DataFrame => DataFrame) = {
     require(m.size == 1 || (m.size == 2 && m.contains("docs")),
       s"pipeline '$pipe': each step must be a single-key map, got ${m.keys.mkString(",")}")
@@ -259,16 +341,18 @@ object YamlPlaybook {
     def field = str(c.getOrElse("field", ""))
     val fn: DataFrame => DataFrame = key match {
       case "project" =>
-        val mapping = asMap(c.getOrElse("mapping", null)).toSeq
-          .map { case (dst, v) =>
+        val rawMapping = asMap(c.getOrElse("mapping", null)).toSeq
+        val renames = asMap(c.getOrElse("rename", null)).toSeq
+          .map { case (from, to) => from -> str(to) }
+        df => {
+          val mapping = rawMapping.map { case (dst, v) =>
             dst -> (v match {
-              case s: String => colTemplate(s)
+              case s: String => colTemplate(df)(s)
               case other => lit(other)
             })
           }
-        val renames = asMap(c.getOrElse("rename", null)).toSeq
-          .map { case (from, to) => from -> str(to) }
-        df => RowOps.rename(RowOps.project(df, mapping: _*), renames: _*)
+          RowOps.rename(RowOps.project(df, mapping: _*), renames: _*)
+        }
       case "filter" if c.contains("gpython") || c.contains("python") =>
         // python-predicate form (filter.go:30-47): EvaluateBool per row
         val code = codeBlock(pipe, "filter", c, resolvePath)
@@ -285,8 +369,8 @@ object YamlPlaybook {
             // null-safe: the reference renders a missing field as "" so
             // null ≠ match KEEPS the row under `not` — plain !(===)
             // would yield SQL NULL and drop it
-            case "not" => !(f.cast("string") <=> colTemplate(str(c("match"))).cast("string"))
-            case _ => f.cast("string") === colTemplate(str(c("match"))).cast("string")
+            case "not" => !(f.cast("string") <=> colTemplate(df)(str(c("match"))).cast("string"))
+            case _ => f.cast("string") === colTemplate(df)(str(c("match"))).cast("string")
           }
           RowOps.keep(df, pred)
         }
@@ -318,7 +402,7 @@ object YamlPlaybook {
         df => RowOps.regexReplace(df, field, subst(str(c("regex"))),
           subst(str(c("replace"))), c.get("dst").map(str).filter(_.nonEmpty))
       case "hash" =>
-        df => RowOps.hashField(df, field, colTemplate(str(c("value"))),
+        df => RowOps.hashField(df, field, colTemplate(df)(str(c("value"))),
           str(c.getOrElse("method", "sha1")))
       case "uuid" =>
         // no value template -> random v4 per row (uuid.go:38-41)
@@ -329,7 +413,7 @@ object YamlPlaybook {
             if (valueTpl.isEmpty) expr("uuid()")
             else graft.expr.UuidExprs.uuid5(
               lit(str(c.getOrElse("namespace", graft.expr.NameUuid.NamespaceUrl))),
-              colTemplate(valueTpl))
+              colTemplate(df)(valueTpl))
           df.withColumn(field, u)
         }
       case "dropNull" =>
@@ -353,11 +437,11 @@ object YamlPlaybook {
           val elemT = exploded.schema("__elem").dataType
           val base = elemT.typeName match {
             case "struct" => exploded.select(col("__elem.*") +:
-              mapping.map { case (dst, tpl) => colTemplate(tpl).as(dst) }: _*)
+              mapping.map { case (dst, tpl) => colTemplate(exploded)(tpl).as(dst) }: _*)
             case _ =>
               val elemName = if (itemField.nonEmpty) itemField else field
               exploded.select(col("__elem").as(elemName) +:
-                mapping.map { case (dst, tpl) => colTemplate(tpl).as(dst) }: _*)
+                mapping.map { case (dst, tpl) => colTemplate(exploded)(tpl).as(dst) }: _*)
           }
           base
         }
@@ -454,7 +538,7 @@ object YamlPlaybook {
 
   private def lookupStep(pipe: String, c: Map[String, Any],
       resolvePath: String => String,
-      colTemplate: String => Column,
+      colTemplate: DataFrame => String => Column,
       resolvePipeline: (SparkSession, String) => DataFrame): DataFrame => DataFrame = {
     val replace = str(c.getOrElse("replace", ""))
     val copy = asMap(c.getOrElse("copy", null)).map { case (k, v) => k -> str(v) }
@@ -495,7 +579,7 @@ object YamlPlaybook {
         sys.error(s"pipeline '$pipe': lookup copy needs a non-empty `lookup:` key template")
       df => {
         val (lk, k, _) = lookupTable(df.sparkSession)
-        RowOps.lookupCopy(df, lk, colTemplate(tpl), col(k), copy.toSeq: _*)
+        RowOps.lookupCopy(df, lk, colTemplate(df)(tpl), col(k), copy.toSeq: _*)
       }
     } else sys.error(s"pipeline '$pipe': lookup needs replace: or copy:")
   }
@@ -525,6 +609,23 @@ object YamlPlaybook {
       val title = str(c.getOrElse("title", ""))
       val idField = str(c.getOrElse("idField", "id"))
       val dir = out(str(c.getOrElse("path", name)))
+      // optional edgeFix/EdgeFix (Go's json unmarshal is case-tolerant):
+      // a user python row→row function over each edge before emission
+      // (output_graph.go:79-90, applied at :138-143)
+      val edgeFix: DataFrame => DataFrame =
+        c.get("edgeFix").orElse(c.get("EdgeFix")).map(asMap) match {
+          case Some(ef) =>
+            val code = codeBlock(name, "edgeFix", ef, resolvePath)
+            val method = str(ef.getOrElse("method", ""))
+            require(method.nonEmpty, s"output '$name': edgeFix needs method:")
+            graft.pylite.PyOps.compile(code, method) // fail fast at load
+            edges =>
+              // sample inference can't run on zero rows; zero edges
+              // also means there is nothing to fix
+              if (edges.isEmpty) edges
+              else graft.pylite.PyOps.mapPy(edges, code, method)
+          case None => identity
+        }
       (str(c("from")), df => {
         val classes = graft.rules.SchemaLoader.loadDir(schemaDir)
         val cls = classes.getOrElse(title,
@@ -533,7 +634,8 @@ object YamlPlaybook {
         Sinks.graph(
           graft.graph.GraphEmit.schemaVertices(df, cls, idField,
             df.columns.toIndexedSeq.filterNot(Set("_id", "_label"))),
-          graft.graph.GraphEmit.schemaEdges(df, cls, idField), dir)
+          graft.graph.GraphEmit.schemaEdges(df, cls, idField), dir,
+          edgeFix = edgeFix)
       })
     } else sys.error(s"output '$name': unsupported sink ${m.keys.mkString(",")}")
   }

@@ -41,15 +41,34 @@ object PyOps {
   /** Compile + validate on the driver; returns the broadcast-safe AST. */
   def compile(code: String, method: String): PProgram = PyParser.compile(code, method)
 
+  /** Prune the operator's input to the columns the user code can
+    * observe ([[PyRefs.referencedKeys]]): a `select` BEFORE the
+    * mapPartitions boundary, so Catalyst pushes it into the scan
+    * (`ReadSchema` shows only the referenced columns even when the
+    * caller passes a full wide table) and sample inference never
+    * collects unreferenced columns to the driver. A row that escapes
+    * the subscript discipline (e.g. `return row`) keeps every column —
+    * pruning would change the output. */
+  private def prunedInput(df: DataFrame, prog: PProgram, method: String,
+      extra: Seq[String] = Nil): DataFrame =
+    PyRefs.referencedKeys(prog, method) match {
+      case Some(keys) =>
+        val cols = df.columns.filter(c => keys(c) || extra.contains(c))
+        if (cols.length == df.columns.length) df
+        else df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      case None => df
+    }
+
   // ---- the four steps ---------------------------------------------------
 
   def mapPy(df: DataFrame, code: String, method: String,
             schema: Option[StructType] = None, sampleSize: Int = 1000): DataFrame = {
     val prog = compile(code, method)
-    val inSchema = df.schema
+    val src = prunedInput(df, prog, method)
+    val inSchema = src.schema
     val outSchema = schema.getOrElse(
-      inferOutputSchema(df, prog, method, sampleSize, flat = false))
-    df.mapPartitions { it =>
+      inferOutputSchema(src, prog, method, sampleSize, flat = false))
+    src.mapPartitions { it =>
       val interp = new PyInterp(prog)
       it.map { row =>
         interp.call(method, PyBridge.rowToPy(row, inSchema)) match {
@@ -65,19 +84,28 @@ object PyOps {
   def filterPy(df: DataFrame, code: String, method: String): DataFrame = {
     val prog = compile(code, method)
     val inSchema = df.schema
+    // output keeps every column, so the scan can't prune — but the
+    // per-row python dict only needs the referenced fields
+    val keepIdx: Array[Int] = PyRefs.referencedKeys(prog, method) match {
+      case Some(keys) =>
+        inSchema.fieldNames.zipWithIndex.collect { case (n, i) if keys(n) => i }
+      case None => Array.range(0, inSchema.length)
+    }
     df.mapPartitions { it =>
       val interp = new PyInterp(prog)
-      it.filter(row => truthy(interp.call(method, PyBridge.rowToPy(row, inSchema))))
+      it.filter(row =>
+        truthy(interp.call(method, PyBridge.rowToPySubset(row, inSchema, keepIdx))))
     }(Encoders.row(inSchema))
   }
 
   def flatMapPy(df: DataFrame, code: String, method: String,
                 schema: Option[StructType] = None, sampleSize: Int = 1000): DataFrame = {
     val prog = compile(code, method)
-    val inSchema = df.schema
+    val src = prunedInput(df, prog, method)
+    val inSchema = src.schema
     val outSchema = schema.getOrElse(
-      inferOutputSchema(df, prog, method, sampleSize, flat = true))
-    df.mapPartitions { it =>
+      inferOutputSchema(src, prog, method, sampleSize, flat = true))
+    src.mapPartitions { it =>
       val interp = new PyInterp(prog)
       it.flatMap { row =>
         interp.call(method, PyBridge.rowToPy(row, inSchema)) match {
@@ -108,7 +136,10 @@ object PyOps {
                initJson: Option[String] = None,
                schema: Option[StructType] = None, sampleSize: Int = 1000): DataFrame = {
     val prog = compile(code, method)
-    val inSchema = df.schema
+    // prune BEFORE the groupByKey so the shrunken rows are what shuffles
+    // (the key column rides along even when the merge doesn't read it)
+    val src = prunedInput(df, prog, method, extra = Seq(keyField))
+    val inSchema = src.schema
     val init = initJson.map(PyBridge.jsonToPy).getOrElse(mutable.LinkedHashMap[Any, Any]())
     init match {
       case _: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => ()
@@ -123,7 +154,7 @@ object PyOps {
       }
 
     val outSchema = schema.getOrElse {
-      val sample = df.limit(sampleSize).collect()
+      val sample = src.limit(sampleSize).collect()
       if (sample.isEmpty)
         throw new PyLiteException("cannot infer reduce output schema from empty input; pass an explicit schema", 1)
       val interp = new PyInterp(prog)
@@ -137,8 +168,8 @@ object PyOps {
       }.reduce(PyBridge.mergeStructs)
     }
 
-    import df.sparkSession.implicits._
-    df.groupByKey(keyOf(_, keyIdx))
+    import src.sparkSession.implicits._
+    src.groupByKey(keyOf(_, keyIdx))
       .mapGroups { (_, rows) =>
         val interp = new PyInterp(prog)
         fold(interp, rows) match {
@@ -199,6 +230,20 @@ object PyBridge {
     while (i < schema.length) {
       m(schema(i).name) = anyToPy(row.get(i), schema(i).dataType)
       i += 1
+    }
+    m
+  }
+
+  /** [[rowToPy]] over a subset of field ordinals — filterPy keeps full
+    * rows in the plan but only bridges the fields the predicate reads. */
+  def rowToPySubset(row: Row, schema: StructType,
+      idxs: Array[Int]): mutable.LinkedHashMap[Any, Any] = {
+    val m = mutable.LinkedHashMap[Any, Any]()
+    var j = 0
+    while (j < idxs.length) {
+      val i = idxs(j)
+      m(schema(i).name) = anyToPy(row.get(i), schema(i).dataType)
+      j += 1
     }
     m
   }

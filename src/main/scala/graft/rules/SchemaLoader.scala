@@ -31,7 +31,10 @@ object SchemaLoader {
       targetClass: String,
       templateRequired: Seq[String],
       backref: Option[String],
-      multiplicity: Option[String])
+      multiplicity: Option[String],
+      /** href template variable → JSON pointer into the row, e.g.
+        * `id -> /projects/-/id` (`-` = one edge per array element). */
+      templatePointers: Map[String, String] = Map.empty)
 
   final case class SchemaClass(
       id: String,
@@ -74,7 +77,9 @@ object SchemaLoader {
           targetClass = t,
           templateRequired = asSeq(l.getOrElse("templateRequired", null)).map(_.toString),
           backref = asSeq(hints.getOrElse("backref", null)).headOption.map(_.toString.trim),
-          multiplicity = asSeq(hints.getOrElse("multiplicity", null)).headOption.map(_.toString))
+          multiplicity = asSeq(hints.getOrElse("multiplicity", null)).headOption.map(_.toString),
+          templatePointers = asMap(l.getOrElse("templatePointers", null))
+            .map { case (k, v) => k -> v.toString })
       }
     }
     SchemaClass(
@@ -129,13 +134,37 @@ object SchemaLoader {
   /** Render a link's href template against literal column references:
     * 'program/{id}' → concat("program/", col("id")) — the edge target
     * gid, exactly how output_graph.go derives edge endpoints. */
-  def hrefColumn(href: String): org.apache.spark.sql.Column = {
+  /** Does a dotted path resolve inside this schema? (Maps count as
+    * resolvable — their values may be null at runtime, like any field.) */
+  def hasPath(schema: org.apache.spark.sql.types.StructType, path: String): Boolean = {
+    import org.apache.spark.sql.types.{DataType, MapType, StructType}
+    var dt: DataType = schema
+    path.split("\\.").forall { p =>
+      dt match {
+        case st: StructType => st.find(_.name == p) match {
+          case Some(f) => dt = f.dataType; true
+          case None => false
+        }
+        case m: MapType => dt = m.valueType; true
+        case _ => false
+      }
+    }
+  }
+
+  def hrefColumn(href: String): org.apache.spark.sql.Column =
+    hrefColumnBound(href, Map.empty)
+
+  /** [[hrefColumn]] with template variables bound to explicit Columns
+    * (templatePointer resolution); unbound variables fall back to
+    * same-named row columns. */
+  def hrefColumnBound(href: String,
+      bound: Map[String, org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val parts = "\\{([^}]+)\\}".r.split(href)
     val fields = "\\{([^}]+)\\}".r.findAllMatchIn(href).map(_.group(1)).toSeq
     val pieces = parts.zipAll(fields, "", "").flatMap { case (litPart, f) =>
       Seq(Option(litPart).filter(_.nonEmpty).map(lit),
-        Option(f).filter(_.nonEmpty).map(col)).flatten
+        Option(f).filter(_.nonEmpty).map(v => bound.getOrElse(v, col(v)))).flatten
     }
     concat(pieces: _*)
   }

@@ -55,6 +55,41 @@ class IceLiteSpec extends AnyFunSuite {
     assert(back.select("part").collect().map(_.getString(0)).sorted === nasty.sorted.toArray)
   }
 
+  test("footer stats prune whole partitions from the scan (inputFiles shrink)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    val snap = ice.nextSnapshotId
+    // three partitions with disjoint doc_id ranges
+    Seq(("p0", 0L until 100L), ("p1", 100L until 200L), ("p2", 200L until 300L))
+      .foreach { case (part, ids) =>
+        ice.commitPartition(snap, part, ids.size.toLong,
+          Map("t" -> ids.map(i => (i, s"d$i")).toDF("doc_id", "name")))
+      }
+    ice.commitSnapshot(snap, Seq("p0", "p1", "p2"))
+    val full = ice.readTable(spark, snap, "t")
+    assert(full.count() === 300L)
+    // range [120, 180] overlaps only p1 -> 2/3 of the files never listed
+    val pruned = ice.readTablePruned(spark, snap, "t", "doc_id", 120, 180)
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.inputFiles.forall(_.contains("part=p1")))
+    // pruning is transparent: same rows as a post-hoc filter of the full scan
+    assert(pruned.filter($"doc_id".between(120, 180)).count() === 61L)
+    assert(pruned.count() === 100L) // the whole surviving partition
+    // boundary overlap keeps the partition (ranges are inclusive)
+    assert(ice.readTablePruned(spark, snap, "t", "doc_id", 199, 200)
+      .inputFiles.exists(_.contains("part=p1")))
+    // a column with no recorded stats (string) never prunes
+    assert(ice.readTablePruned(spark, snap, "t", "name", 0, 1)
+      .inputFiles.length === full.inputFiles.length)
+    // fully disjoint range: empty result, schema intact
+    val none = ice.readTablePruned(spark, snap, "t", "doc_id", 1000, 2000)
+    assert(none.count() === 0L)
+    assert(none.schema.fieldNames.toSet === Set("doc_id", "name", "part"))
+    // stats are exposed for audit
+    assert(ice.partStats(snap, "p1", "t")("doc_id") === ((100.0, 199.0)))
+  }
+
   test("kill between partitions -> resume skips completed, verdicts identical") {
     val root = freshRoot()
     intercept[CheckpointedValidation.SimulatedCrash] {

@@ -31,6 +31,35 @@ class LookupOpsSpec extends AnyFunSuite {
     assert(out(1L).toMap === Map("A" -> "1", "z" -> "2"))
   }
 
+  test("litMap at the 10k cap: correct at the boundary, loud rejection above") {
+    // 10k entries = 20k Literal nodes in one map constructor — pinned
+    // here so a future cap raise that silently breaks codegen (Janino
+    // method-size limits force interpreted fallback well before 100k
+    // entries) fails a test instead of a production plan
+    val n = 10000
+    val bigLk = spark.range(n).selectExpr("concat('k', id) AS k", "concat('v', id) AS v")
+    val df = Seq((1L, Seq("k0", s"k${n - 1}", "miss"))).toDF("id", "xs")
+    val out = RowOps.lookupReplaceArray(df, bigLk, "xs", "k", "v").collect()
+    assert(out.head.getSeq[String](1) === Seq("v0", s"v${n - 1}", "miss"))
+    val tooBig = spark.range(n + 1).selectExpr("concat('k', id) AS k", "concat('v', id) AS v")
+    val ex = intercept[IllegalArgumentException] {
+      RowOps.lookupReplaceArray(df, tooBig, "xs", "k", "v").collect()
+    }
+    assert(ex.getMessage.contains("too large"))
+  }
+
+  test("lookup dup-key winner is deterministic: greatest value wins everywhere") {
+    val dupLk = Seq(("a", "A1"), ("a", "A9"), ("a", "A5")).toDF("k", "v")
+    val main = Seq((1L, "a")).toDF("id", "f")
+    assert(RowOps.lookupReplace(main, dupLk, "f", "k", "v")
+      .collect().head.getString(1) === "A9")
+    assert(RowOps.lookupCopy(main, dupLk, col("f"), col("k"), "cv" -> "v")
+      .collect().head.getAs[String]("cv") === "A9")
+    val arr = Seq((1L, Seq("a"))).toDF("id", "xs")
+    assert(RowOps.lookupReplaceArray(arr, dupLk, "xs", "k", "v")
+      .collect().head.getSeq[String](1) === Seq("A9"))
+  }
+
   test("lookup with duplicate keys never multiplies probe rows (map semantics)") {
     val dupLk = Seq(("a", "A1"), ("a", "A2"), ("b", "B")).toDF("k", "v")
     val main = Seq((1L, "a"), (2L, "a"), (3L, "z")).toDF("id", "f")

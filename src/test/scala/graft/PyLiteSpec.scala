@@ -560,6 +560,60 @@ class PyLiteSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("PyRefs: constant row subscripts are collected; escapes disable pruning") {
+    def refs(code: String, m: String = "f") =
+      PyRefs.referencedKeys(PyOps.compile(code, m), m)
+    assert(refs("def f(r):\n  return {\"x\": r[\"a\"] + r[\"b\"], \"w\": r[\"a\"]}")
+      === Some(Set("a", "b")))
+    // writes count as references (a conditional write + read must see input)
+    assert(refs("def f(r):\n  r[\"c\"] = 1\n  return {\"x\": r[\"a\"]}")
+      === Some(Set("a", "c")))
+    assert(refs("def f(r):\n  return r") === None) // bare return escapes
+    assert(refs("def f(r):\n  k = \"a\"\n  return {\"x\": r[k]}") === None) // dynamic key
+    assert(refs("def f(r):\n  s = r\n  return {\"x\": s[\"a\"]}") === None) // alias
+    assert(refs("def f(r):\n  return {\"n\": len([k for k in r])}") === None) // iteration
+    assert(refs("def f(r):\n  return g(r)\ndef g(d):\n  return {\"x\": d[\"a\"]}") === None) // call escape
+  }
+
+  test("pruning: unreferenced columns never reach inference or execution") {
+    // the poison column has a type the python bridge REJECTS (ANSI
+    // interval) — it throws if (and only if) it reaches rowToPy, i.e.
+    // if the driver-side inference sample or the executors ever bridge
+    // an unreferenced column
+    import org.apache.spark.sql.functions.{expr => fExpr}
+    val df = Seq(1L, 2L, 3L).toDF("a").select($"a",
+      fExpr("INTERVAL '1' DAY").as("boom"))
+    val out = PyOps.mapPy(df, "def f(r):\n  return {\"x\": r[\"a\"] * 10}", "f")
+    assert(out.orderBy("x").as[Long].collect().toSeq === Seq(10L, 20L, 30L))
+    // sanity: an ESCAPING function does bridge the poison and fails
+    intercept[Exception] {
+      PyOps.mapPy(df, "def f(r):\n  r[\"x\"] = r[\"a\"]\n  return r", "f").collect()
+    }
+    val red = PyOps.reducePy(
+      Seq(("k1", 1L), ("k1", 2L), ("k2", 3L)).toDF("k", "n").select($"k", $"n",
+        fExpr("INTERVAL '1' DAY").as("boom")),
+      "k", "def f(r, acc):\n  acc[\"s\"] = acc[\"s\"] + r[\"n\"]\n  return acc",
+      "f", initJson = Some("""{"s": 0}"""))
+    assert(red.orderBy("s").select("s").as[Long].collect().toSeq === Seq(3L, 3L))
+  }
+
+  test("pruning reaches the parquet scan (ReadSchema) on a wide table") {
+    val dir = java.nio.file.Files.createTempDirectory("pylite_prune").toString
+    Seq((1L, "w1", "z1"), (2L, "w2", "z2")).toDF("a", "wide_col", "other_col")
+      .write.mode("overwrite").parquet(dir)
+    val full = spark.read.parquet(dir)
+    val out = PyOps.mapPy(full, "def f(r):\n  return {\"x\": r[\"a\"] + 1}", "f")
+    val scans = out.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.requiredSchema
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.fieldNames.toSeq === Seq("a"),
+      s"scan should read only the referenced column, got ${scans.head.fieldNames.toSeq}")
+    // escape hatch: a function returning the row keeps every column
+    val esc = PyOps.mapPy(full, "def f(r):\n  r[\"x\"] = r[\"a\"]\n  return r", "f")
+    assert(esc.schema.fieldNames.sorted.toSeq === Seq("a", "other_col", "wide_col", "x"))
+  }
+
   test("bridge round-trips arrays, maps, structs, decimals and timestamps") {
     val df = spark.sql(
       """select array(1, 2) as arr, map('k', 1.5D) as m,

@@ -151,6 +151,56 @@ class YamlPlaybookSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("undefined param"))
   }
 
+  test("inspect-yaml: required params + resolved output paths, statically") {
+    val dir = Files.createTempDirectory("graft_yaml_inspect")
+    val yaml =
+      """name: demo
+        |outdir: out
+        |params:
+        |  people:
+        |    default: people.json
+        |  release:
+        |    type: string
+        |inputs:
+        |  src:
+        |    json:
+        |      path: "{{params.people}}"
+        |pipelines:
+        |  p:
+        |    - from: src
+        |outputs:
+        |  result:
+        |    json:
+        |      from: p
+        |      path: "result_{{params.release}}.json"
+        |  wide:
+        |    table:
+        |      from: p
+        |      path: wide.tsv
+        |""".stripMargin
+    Files.writeString(dir.resolve("pb.yaml"), yaml)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // no params given: inspect still works (no execution), people shows
+    // its default, release is required-but-unprovided, its placeholder
+    // survives verbatim in the output path
+    val j1 = om.readTree(YamlPlaybook.inspectFile(dir.resolve("pb.yaml").toString))
+    assert(j1.get("name").asText === "demo")
+    assert(j1.get("outdir").asText === s"$dir/out")
+    val cfg1 = (0 until j1.get("config").size).map(j1.get("config").get)
+      .map(n => n.get("name").asText -> n.get("provided").asBoolean).toMap
+    assert(cfg1 === Map("people" -> true, "release" -> false))
+    assert(j1.get("outputs").get("result").asText ===
+      s"$dir/out/result_{{params.release}}.json")
+    assert(j1.get("outputs").get("wide").asText === s"$dir/out/wide.tsv")
+    // with the param provided, the path resolves
+    val j2 = om.readTree(YamlPlaybook.inspectFile(dir.resolve("pb.yaml").toString,
+      Map("release" -> "v7")))
+    assert(j2.get("outputs").get("result").asText === s"$dir/out/result_v7.json")
+    val cfg2 = (0 until j2.get("config").size).map(j2.get("config").get)
+      .map(n => n.get("name").asText -> n.get("provided").asBoolean).toMap
+    assert(cfg2("release"))
+  }
+
   test("glob input with inner json loader + storeFilename; uuid without value -> v4") {
     val dir = writeFixture()
     Files.writeString(dir.resolve("part1.json"), "{\"id\": \"a\"}\n")
@@ -379,6 +429,39 @@ class YamlPlaybookSpec extends AnyFunSuite {
     val folded = pb.resolve(spark, "folded").collect()
       .map(r => r.getAs[String]("grp") -> r.getAs[scala.collection.Seq[String]]("names").toSeq).toMap
     assert(folded === Map("g1" -> Seq("ann", "bob"), "g2" -> Seq("cyd")))
+  }
+
+  test("gdc-convert golden: 106,521 cases through project -> objectValidate -> 3 outputs") {
+    // the reference's heaviest golden (test/config.yaml): the full
+    // gdc-case corpus through a template project (with a MISSING nested
+    // path — handlebars renders ''), objectValidate over the 30+-class
+    // schema dir, a json output, and schema-links graph emission with a
+    // gpython EdgeFix
+    val src = java.nio.file.Paths.get("/root/reference/test/examples/gdc")
+    assume(Files.exists(src.resolve("gdc-convert.yaml")))
+    val dir = Files.createTempDirectory("graft_gdc")
+    Files.copy(src.resolve("gdc-convert.yaml"), dir.resolve("gdc-convert.yaml"))
+    Files.copy(src.resolve("test.py"), dir.resolve("test.py"))
+    val loaded = YamlPlaybook.loadFile(dir.resolve("gdc-convert.yaml").toString,
+      params = Map(
+        "cases" -> "/root/reference/test/resources/gdc-case.json.gz",
+        "schema" -> "/root/reference/test/resources/schemas"))
+    loaded.playbook.outputs.foreach { case (_, (from, sink)) =>
+      sink(loaded.playbook.resolve(spark, from))
+    }
+    def lines(path: String): Long = spark.read.text(path).count()
+    // reference golden LineCounts (test/config.yaml): case file 106521,
+    // vertices 106521. Its edge golden is 0 with a '#TODO: fix this
+    // test' comment — the reference's own pointer-resolution bug; the
+    // schema-CORRECT edge set is one per projects element (106521) plus
+    // one per phenotypes element (21701) = 128222, which is what the
+    // templatePointer-aware emission produces.
+    assert(lines(s"${loaded.outdir}/gdc.caseObject.case.json.gz") === 106521L)
+    assert(lines(s"${loaded.outdir}/gdc.caseGraph/vertex.json") === 106521L)
+    assert(lines(s"${loaded.outdir}/gdc.caseGraph/edge.json") === 128222L)
+    // EdgeFix (test.py) ran over every edge
+    val edges = spark.read.json(s"${loaded.outdir}/gdc.caseGraph/edge.json")
+    assert(edges.filter(col("TEST") === "test_string").count() === 128222L)
   }
 
   test("the reference's own code-ref playbooks run UNMODIFIED (incl. $ref python files)") {
