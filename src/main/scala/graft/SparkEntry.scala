@@ -102,10 +102,11 @@ object SparkEntry {
       sources.Sources.ndjson(s, s"$fixturesDir/ndjson_src.ndjson")
         .select("id", "name", "opt", "val")),
     "q_glob_src" -> ((s, _) =>
-      // glob + storeFilename: per-file reads union with null-filled
-      // missing fields (files have heterogeneous key sets)
+      // glob + storeFilename over heterogeneous files, on the
+      // single-scan fast path (input_file_name, schema union native)
       sources.Sources.glob(s, s"$fixturesDir/glob/*.ndjson",
-        sources.Sources.ndjson(_, _), storeFilename = Some("src_file"))
+        sources.Sources.ndjson(_, _), storeFilename = Some("src_file"),
+        fileSourceInner = true)
         .select("id", "tag", "w", "extra", "src_file")),
 
     // ---- sifter operator inventory (SURVEY.md §2.2-2.4) ----

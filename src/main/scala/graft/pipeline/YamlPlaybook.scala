@@ -278,7 +278,12 @@ object YamlPlaybook {
       val inner = inputLoaderAt(name, innerKeys.head, innerCfg, resolvePath)
       val storeFilename = c.get("storeFilename").map(str).filter(_.nonEmpty)
       val storeFilepath = c.get("storeFilepath").map(str).filter(_.nonEmpty)
-      s => Sources.glob(s, pattern, inner, storeFilename, storeFilepath)
+      // NDJSON inner = a Spark file source → one multi-file scan with
+      // input_file_name(), not a per-file plan fold (scale path)
+      val fileSource = innerKeys.head == "json" &&
+        !innerCfg.get("multiline").exists(_ == true)
+      s => Sources.glob(s, pattern, inner, storeFilename, storeFilepath,
+        fileSourceInner = fileSource)
     } else
       sys.error(s"input '$name': unsupported extractor ${m.keys.mkString(",")} " +
         "(supported: json, table, avro, xml, sqldump, sqlite, embedded; " +

@@ -226,9 +226,27 @@ object Sources {
   def glob(spark: SparkSession, pattern: String,
       inner: (SparkSession, String) => DataFrame,
       storeFilename: Option[String] = None,
-      storeFilepath: Option[String] = None): DataFrame = {
+      storeFilepath: Option[String] = None,
+      fileSourceInner: Boolean = false): DataFrame = {
     if (storeFilename.isEmpty && storeFilepath.isEmpty) inner(spark, pattern)
-    else {
+    else if (fileSourceInner) {
+      // SCALE PATH for inners that are Spark file-source scans (ndjson/
+      // jsonDoc/tableNative): ONE multi-file scan + input_file_name(),
+      // instead of a unionByName fold of per-file plans — at 10^5 files
+      // the fold is a plan-size explosion and each file a driver round
+      // trip. Schema union across heterogeneous files is the file
+      // source's native behavior, identical to the per-file fold with
+      // allowMissingColumns. input_file_name() yields a URI ("file:/x");
+      // storeFilepath strips the scheme to match the per-file path form.
+      val withUri = inner(spark, pattern).withColumn("__uri", input_file_name())
+      val withName = storeFilename.fold(withUri)(c =>
+        withUri.withColumn(c, regexp_extract(col("__uri"), "[^/]+$", 0)))
+      // local URIs ("file:///x" here, "file:/x" from qualified Hadoop
+      // paths) normalize to the plain path; remote schemes stay intact
+      storeFilepath.fold(withName)(c =>
+        withName.withColumn(c, regexp_replace(col("__uri"), "^file:/+", "/")))
+        .drop("__uri")
+    } else {
       import org.apache.hadoop.fs.{Path => HPath}
       val hconf = spark.sparkContext.hadoopConfiguration
       val fs = new HPath(pattern).getFileSystem(hconf)
@@ -239,8 +257,14 @@ object Sources {
       require(files.nonEmpty, s"glob source '$pattern': no files match")
       files.map { p =>
         val df = inner(spark, p.toString)
+        // same normalization as the fast path: plain path for file://,
+        // full qualified string for remote schemes
+        val pathStr =
+          if (p.toUri.getScheme == "file" || p.toUri.getScheme == null)
+            p.toUri.getPath
+          else p.toString
         val withName = storeFilename.fold(df)(c => df.withColumn(c, lit(p.getName)))
-        storeFilepath.fold(withName)(c => withName.withColumn(c, lit(p.toString)))
+        storeFilepath.fold(withName)(c => withName.withColumn(c, lit(pathStr)))
       // allowMissingColumns: per-file schema inference (NDJSON with
       // optional fields) must union like one multi-file scan would —
       // fields absent in a file null-fill instead of AnalysisException

@@ -273,6 +273,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(got(2L) === "two.ndjson")
   }
 
+  test("glob fast path (single scan + input_file_name) equals the per-file fold") {
+    val d = Files.createTempDirectory("globfast")
+    Files.writeString(d.resolve("a.ndjson"), """{"v":1,"s":"x"}""" + "\n")
+    // heterogeneous: b has an extra field, is missing s
+    Files.writeString(d.resolve("b.ndjson"), """{"v":2,"extra":"y"}""" + "\n")
+    val pat = d.toString + "/*.ndjson"
+    def canonRows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(c => col(c).cast("string")): _*)
+        .collect().map(_.mkString("|")).sorted.toIndexedSeq
+    }
+    val slow = Sources.glob(spark, pat, Sources.ndjson,
+      storeFilename = Some("fname"), storeFilepath = Some("fpath"))
+    val fast = Sources.glob(spark, pat, Sources.ndjson,
+      storeFilename = Some("fname"), storeFilepath = Some("fpath"),
+      fileSourceInner = true)
+    assert(fast.columns.sorted.toSeq === slow.columns.sorted.toSeq)
+    assert(canonRows(fast) === canonRows(slow))
+    // the fast path is ONE scan: no per-file union in the plan
+    assert(!fast.queryExecution.optimizedPlan.toString.contains("Union"))
+  }
+
   test("uuid5/uuid3 match RFC 4122 test vectors") {
     UuidExprs.register(spark)
     val df = Seq(("www.example.com")).toDF("name")
