@@ -349,13 +349,19 @@ object YamlPlaybook {
         val rawMapping = asMap(c.getOrElse("mapping", null)).toSeq
         val renames = asMap(c.getOrElse("rename", null)).toSeq
           .map { case (from, to) => from -> str(to) }
+        // template values render RECURSIVELY through nested YAML
+        // lists/maps (project.go:57-82 valueRender): a list of maps of
+        // templates becomes array(struct(...)) of rendered columns
+        def valueCol(df: DataFrame)(v: Any): Column = v match {
+          case s: String => colTemplate(df)(s)
+          case l: java.util.List[_] =>
+            array(l.asScala.toSeq.map(valueCol(df)): _*)
+          case m: java.util.Map[_, _] =>
+            struct(asMap(m).toSeq.map { case (k, x) => valueCol(df)(x).as(k) }: _*)
+          case other => lit(other)
+        }
         df => {
-          val mapping = rawMapping.map { case (dst, v) =>
-            dst -> (v match {
-              case s: String => colTemplate(df)(s)
-              case other => lit(other)
-            })
-          }
+          val mapping = rawMapping.map { case (dst, v) => dst -> valueCol(df)(v) }
           RowOps.rename(RowOps.project(df, mapping: _*), renames: _*)
         }
       case "filter" if c.contains("gpython") || c.contains("python") =>
@@ -437,18 +443,24 @@ object YamlPlaybook {
         val mapping = asMap(c.getOrElse("mapping", null)).toSeq
           .map { case (dst, v) => dst -> str(v) }
         val itemField = str(c.getOrElse("itemField", ""))
-        df => {
-          val exploded = df.select(col("*"), explode(col(field)).as("__elem"))
-          val elemT = exploded.schema("__elem").dataType
-          val base = elemT.typeName match {
-            case "struct" => exploded.select(col("__elem.*") +:
-              mapping.map { case (dst, tpl) => colTemplate(exploded)(tpl).as(dst) }: _*)
-            case _ =>
-              val elemName = if (itemField.nonEmpty) itemField else field
-              exploded.select(col("__elem").as(elemName) +:
+        df => df.schema(field).dataType.typeName match {
+          case "struct" =>
+            // a MAP-valued field emits ONE row: the sub-object plus the
+            // mapping columns rendered against the parent row
+            // (field_process.go:61-67)
+            df.select(col(s"$field.*") +:
+              mapping.map { case (dst, tpl) => colTemplate(df)(tpl).as(dst) }: _*)
+          case _ =>
+            val exploded = df.select(col("*"), explode(col(field)).as("__elem"))
+            val elemT = exploded.schema("__elem").dataType
+            elemT.typeName match {
+              case "struct" => exploded.select(col("__elem.*") +:
                 mapping.map { case (dst, tpl) => colTemplate(exploded)(tpl).as(dst) }: _*)
-          }
-          base
+              case _ =>
+                val elemName = if (itemField.nonEmpty) itemField else field
+                exploded.select(col("__elem").as(elemName) +:
+                  mapping.map { case (dst, tpl) => colTemplate(exploded)(tpl).as(dst) }: _*)
+            }
         }
       case "lookup" => lookupStep(pipe, c, resolvePath, colTemplate, resolvePipeline)
       case "intervalIntersect" =>
@@ -574,8 +586,14 @@ object YamlPlaybook {
       } else sys.error(s"pipeline '$pipe': lookup needs tsv/json/table/pipeline")
     if (replace.nonEmpty) { df =>
       val (lk, k, v) = lookupTable(df.sparkSession)
-      RowOps.lookupReplace(df, lk, replace, k,
-        if (v.nonEmpty) v else lk.columns.find(_ != k).getOrElse(v))
+      val valCol = if (v.nonEmpty) v else lk.columns.find(_ != k).getOrElse(v)
+      // dispatch on the field's shape like the reference's replace path
+      // (lookup.go:154-214: scalar / []any elements / map keys)
+      df.schema(replace).dataType.typeName match {
+        case "array" => RowOps.lookupReplaceArray(df, lk, replace, k, valCol)
+        case "map" => RowOps.lookupReplaceMapKeys(df, lk, replace, k, valCol)
+        case _ => RowOps.lookupReplace(df, lk, replace, k, valCol)
+      }
     } else if (copy.nonEmpty) {
       // loud load-time failure: an absent/empty `lookup:` template would
       // otherwise join every row on "" and silently attach nothing

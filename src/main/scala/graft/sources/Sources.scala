@@ -175,7 +175,16 @@ object Sources {
     * for schema inference — same rows-as-maps semantics as the
     * reference's avro extractor. One file per task; fine for the OCF
     * sizes sifter handles (a real deployment adds spark-avro and this
-    * becomes `read.format("avro")` behind the same signature). */
+    * becomes `read.format("avro")` behind the same signature).
+    *
+    * Union values render in goavro's "native Go form" — non-null union
+    * members wrap as `{"<type>": value}` with the branch's (full) type
+    * name as the key — because that is the row shape the reference's
+    * playbooks see and unwrap (linkedin/goavro v2, the library
+    * avro_load.go uses; the PFB example's gpython transform exists
+    * precisely to strip these wrappers). Avro's own
+    * GenericRecord.toString flattens `[null, X]` unions, silently
+    * diverging from every playbook written against goavro rows. */
   def avro(spark: SparkSession, path: String): DataFrame = {
     import org.apache.hadoop.fs.{Path => HPath}
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -195,8 +204,12 @@ object Sources {
           p.getFileSystem(conf.value).open(p),
           new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
         try {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
           val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (reader.hasNext) buf += reader.next().toString // Avro JSON encoding
+          while (reader.hasNext) {
+            val rec = reader.next()
+            buf += om.writeValueAsString(AvroJson.toJackson(rec, rec.getSchema, om))
+          }
           buf
         } finally reader.close()
       }

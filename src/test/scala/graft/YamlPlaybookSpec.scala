@@ -431,6 +431,62 @@ class YamlPlaybookSpec extends AnyFunSuite {
     assert(folded === Map("g1" -> Seq("ann", "bob"), "g2" -> Seq("cyd")))
   }
 
+  test("five more reference example goldens run unmodified (test/config.yaml LineCounts)") {
+    val res = "/root/reference/test/resources"
+    val ex = java.nio.file.Paths.get("/root/reference/test/examples")
+    assume(Files.exists(ex))
+    def run(rel: String, params: Map[String, String]): YamlPlaybook.Loaded = {
+      val dir = Files.createTempDirectory("graft_refgold")
+      val fname = java.nio.file.Paths.get(rel).getFileName
+      Files.copy(ex.resolve(rel), dir.resolve(fname))
+      val loaded = YamlPlaybook.loadFile(dir.resolve(fname).toString, params)
+      loaded.playbook.outputs.foreach { case (_, (from, sink)) =>
+        sink(loaded.playbook.resolve(spark, from))
+      }
+      loaded
+    }
+    def lines(p: String): Long = spark.read.text(p).count()
+
+    // gene-table: gz TSV + comment header, filter, 2-column table sink
+    val gt = run("gene-table/gene-table.yaml", Map("geneTSV" -> s"$res/gene2ensembl.gz"))
+    assert(lines(s"${gt.outdir}/gene.table") === 20L) // 19 rows + header
+
+    // inline-table: lookup replace from an inline YAML map
+    val it = run("lookup/inline-table.yaml", Map("json" -> s"$res/projects.json"))
+    assert(lines(s"${it.outdir}/sifter.transform.test.json.gz") === 10L)
+
+    // tsv-table-replace: fieldProcess over a MAP field + array replace
+    val tr = run("lookup/tsv-table-replace.yaml", Map(
+      "cases" -> s"$res/case.json", "diseaseTSV" -> s"$res/disease_table.tsv"))
+    assert(lines(s"${tr.outdir}/gdc-projects.transform.case-mondo.json.gz") === 10L)
+
+    // gene_collect: gpython reduce with list-append accumulator
+    val gc = run("pathwaycommons/gene_collect.yaml", Map("sifFile" -> s"$res/pathways.sif"))
+    assert(lines(s"${gc.outdir}/sifout.json.gz") === 3L)
+
+    // pathway_commons: NESTED project template (list of maps) ->
+    // fieldProcess -> distinct on a template key
+    val pc = run("pathwaycommons/pathway_commons.yaml", Map("sifFile" -> s"$res/pathways.sif"))
+    assert(lines(s"${pc.outdir}/pathway_commons.edges.json.gz") === 200L)
+    assert(lines(s"${pc.outdir}/pathway_commons.nodes.json.gz") === 192L)
+  }
+
+  test("pfb golden: avro input + recursive gpython union-unwrap (1138 edges / 873 vertices)") {
+    val res = "/root/reference/test/resources"
+    val ex = java.nio.file.Paths.get("/root/reference/test/examples")
+    assume(Files.exists(ex))
+    val dir = Files.createTempDirectory("graft_pfb")
+    Files.copy(ex.resolve("pfb/transform.yaml"), dir.resolve("transform.yaml"))
+    val loaded = YamlPlaybook.loadFile(dir.resolve("transform.yaml").toString,
+      Map("file" -> s"$res/1000G.pfb.avro"))
+    loaded.playbook.outputs.foreach { case (_, (from, sink)) =>
+      sink(loaded.playbook.resolve(spark, from))
+    }
+    def lines(p: String): Long = spark.read.text(p).count()
+    assert(lines(s"${loaded.outdir}/pfb.edge.json") === 1138L)
+    assert(lines(s"${loaded.outdir}/pfb.vertex.json") === 873L)
+  }
+
   test("gdc-convert golden: 106,521 cases through project -> objectValidate -> 3 outputs") {
     // the reference's heaviest golden (test/config.yaml): the full
     // gdc-case corpus through a template project (with a MISSING nested
