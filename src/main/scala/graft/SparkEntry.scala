@@ -109,6 +109,40 @@ object SparkEntry {
         fileSourceInner = true)
         .select("id", "tag", "w", "extra", "src_file")),
 
+    "q_sqlite_src" -> ((s, _) =>
+      // pure-Scala sqlite b-tree reader; all values nullable strings
+      sources.SqliteSource.table(s, s"$fixturesDir/fixture.sqlite", "tiny")
+        .select("k", "v")),
+    "q_sqlite_agg" -> ((s, _) =>
+      // the same reader over the 3k-row table, reduced to an aggregate
+      // the oracle derived INDEPENDENTLY via CPython's sqlite3 module
+      sources.SqliteSource.table(s, s"$fixturesDir/fixture.sqlite", "genes")
+        .agg(count(lit(1)).as("n"),
+          sum(col("id").cast(LongType)).as("id_sum"))),
+    "q_sqldump_src" -> ((s, _) =>
+      // statement splitter + CREATE columns + multi-row INSERT + ''
+      // escape handling
+      sources.SqlDump.load(s, s"$fixturesDir/dump.sql", Seq("mutations"))
+        .select(col("table"),
+          element_at(col("data"), "id").as("mid"),
+          element_at(col("data"), "protein_id").as("pid"),
+          element_at(col("data"), "cancer_type").as("cancer"))),
+    "q_xml_src" -> ((s, _) =>
+      // level-1 split: one row per <item>, wrapped by its element name
+      // (xml_step.go buffers the StartElement too); attributes as
+      // -name, repeated siblings as arrays
+      sources.XmlSource.xml(s, s"$fixturesDir/items.xml", 1)
+        .select(col("item.`-id`").as("id"), col("item.name").as("name"),
+          col("item.price").as("price"),
+          array_join(col("item.tag"), ",").as("tags"))),
+    "q_avro_src" -> ((s, _) =>
+      // OCF decode with goavro union wrapping: [null,T] fields surface
+      // as {"<type>": value} structs — selecting through the wrapper
+      // certifies the shape the reference's playbooks unwrap
+      sources.Sources.avro(s, s"$fixturesDir/sample.avro")
+        .select(col("id"), col("name.string").as("name_s"),
+          col("score.double").as("score_d"), col("addr.Addr.city").as("city"))),
+
     // ---- sifter operator inventory (SURVEY.md §2.2-2.4) ----
     "q_project" -> ((s, d) => {
       val n = t(s, d, "nation")
@@ -451,6 +485,29 @@ object SparkEntry {
          |FROM (SELECT string_split(line, E'\\t') AS f FROM lines WHERE rec > 0)""".stripMargin,
     "q_ndjson_src" ->
       s"SELECT id, name, opt, val FROM read_json_auto('$fixturesDir/ndjson_src.ndjson')",
+    // the binary-format sources (sqlite b-tree, SQL dump, XML, Avro OCF)
+    // have no DuckDB reader in this sandbox; their oracles are VALUES
+    // literals derived independently from the fixture bytes (sqlite via
+    // CPython's sqlite3, the rest by hand from the committed fixtures)
+    "q_sqlite_src" ->
+      """SELECT * FROM (VALUES ('a','1'),('b','-32769'),('c',CAST(NULL AS VARCHAR))) t(k,v)""",
+    "q_sqlite_agg" ->
+      "SELECT CAST(3002 AS BIGINT) AS n, CAST(4701501 AS BIGINT) AS id_sum",
+    "q_sqldump_src" ->
+      """SELECT * FROM (VALUES
+        |  ('mutations','10','1','breast'),
+        |  ('mutations','11','2','lung'),
+        |  ('mutations','12','1','colon')) t("table", mid, pid, cancer)""".stripMargin,
+    "q_xml_src" ->
+      """SELECT * FROM (VALUES
+        |  ('1','alpha','3.5',CAST(NULL AS VARCHAR)),
+        |  ('2','beta',CAST(NULL AS VARCHAR),CAST(NULL AS VARCHAR)),
+        |  ('3','gamma','7.25','x,y')) t(id, name, price, tags)""".stripMargin,
+    "q_avro_src" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT),'ada',CAST(2.5 AS DOUBLE),'paris'),
+        |  (CAST(2 AS BIGINT),CAST(NULL AS VARCHAR),CAST(NULL AS DOUBLE),CAST(NULL AS VARCHAR)),
+        |  (CAST(3 AS BIGINT),'bob',CAST(-0.5 AS DOUBLE),'oslo')) t(id, name_s, score_d, city)""".stripMargin,
     "q_glob_src" ->
       s"""SELECT id, tag, w, extra, regexp_extract(filename, '[^/]+$$') AS src_file
          |FROM read_json_auto('$fixturesDir/glob/*.ndjson', filename=true)""".stripMargin,
