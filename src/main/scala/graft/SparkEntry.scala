@@ -31,8 +31,14 @@ object SparkEntry {
     * union). Resolved relative to the repo root so both the Spark
     * reader and the DuckDB oracle SQL (which re-derives the semantics
     * from raw lines) see the same bytes. */
-  private val fixturesDir =
-    new java.io.File("fixtures/src_oracle").getAbsolutePath
+  private val fixturesDir = {
+    // resolved against the CWD when launched from the repo root (the
+    // sbt/driver case); otherwise fall back to the canonical checkout
+    // location so Verify/Bench work from any working directory
+    val local = new java.io.File("fixtures/src_oracle")
+    if (local.isDirectory) local.getAbsolutePath
+    else "/root/repo/fixtures/src_oracle"
+  }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")

@@ -113,11 +113,17 @@ object BusProbe {
       "-Dspark.ui.enabled=false", "-cp", System.getProperty("java.class.path"),
       "graft.bench.BusProbe", "--single", cores.toString, path, kind, "3")
     val proc = new ProcessBuilder(cmd: _*).start()
+    // drain stderr CONCURRENTLY: a chatty Spark child fills the ~64KB
+    // pipe and deadlocks against a sequential read (same fix as
+    // ScalingBench.forkLevel's errDrain thread)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() => proc.getErrorStream.transferTo(errBuf): Unit)
+    drain.start()
     val out = new String(proc.getInputStream.readAllBytes())
-    val err = new String(proc.getErrorStream.readAllBytes())
     proc.waitFor()
+    drain.join()
     out.linesIterator.find(_.startsWith("RESULT "))
       .map(_.split(" ")(2).toDouble)
-      .getOrElse(sys.error(s"probe child failed:\n$out\n$err"))
+      .getOrElse(sys.error(s"probe child failed:\n$out\n${errBuf.toString.takeRight(4000)}"))
   }
 }

@@ -274,16 +274,20 @@ object Dedup {
     *     corpus scale candidates are a vanishing fraction of docs, so
     *     the array-carrying side of the verify join shrinks from
     *     |corpus| to |candidate ids| before anything wide shuffles.
-    *  2. Ids+sizes-only prefilter: J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)
-    *     / max(|A|,|B|), so a pair whose shingle-count ratio is below
-    *     the threshold can NEVER verify — it is dropped after two
-    *     integer-only joins, without ever touching an array. This is an
-    *     exact bound (unlike a minhash-estimate filter), so the output
-    *     is bit-identical to verifying every candidate.
-    *  3. Only surviving pairs join the real arrays and compute
-    *     [[jaccardCol]].
+    *  2. Size-ratio guard BEFORE the intersect: J(A,B) = |A∩B|/|A∪B| ≤
+    *     min(|A|,|B|) / max(|A|,|B|), so a pair whose shingle-count
+    *     ratio is below the threshold can NEVER verify — evaluated as a
+    *     scalar comparison inside the join's own codegen stage (a
+    *     separate integer-join prefilter measured slower: 3 extra
+    *     stages of scheduling latency), so hopeless pairs skip the
+    *     O(n log n) array_intersect/union. The bound is exact (unlike a
+    *     minhash estimate): output is bit-identical to verifying every
+    *     candidate.
     *
-    * `cand` must have columns id_a/id_b; `sh` columns doc_id/shingles. */
+    * `cand` is referenced twice (semi-join build side + probe); callers
+    * on the hot path persist it first ([[pipeline]] and
+    * ScalingBench.dedupPass both do). `cand` must have columns
+    * id_a/id_b; `sh` columns doc_id/shingles. */
   def verifyPairs(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     // no .distinct() — a semi join dedups its build side internally,
     // and the extra shuffle costs a whole stage of latency
@@ -375,9 +379,11 @@ object Dedup {
     * then release. */
   final case class DedupResult(
       shingles: DataFrame, pairs: DataFrame,
-      clusters: DataFrame, survivors: DataFrame) {
+      clusters: DataFrame, survivors: DataFrame,
+      candidates: DataFrame) {
     def unpersist(): Unit = {
       pairs.unpersist(blocking = false)
+      candidates.unpersist(blocking = false)
       shingles.unpersist(blocking = false)
     }
   }
@@ -411,10 +417,13 @@ object Dedup {
     val sh = withWordShingles(uniq, textCol)
       .select(col(idCol).as("doc_id"), col("shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // candidates persisted: verifyPairs consumes them twice (semi-join
+    // ids + probe side) — without this the banded self-join recomputes
     val cand = lshCandidatePairs(withMinhashSignature(sh), "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = verifyPairs(sh, cand, jaccardThreshold)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cl = nearDupClusters(pairs)
-    DedupResult(sh, pairs, cl, survivors(uniq, idCol, cl))
+    DedupResult(sh, pairs, cl, survivors(uniq, idCol, cl), cand)
   }
 }

@@ -92,7 +92,16 @@ object GraphEmit {
             Some(segs.drop(i + 1).mkString(".")).filter(_.nonEmpty))
         }
         if (!hasPath(df.schema, base)) None // field absent: no edges
-        else {
+        else if (sub.isEmpty && !segs.contains("-")) {
+          // scalar pointer (no array marker): bind the path directly —
+          // one edge per row with a non-null value
+          val bound = col(base)
+          val to = graft.rules.SchemaLoader.hrefColumnBound(link.href,
+            Map(v -> bound))
+          Some(df
+            .filter(if (link.templateRequired.contains(v)) bound.isNotNull else lit(true))
+            .select(from, to.as("_to"), lit(link.rel).as("_label")))
+        } else {
           val exploded = df.select(from, explode(col(base)).as("__e"))
           val bound = sub.fold(col("__e"))(s => col(s"__e.$s"))
           val to = graft.rules.SchemaLoader.hrefColumnBound(link.href,

@@ -205,12 +205,21 @@ object RowOps {
     // would MULTIPLY matching probe rows through the left join.
     // Winner rule: lexicographically-greatest value tuple (deterministic
     // across runs/partitionings, unlike dropDuplicates' arbitrary row).
+    // Non-orderable source types (maps) can't go through max(): those
+    // fall back to dropDuplicates — still one row per key, winner
+    // arbitrary, documented.
     val projected = lookup.select(rightKey.as("__lk_key") +:
       srcs.zipWithIndex.map { case (s, i) => lookup(s).as(s"__lk_src_$i") }: _*)
-    val packed = struct(srcs.indices.map(i => col(s"__lk_src_$i")): _*)
-    val lk = projected.groupBy(col("__lk_key")).agg(max(packed).as("__lk_row"))
-      .select(col("__lk_key") +:
-        srcs.indices.map(i => col(s"__lk_row.__lk_src_$i").as(s"__lk_src_$i")): _*)
+    val orderable = srcs.indices.forall(i =>
+      !hasMap(projected.schema(s"__lk_src_$i").dataType))
+    val lk =
+      if (!orderable) projected.dropDuplicates("__lk_key")
+      else {
+        val packed = struct(srcs.indices.map(i => col(s"__lk_src_$i")): _*)
+        projected.groupBy(col("__lk_key")).agg(max(packed).as("__lk_row"))
+          .select(col("__lk_key") +:
+            srcs.indices.map(i => col(s"__lk_row.__lk_src_$i").as(s"__lk_src_$i")): _*)
+      }
     val joined = df.join(broadcast(lk), leftKey === col("__lk_key"), "left")
     copies.zipWithIndex.foldLeft(joined) { case (d, ((dst, _), i)) =>
       d.withColumn(dst, col(s"__lk_src_$i"))
@@ -237,46 +246,99 @@ object RowOps {
     * every executor (no shuffle, no join). Guarded: a lookup too large
     * to be a plan literal should go through the join-based
     * [[lookupReplace]]/[[lookupCopy]] instead. */
-  private def litMap(lookup: DataFrame, keyCol: String, valCol: String): Column = {
+  /** Above this, a lookup stops being a plan literal (200k+ Literal
+    * nodes approach Janino method-size limits and codegen silently
+    * falls back to interpreted) and the element-wise replaces switch to
+    * a join-based plan instead. */
+  private val LitMapMaxRows = 10000
+
+  /** Some(mapLiteral) when the lookup fits [[LitMapMaxRows]]; None when
+    * it must go through the join-based fallback. */
+  private def litMap(lookup: DataFrame, keyCol: String, valCol: String): Option[Column] = {
     val rows = lookup
-      .select(col(keyCol).cast("string"), col(valCol).cast("string")).collect()
-    require(rows.length <= 10000,
-      s"lookup table too large for a literal map (${rows.length} rows); " +
-        "use the join-based lookupReplace/lookupCopy")
-    // dup keys collapse to the greatest value — same deterministic winner
-    // rule as lookupCopy/lookupReplace (map() would throw on duplicates);
-    // null keys/values can't live in a map literal and a null-keyed entry
-    // can never match an element lookup anyway
-    val deduped = rows.toIndexedSeq
-      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      .groupMapReduce(_.getString(0))(_.getString(1))((a, b) => if (a >= b) a else b)
-      .toIndexedSeq.sortBy(_._1)
-    map(deduped.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      .select(col(keyCol).cast("string"), col(valCol).cast("string"))
+      .limit(LitMapMaxRows + 1).collect()
+    if (rows.length > LitMapMaxRows) None
+    else {
+      // dup keys collapse to the greatest value — same deterministic winner
+      // rule as lookupCopy/lookupReplace (map() would throw on duplicates);
+      // null keys/values can't live in a map literal and a null-keyed entry
+      // can never match an element lookup anyway
+      val deduped = rows.toIndexedSeq
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .groupMapReduce(_.getString(0))(_.getString(1))((a, b) => if (a >= b) a else b)
+        .toIndexedSeq.sortBy(_._1)
+      Some(map(deduped.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
+    }
   }
 
   /** `lookup:` with `replace:` over an ARRAY field — each element is
     * mapped through the table, miss → element unchanged
     * (transform/lookup.go:190-201: the `[]any` branch of the replace
-    * path). */
+    * path). Dictionary-sized tables evaluate as a codegen'd map
+    * literal (no shuffle); above [[LitMapMaxRows]] the elements
+    * posexplode, broadcast-join the table, and regroup in position
+    * order — same output, join-shaped plan. */
   def lookupReplaceArray(df: DataFrame, lookup: DataFrame, field: String,
-      rightKey: String, rightValue: String): DataFrame = {
-    val m = litMap(lookup, rightKey, rightValue)
-    df.withColumn(field,
-      transform(col(field), x => coalesce(element_at(m, x), x)))
-  }
+      rightKey: String, rightValue: String): DataFrame =
+    litMap(lookup, rightKey, rightValue) match {
+      case Some(m) =>
+        df.withColumn(field,
+          transform(col(field), x => coalesce(element_at(m, x), x)))
+      case None =>
+        val lk = lookup
+          .select(col(rightKey).cast("string").as("__lk_key"),
+            col(rightValue).cast("string").as("__lk_val"))
+          .groupBy("__lk_key").agg(max(col("__lk_val")).as("__lk_val"))
+        val withId = df.withColumn("__rid", monotonically_increasing_id())
+        val repl = withId
+          .select(col("__rid"), posexplode(col(field)).as(Seq("__pos", "__elem")))
+          .join(broadcast(lk), col("__elem").cast("string") === col("__lk_key"), "left")
+          .groupBy("__rid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("__pos"),
+              coalesce(col("__lk_val"), col("__elem").cast("string")).as("__v")))),
+            e => e.getField("__v")).as("__replaced"))
+        withId.join(repl, Seq("__rid"), "left")
+          // rows whose array was empty/null produce no exploded rows:
+          // keep the original value
+          .withColumn(field,
+            coalesce(col("__replaced"), col(field).cast("array<string>")))
+          .drop("__rid", "__replaced")
+    }
 
   /** `lookup:` with `replace:` over a MAP field's KEYS — each key is
     * mapped through the table, miss → key unchanged, values untouched
     * (transform/lookup.go:202-214: the `map[string]any` branch rewrites
-    * keys). */
+    * keys). Literal-map plan for dictionary-sized tables; join-based
+    * fallback above [[LitMapMaxRows]] (map entry order is not
+    * significant). */
   def lookupReplaceMapKeys(df: DataFrame, lookup: DataFrame, field: String,
-      rightKey: String, rightValue: String): DataFrame = {
-    val m = litMap(lookup, rightKey, rightValue)
-    df.withColumn(field,
-      map_from_entries(transform(map_entries(col(field)), e =>
-        struct(coalesce(element_at(m, e.getField("key")), e.getField("key")).as("key"),
-          e.getField("value").as("value")))))
-  }
+      rightKey: String, rightValue: String): DataFrame =
+    litMap(lookup, rightKey, rightValue) match {
+      case Some(m) =>
+        df.withColumn(field,
+          map_from_entries(transform(map_entries(col(field)), e =>
+            struct(coalesce(element_at(m, e.getField("key")), e.getField("key")).as("key"),
+              e.getField("value").as("value")))))
+      case None =>
+        val lk = lookup
+          .select(col(rightKey).cast("string").as("__lk_key"),
+            col(rightValue).cast("string").as("__lk_val"))
+          .groupBy("__lk_key").agg(max(col("__lk_val")).as("__lk_val"))
+        val withId = df.withColumn("__rid", monotonically_increasing_id())
+        val repl = withId
+          .select(col("__rid"), explode(map_entries(col(field))).as("__e"))
+          .join(broadcast(lk),
+            col("__e.key").cast("string") === col("__lk_key"), "left")
+          .groupBy("__rid")
+          .agg(map_from_entries(collect_list(struct(
+            coalesce(col("__lk_val"), col("__e.key").cast("string")).as("key"),
+            col("__e.value").as("value")))).as("__replaced"))
+        withId.join(repl, Seq("__rid"), "left")
+          .withColumn(field, coalesce(col("__replaced"), col(field)))
+          .drop("__rid", "__replaced")
+    }
 
   /** `intervalIntersect:` joined-rows form — one output row per
     * (row, overlapping ref) pair. The reference materializes the whole

@@ -239,7 +239,11 @@ object PyLexer {
         // exactly 2/4/8 hex digits, short runs are a SyntaxError)
         def hexEscape(width: Int): Unit = {
           val h = src.substring(i + 2, math.min(n, i + 2 + width))
-          if (h.length < width || !h.forall(ch => Character.digit(ch, 16) >= 0))
+          // ASCII hex only: Character.digit/parseInt accept non-ASCII
+          // Unicode digits CPython rejects as SyntaxError
+          def isHex(ch: Char) =
+            (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')
+          if (h.length < width || !h.forall(isHex))
             throw new PyLiteException(
               s"truncated \\${src.charAt(i + 1)}$h escape", line)
           val cp = java.lang.Integer.parseInt(h, 16)

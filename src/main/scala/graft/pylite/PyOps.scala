@@ -55,7 +55,10 @@ object PyOps {
       case Some(keys) =>
         val cols = df.columns.filter(c => keys(c) || extra.contains(c))
         if (cols.length == df.columns.length) df
-        else df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        // backtick-quote: a column literally named "a.b" must select as
+        // itself, not as nested field b of struct a
+        else df.select(cols.map(c =>
+          org.apache.spark.sql.functions.col(s"`${c.replace("`", "``")}`")): _*)
       case None => df
     }
 

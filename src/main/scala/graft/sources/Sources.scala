@@ -251,7 +251,12 @@ object Sources {
       // source's native behavior, identical to the per-file fold with
       // allowMissingColumns. input_file_name() yields a URI ("file:/x");
       // storeFilepath strips the scheme to match the per-file path form.
-      val withUri = inner(spark, pattern).withColumn("__uri", input_file_name())
+      // input_file_name() is a percent-ENCODED URI: decode it so names
+      // with spaces etc. match the per-file path's plain form. A raw
+      // '+' is legal in a URI path (means plus, not space) — protect it
+      // before url_decode's form-decoding turns it into a space.
+      val withUri = inner(spark, pattern).withColumn("__uri",
+        url_decode(regexp_replace(input_file_name(), "\\+", "%2B")))
       val withName = storeFilename.fold(withUri)(c =>
         withUri.withColumn(c, regexp_extract(col("__uri"), "[^/]+$", 0)))
       // local URIs ("file:///x" here, "file:/x" from qualified Hadoop

@@ -31,21 +31,32 @@ class LookupOpsSpec extends AnyFunSuite {
     assert(out(1L).toMap === Map("A" -> "1", "z" -> "2"))
   }
 
-  test("litMap at the 10k cap: correct at the boundary, loud rejection above") {
+  test("litMap at the 10k cap: literal plan at the boundary, join fallback above") {
     // 10k entries = 20k Literal nodes in one map constructor — pinned
     // here so a future cap raise that silently breaks codegen (Janino
     // method-size limits force interpreted fallback well before 100k
     // entries) fails a test instead of a production plan
     val n = 10000
     val bigLk = spark.range(n).selectExpr("concat('k', id) AS k", "concat('v', id) AS v")
-    val df = Seq((1L, Seq("k0", s"k${n - 1}", "miss"))).toDF("id", "xs")
-    val out = RowOps.lookupReplaceArray(df, bigLk, "xs", "k", "v").collect()
-    assert(out.head.getSeq[String](1) === Seq("v0", s"v${n - 1}", "miss"))
+    val df = Seq((1L, Seq("k0", s"k${n - 1}", "miss")), (2L, Seq.empty[String]))
+      .toDF("id", "xs")
+    val out = RowOps.lookupReplaceArray(df, bigLk, "xs", "k", "v")
+      .orderBy("id").collect()
+    assert(out(0).getSeq[String](1) === Seq("v0", s"v${n - 1}", "miss"))
+    assert(out(1).getSeq[String](1) === Seq.empty)
+    // one row past the cap: transparently switches to the join-based
+    // plan (explode + broadcast join + positional regroup), same output
     val tooBig = spark.range(n + 1).selectExpr("concat('k', id) AS k", "concat('v', id) AS v")
-    val ex = intercept[IllegalArgumentException] {
-      RowOps.lookupReplaceArray(df, tooBig, "xs", "k", "v").collect()
-    }
-    assert(ex.getMessage.contains("too large"))
+    val joined = RowOps.lookupReplaceArray(df, tooBig, "xs", "k", "v")
+    assert(joined.queryExecution.optimizedPlan.toString.contains("Join"))
+    val out2 = joined.orderBy("id").collect()
+    assert(out2(0).getSeq[String](1) === Seq("v0", s"v${n - 1}", "miss"))
+    assert(out2(1).getSeq[String](1) === Seq.empty)
+    // map-keys form: same fallback
+    val dfm = Seq((1L, Map("k0" -> "a", "zz" -> "b"))).toDF("id", "m")
+    val outm = RowOps.lookupReplaceMapKeys(dfm, tooBig, "m", "k", "v")
+      .collect().head.getMap[String, String](1)
+    assert(outm.toMap === Map("v0" -> "a", "zz" -> "b"))
   }
 
   test("lookup dup-key winner is deterministic: greatest value wins everywhere") {
