@@ -330,11 +330,49 @@ object Dedup {
     * ids and overflows Long under ANSI for large numeric ids.
     * localCheckpoint per iteration keeps plans from growing. */
   def nearDupClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIters: Int = 40): DataFrame = {
+      idB: String = "id_b", maxIters: Int = 40,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .localCheckpoint()
+    // SMALL-GRAPH FAST PATH: after LSH blocking + exact verification the
+    // pair list is tiny relative to the corpus (near-dups are a few
+    // percent), and the iterative loop pays O(log d) rounds of stage
+    // latency regardless of size. Up to `driverMaxEdges` edges (ids
+    // only — a few MB) union-find runs on the driver in O(n α(n)) with
+    // IDENTICAL min-label output; beyond that the distributed
+    // pointer-jumping loop below is the scale path.
+    val edgeCount = edges.count()
+    if (edgeCount > 0 && edgeCount <= driverMaxEdges) {
+      val spark = pairs.sparkSession
+      val idType = edges.schema.head.dataType
+      def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { r =>
+        val (a, b) = (r.get(0), r.get(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN id: the root is always the smallest member, so
+        // roots ARE the cluster_ids the distributed loop produces
+        if (ra != rb) { if (cmp(ra, rb) <= 0) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keys.toSeq.map(id =>
+        org.apache.spark.sql.Row(id, find(id)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

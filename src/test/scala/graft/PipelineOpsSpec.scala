@@ -119,6 +119,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       "uuid-c" -> "uuid-a", "zz-1" -> "zz-1", "zz-2" -> "zz-1"))
   }
 
+  test("nearDupClusters: driver union-find and distributed loop agree exactly") {
+    // random-ish graph with chains, triangles, self-contained pairs
+    val rnd = new scala.util.Random(42)
+    val pairs = (1 to 400).map { _ =>
+      val a = rnd.nextInt(300).toLong; val b = rnd.nextInt(300).toLong
+      (math.min(a, b), math.max(a, b) + 1)
+    }.toDF("id_a", "id_b")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val driver = canon(Dedup.nearDupClusters(pairs)) // small -> driver path
+    val dist = canon(Dedup.nearDupClusters(pairs, driverMaxEdges = 0L))
+    assert(driver === dist)
+    assert(driver.nonEmpty)
+  }
+
   test("lshCandidatePairs: degenerate banding configs are rejected") {
     val sig = Dedup.withMinhashSignature(
       Dedup.withWordShingles(docs.select("doc_id", "text").limit(5), "text"))
