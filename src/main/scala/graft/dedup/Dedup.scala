@@ -157,11 +157,17 @@ object Dedup {
 
   /** 64-bit SimHash near-dup pairs — the corpus-scale variant (the
     * 16-bit space saturates ≈10^4 docs; see [[simhashPairs]]). Same
-    * exact pigeonhole banding, maxHamming+1 bands over 64 bits (e.g.
-    * 22/21/21 bits for ≤2 — selective enough for 10^9+ docs per band
-    * value). Backed by the codegen'd [[graft.expr.SimHash64]]; not
-    * DuckDB-replayable (wrapping u64 arithmetic), so verified in
-    * ScalaTest against the all-pairs form instead of the oracle. */
+    * exact pigeonhole banding, maxHamming+1 bands over 64 bits
+    * (22/21/21 bits for ≤2). Measured capacity
+    * (graft.bench.SimhashCapacity, BENCH/NOTES.md): random band
+    * collisions follow the 3·n²/2^22 birthday floor — ~0.7
+    * candidates/doc at 10^6 docs, ~7 at 10^7, ~70 at 10^8 — so exact
+    * 3-band blocking holds to ~10^7-10^8 docs (the candidate FILTER is
+    * a cheap bit_count over ids+sigs); beyond that, run [[exact]]
+    * upstream, add bands with multiprobe, or cap buckets. Backed by the
+    * codegen'd [[graft.expr.SimHash64]]; not DuckDB-replayable
+    * (wrapping u64 arithmetic), so verified in ScalaTest against the
+    * all-pairs form instead of the oracle. */
   def simhashPairs64(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
