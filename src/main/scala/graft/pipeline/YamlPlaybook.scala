@@ -510,6 +510,29 @@ object YamlPlaybook {
         val init = c.get("init").map(i => toJsonString(asMap(i)))
         df => graft.pylite.PyOps.reducePy(df, keyField, code, method, init,
           schema = ddlSchema(c))
+      case "dedup" =>
+        // ENGINE EXTENSION (no reference analog — its only dedup is
+        // first-wins `distinct`): the production near-dup pipeline as a
+        // playbook step, so a sifter user can drop corpus dedup into an
+        // existing YAML flow. keep: survivors (default) keeps one doc
+        // per exact+near-dup cluster; clusters / pairs expose the
+        // intermediate tables instead.
+        val idField = str(c.getOrElse("id", ""))
+        val textField = str(c.getOrElse("text", ""))
+        require(idField.nonEmpty && textField.nonEmpty,
+          s"pipeline '$pipe': dedup needs id: and text: fields")
+        val keep = str(c.getOrElse("keep", "survivors"))
+        require(Set("survivors", "clusters", "pairs")(keep),
+          s"pipeline '$pipe': dedup keep: must be survivors/clusters/pairs, got '$keep'")
+        val threshold = c.get("threshold").map(str(_).toDouble).getOrElse(0.8)
+        df => {
+          val r = graft.dedup.Dedup.pipeline(df, idField, textField, threshold)
+          keep match {
+            case "survivors" => r.survivors
+            case "clusters" => r.clusters
+            case "pairs" => r.pairs
+          }
+        }
       case "plugin" =>
         sys.error(s"pipeline '$pipe': step 'plugin' runs an external executable — " +
           "use graft.sources.Plugin.transform from the Scala DSL, where the " +

@@ -614,6 +614,21 @@ class PyLiteSpec extends AnyFunSuite {
     assert(esc.schema.fieldNames.sorted.toSeq === Seq("a", "other_col", "wide_col", "x"))
   }
 
+  test("filterPy works inside Structured Streaming (predicate island on a stream)") {
+    val dir = java.nio.file.Files.createTempDirectory("pylite_sfilter").toString
+    Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("v", "lang")
+      .write.mode("overwrite").parquet(dir)
+    val in = spark.readStream.schema("v LONG, lang STRING").parquet(dir)
+    val out = PyOps.filterPy(in, "def f(x):\n  return x[\"lang\"] == \"en\"", "f")
+    val q = out.writeStream.format("memory").queryName("pylite_sfilter_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT v FROM pylite_sfilter_out ORDER BY v")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("bridge round-trips arrays, maps, structs, decimals and timestamps") {
     val df = spark.sql(
       """select array(1, 2) as arr, map('k', 1.5D) as m,

@@ -431,6 +431,34 @@ class YamlPlaybookSpec extends AnyFunSuite {
     assert(folded === Map("g1" -> Seq("ann", "bob"), "g2" -> Seq("cyd")))
   }
 
+  test("dedup step: near-dup survivors from a YAML playbook (engine extension)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val yaml =
+      s"""inputs:
+         |  docs:
+         |    embedded:
+         |      - {doc_id: 1, text: "$base one"}
+         |      - {doc_id: 2, text: "$base one"}
+         |      - {doc_id: 3, text: "$base one zz"}
+         |      - {doc_id: 4, text: "totally different words entirely here now yes ok fine sure"}
+         |pipelines:
+         |  clean:
+         |    - from: docs
+         |    - dedup:
+         |        id: doc_id
+         |        text: text
+         |        keep: survivors
+         |outputs: {}
+         |""".stripMargin
+    val dir = Files.createTempDirectory("graft_yaml_dedup")
+    val loaded = YamlPlaybook.load(yaml, dir.toString)
+    val kept = loaded.playbook.resolve(spark, "clean")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // 2 is an exact dup of 1; 3 is a near dup of 1; 4 is unique
+    assert(kept === Seq(1L, 4L))
+  }
+
   test("five more reference example goldens run unmodified (test/config.yaml LineCounts)") {
     val res = "/root/reference/test/resources"
     val ex = java.nio.file.Paths.get("/root/reference/test/examples")
