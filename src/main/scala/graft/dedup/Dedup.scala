@@ -335,9 +335,28 @@ object Dedup {
     * u64 hashes); the tempting sum(label) shortcut breaks on string
     * ids and overflows Long under ANSI for large numeric ids.
     * localCheckpoint per iteration keeps plans from growing. */
+  /** Ordering identical to Spark's for the fast-path id types:
+    * UTF8String binary order (unsigned UTF-8 bytes — String.compareTo
+    * diverges on supplementary characters) for strings, Comparable for
+    * boxed numerics. */
+  private def sparkCmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) =>
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(xb.length, yb.length)
+      var i = 0
+      while (i < n) {
+        val d = (xb(i) & 0xFF) - (yb(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      xb.length - yb.length
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
   def nearDupClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIters: Int = 40,
-      driverMaxEdges: Long = 1000000L): DataFrame = {
+      driverMaxEdges: Long = 200000L): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
@@ -345,16 +364,25 @@ object Dedup {
     // SMALL-GRAPH FAST PATH: after LSH blocking + exact verification the
     // pair list is tiny relative to the corpus (near-dups are a few
     // percent), and the iterative loop pays O(log d) rounds of stage
-    // latency regardless of size. Up to `driverMaxEdges` edges (ids
-    // only — a few MB) union-find runs on the driver in O(n α(n)) with
-    // IDENTICAL min-label output; beyond that the distributed
-    // pointer-jumping loop below is the scale path.
+    // latency regardless of size. Up to `driverMaxEdges` SYMMETRIZED
+    // edges (≈2x the input pairs; ids only — tens of MB at the cap)
+    // union-find runs on the driver in O(n α(n)) with IDENTICAL
+    // min-label output; beyond that — or for id types whose driver
+    // ordering could diverge from Spark's (binary/struct/array) — the
+    // distributed pointer-jumping loop below is the scale path.
+    import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType,
+      IntegerType, LongType, ShortType, StringType}
+    val idType = edges.schema.head.dataType
+    val fastType = idType match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => true
+      case _ => false
+    }
     val edgeCount = edges.count()
-    if (edgeCount > 0 && edgeCount <= driverMaxEdges) {
+    if (fastType && edgeCount > 0 && edgeCount <= driverMaxEdges) {
       val spark = pairs.sparkSession
-      val idType = edges.schema.head.dataType
-      def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
       val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      var nullSeen = false
       def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
@@ -364,20 +392,33 @@ object Dedup {
       }
       edges.collect().foreach { r =>
         val (a, b) = (r.get(0), r.get(1))
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        // union by MIN id: the root is always the smallest member, so
-        // roots ARE the cluster_ids the distributed loop produces
-        if (ra != rb) { if (cmp(ra, rb) <= 0) parent(rb) = ra else parent(ra) = rb }
+        if (a == null || b == null) {
+          // the distributed loop's joins never match null: a null node
+          // labels itself (one (null,null) row), its partner keeps its
+          // own component
+          nullSeen = true
+          if (a != null) parent.getOrElseUpdate(a, a): Unit
+          if (b != null) parent.getOrElseUpdate(b, b): Unit
+        } else {
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by MIN id: the root is always the smallest member, so
+          // roots ARE the cluster_ids the distributed loop produces
+          if (ra != rb) {
+            if (sparkCmp(ra, rb) <= 0) parent(rb) = ra else parent(ra) = rb
+          }
+        }
       }
       val rows = parent.keys.toSeq.map(id =>
-        org.apache.spark.sql.Row(id, find(id)))
+        org.apache.spark.sql.Row(id, find(id))) ++
+        (if (nullSeen) Seq(org.apache.spark.sql.Row(null, null)) else Nil)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", idType),
         org.apache.spark.sql.types.StructField("cluster_id", idType)))
       return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
+        spark.sparkContext.parallelize(rows, math.max(1, rows.size / 50000)),
+        schema)
     }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -421,10 +462,15 @@ object Dedup {
     * shingle and verified-pair tables stay persisted until
     * [[DedupResult.unpersist]] — callers materialize what they need,
     * then release. */
-  final case class DedupResult(
-      shingles: DataFrame, pairs: DataFrame,
-      clusters: DataFrame, survivors: DataFrame,
-      candidates: DataFrame) {
+  final class DedupResult(
+      val shingles: DataFrame, val pairs: DataFrame,
+      val candidates: DataFrame,
+      dedupedCorpus: DataFrame, idCol: String) {
+    /** Connected components — LAZY: clustering runs Spark jobs at
+      * construction time (the small-graph path counts + collects), so
+      * a caller that only wants `pairs` must not pay for it. */
+    lazy val clusters: DataFrame = nearDupClusters(pairs)
+    lazy val survivors: DataFrame = Dedup.survivors(dedupedCorpus, idCol, clusters)
     def unpersist(): Unit = {
       pairs.unpersist(blocking = false)
       candidates.unpersist(blocking = false)
@@ -467,7 +513,6 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = verifyPairs(sh, cand, jaccardThreshold)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cl = nearDupClusters(pairs)
-    DedupResult(sh, pairs, cl, survivors(uniq, idCol, cl), cand)
+    new DedupResult(sh, pairs, cand, uniq, idCol)
   }
 }

@@ -527,11 +527,17 @@ object YamlPlaybook {
         val threshold = c.get("threshold").map(str(_).toDouble).getOrElse(0.8)
         df => {
           val r = graft.dedup.Dedup.pipeline(df, idField, textField, threshold)
-          keep match {
+          // keep=pairs never pays for clustering (DedupResult is lazy);
+          // the kept table is materialized eagerly (localCheckpoint) so
+          // the pipeline's persisted intermediates can be RELEASED here
+          // instead of leaking for the session lifetime
+          val out = (keep match {
             case "survivors" => r.survivors
             case "clusters" => r.clusters
             case "pairs" => r.pairs
-          }
+          }).localCheckpoint()
+          r.unpersist()
+          out
         }
       case "plugin" =>
         sys.error(s"pipeline '$pipe': step 'plugin' runs an external executable — " +
