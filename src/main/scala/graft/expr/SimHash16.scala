@@ -39,7 +39,7 @@ object SimHash16 {
       val h = th(t)
       var b = 0
       while (b < 16) {
-        if (((h >> b) & 1L) == 1L) ones(b) += 1
+        ones(b) += ((h >> b) & 1L).toInt // branchless — see SimHash64
         b += 1
       }
       t += 1

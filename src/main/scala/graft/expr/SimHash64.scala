@@ -41,7 +41,10 @@ object SimHash64 {
       val h = SrpBucket.mix(th(t))
       var b = 0
       while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) ones(b) += 1
+        // branchless: h's bits are uniform, so a conditional increment
+        // mispredicts half the time — this loop is the hot path of the
+        // dedup job's dominant phase
+        ones(b) += ((h >>> b) & 1L).toInt
         b += 1
       }
       t += 1

@@ -286,6 +286,59 @@ object DuckSql {
        |FROM sh a, sh b
        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 2""".stripMargin
 
+  /** (a * c) mod 2^64 in DuckDB HUGEINT via 32-bit limbs — a full
+    * 64x64 product can overflow even INT128, so the high limbs are
+    * folded mod 2^32 first. `c` is a compile-time constant. */
+  private def mulMod64(z: String, c: BigInt): String = {
+    val ch = c >> 32
+    val cl = c & 0xFFFFFFFFL
+    s"""(((($z) % 4294967296) * $cl +
+       |  (((($z) % 4294967296) * $ch + (($z) // 4294967296) * $cl) % 4294967296)
+       |  * CAST('4294967296' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+  }
+
+  /** The 64-bit simhash oracle: the same token polynomial hashes as
+    * [[dSimhashPairs]], widened through the splitmix64 finalizer
+    * (SrpBucket.mix) with its WRAPPING u64 adds/multiplies emulated in
+    * HUGEINT mod-2^64 arithmetic, staged one mix step per CTE (inlining
+    * the multiply-mod five references deep would explode the expression
+    * tree). Bit votes and the all-pairs hamming filter replay
+    * Dedup.simhashPairs64's banded result exactly — banding is
+    * output-invariant (pigeonhole-exact), so the oracle skips it. */
+  def xSimhash64Pairs: String = {
+    val tokHash = polyFold(charCodes("t", "1", "LENGTH(t)"))
+    val p64 = "CAST('18446744073709551616' AS HUGEINT)"
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id % 25 = 0
+       |), tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(TRIM(text), '\\s+')) AS t FROM aug
+       |), th AS (
+       |  SELECT doc_id, $tokHash AS h FROM tok
+       |), m1 AS (
+       |  SELECT doc_id, (CAST(h AS HUGEINT) + CAST('11400714819323198485' AS HUGEINT)) % $p64 AS z FROM th
+       |), m2 AS (SELECT doc_id, xor(z, z // 1073741824) AS z FROM m1
+       |), m3 AS (SELECT doc_id, ${mulMod64("z", BigInt("BF58476D1CE4E5B9", 16))} AS z FROM m2
+       |), m4 AS (SELECT doc_id, xor(z, z // 134217728) AS z FROM m3
+       |), m5 AS (SELECT doc_id, ${mulMod64("z", BigInt("94D049BB133111EB", 16))} AS z FROM m4
+       |), m6 AS (SELECT doc_id, xor(z, z // 2147483648) AS z FROM m5
+       |), pw AS (SELECT unnest(range(64)) AS b
+       |), votes AS (
+       |  SELECT m6.doc_id, pw.b,
+       |    SUM(CASE WHEN (z // (CAST(1 AS HUGEINT) << CAST(pw.b AS INT))) % 2 = 1 THEN 1 ELSE 0 END) AS ones,
+       |    COUNT(*) AS n
+       |  FROM m6, pw GROUP BY 1, 2
+       |), sig AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN 2 * ones >= n THEN (CAST(1 AS HUGEINT) << CAST(b AS INT)) ELSE CAST(0 AS HUGEINT) END) AS s
+       |  FROM votes GROUP BY 1
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+       |FROM sig a, sig b
+       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 2""".stripMargin
+  }
+
   private val cosFold: String =
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |    list_transform(range(1, len(va) + 1), i -> va[CAST(i AS INT)] * vb[CAST(i AS INT)])),
