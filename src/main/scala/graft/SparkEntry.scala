@@ -428,6 +428,11 @@ object SparkEntry {
       // truth
       Dedup.simhashPairs64(augDocs(s, d), "doc_id", "text", maxHamming = 2)),
     "x_ann_lsh" -> ((s, d) => {
+      // oracle-gated since round 4: every stage of this "approximate"
+      // path is deterministic (fixed splitmix64 hyperplanes, ordered
+      // folds), so DuckDB replays bucket/probe/re-rank exactly
+      // (DuckSql.xAnnLsh) — recall vs brute force stays reported in
+      // Bench alongside
       val emb = t(s, d, "embeddings")
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         10, planes = 4, tables = 16)
@@ -651,5 +656,6 @@ object SparkEntry {
     "v_salted_hot" -> DuckSql.vSaltedHot,
     "x_media_meta" -> DuckSql.xMediaMeta,
     "x_media_features" -> DuckSql.xMediaFeatures,
-    "x_simhash64_pairs" -> DuckSql.xSimhash64Pairs)
+    "x_simhash64_pairs" -> DuckSql.xSimhash64Pairs,
+    "x_ann_lsh" -> DuckSql.xAnnLsh())
 }

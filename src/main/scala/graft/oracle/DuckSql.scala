@@ -388,6 +388,59 @@ object DuckSql {
       |)
       |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, sim FROM r WHERE rank <= 10""".stripMargin
 
+  /** Oracle for the MULTIPROBE SRP-LSH top-k (x_ann_lsh): the
+    * Rademacher hyperplanes are deterministic functions of
+    * (table, plane, dim) through splitmix64, so their ±1 signs are
+    * PRECOMPUTED here (graft.expr.SrpBucket.mix — the same function the
+    * Spark expression calls) and embedded as literals; DuckDB then
+    * replays bucketing (ordered left-fold dots — SUM would reorder the
+    * float adds), the 1-bit-flip probe set, candidate join, and exact
+    * cosine re-rank. Result is EXACT, not statistical: every stage of
+    * the "approximate" path is deterministic. Dim is pinned to the
+    * testdata embedding width. */
+  def xAnnLsh(planes: Int = 4, tables: Int = 16, dim: Int = 64,
+      k: Int = 10): String = {
+    val signRows = (for (t <- 0 until tables; p <- 0 until planes) yield {
+      val base = (t.toLong * planes + p) * 1048576L
+      val sl = (0 until dim).map(j =>
+        if ((graft.expr.SrpBucket.mix(base + j) & 1L) == 0L) "1" else "-1")
+        .mkString("[", ",", "]")
+      s"($t, $p, $sl::DOUBLE[])"
+    }).mkString(",\n  ")
+    val probes = (Seq("bucket") ++
+      (0 until planes).map(b => s"xor(bucket, ${1L << b})")).mkString("[", ", ", "]")
+    s"""WITH signs(tbl, p, sl) AS (VALUES $signRows),
+       |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |dots AS (
+       |  SELECT n.vec_id, signs.tbl, signs.p,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, ${dim + 1}), i -> signs.sl[CAST(i AS INT)] * n.v[CAST(i AS INT)])),
+       |      (acc, x) -> acc + x) AS d
+       |  FROM n, signs
+       |), buckets AS (
+       |  SELECT vec_id, tbl, SUM(CASE WHEN d >= 0 THEN (1 << (${planes - 1} - p)) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2
+       |), qprobes AS (
+       |  SELECT vec_id AS qid, tbl, unnest($probes) AS bucket
+       |  FROM buckets WHERE vec_id < 5
+       |), cand AS (
+       |  SELECT DISTINCT q.qid, c.vec_id AS nid
+       |  FROM qprobes q JOIN buckets c USING (tbl, bucket)
+       |  WHERE c.vec_id <> q.qid
+       |), scored AS (
+       |  SELECT cand.qid, cand.nid, ROUND(
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(range(1, ${dim + 1}), i -> qn.v[CAST(i AS INT)] * nn.v[CAST(i AS INT)])),
+       |      (acc, x) -> acc + x)
+       |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(qn.v, x -> x * x)), (a2, x) -> a2 + x))
+       |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(nn.v, x -> x * x)), (a3, x) -> a3 + x))), 6) AS sim
+       |  FROM cand JOIN n qn ON qn.vec_id = cand.qid JOIN n nn ON nn.vec_id = cand.nid
+       |), r AS (
+       |  SELECT qid, nid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM scored
+       |)
+       |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, sim FROM r WHERE rank <= $k""".stripMargin
+  }
+
   // ---- multimodal (Multimodal.syntheticMedia is pure integer byte
   // arithmetic, so DuckDB replays it from range(500) with no table) ----
 
