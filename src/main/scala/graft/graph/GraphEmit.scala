@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Property-graph emission + referential integrity, re-expressing
@@ -80,35 +80,57 @@ object GraphEmit {
             graft.rules.SchemaLoader.hrefColumn(link.href).as("_to"),
             lit(link.rel).as("_label")))
       } else {
-        // single-variable links are the reference's universal shape;
-        // multi-var pointer links would need a zip of explosions
-        require(link.templatePointers.size == 1,
-          s"link '${link.rel}' of class '${cls.id}': multi-variable templatePointers unsupported")
-        val (v, ptr) = link.templatePointers.head
-        val segs = ptr.stripPrefix("/").split("/").toIndexedSeq
-        val (base, sub) = segs.indexOf("-") match {
-          case -1 => (segs.mkString("."), None)
-          case i => (segs.take(i).mkString("."),
-            Some(segs.drop(i + 1).mkString(".")).filter(_.nonEmpty))
+        // every schema in the reference corpus is single-variable, but
+        // its generator loops ALL pointers (output_graph.go:160-184 via
+        // bmeg/jsonschemagraph): multiple array pointers advance in
+        // LOCKSTEP — element i of each array binds edge i. Spark-first
+        // that is NOT a join of explosions (which would cross-product):
+        // one explode of arrays_zip keeps it a narrow, shuffle-free
+        // projection; zip pads the shorter array with null, which the
+        // templateRequired null filter then drops.
+        case class Ptr(v: String, base: String, sub: Option[String], isArray: Boolean)
+        val ps = link.templatePointers.toSeq.sortBy(_._1).map { case (v, ptr) =>
+          val segs = ptr.stripPrefix("/").split("/").toIndexedSeq
+          segs.indexOf("-") match {
+            case -1 => Ptr(v, segs.mkString("."), None, isArray = false)
+            case i => Ptr(v, segs.take(i).mkString("."),
+              Some(segs.drop(i + 1).mkString(".")).filter(_.nonEmpty), isArray = true)
+          }
         }
-        if (!hasPath(df.schema, base)) None // field absent: no edges
-        else if (sub.isEmpty && !segs.contains("-")) {
-          // scalar pointer (no array marker): bind the path directly —
-          // one edge per row with a non-null value
-          val bound = col(base)
-          val to = graft.rules.SchemaLoader.hrefColumnBound(link.href,
-            Map(v -> bound))
-          Some(df
-            .filter(if (link.templateRequired.contains(v)) bound.isNotNull else lit(true))
-            .select(from, to.as("_to"), lit(link.rel).as("_label")))
-        } else {
-          val exploded = df.select(from, explode(col(base)).as("__e"))
-          val bound = sub.fold(col("__e"))(s => col(s"__e.$s"))
-          val to = graft.rules.SchemaLoader.hrefColumnBound(link.href,
-            Map(v -> bound))
-          Some(exploded
-            .filter(if (link.templateRequired.contains(v)) bound.isNotNull else lit(true))
-            .select(col("_from"), to.as("_to"), lit(link.rel).as("_label")))
+        if (!ps.forall(p => hasPath(df.schema, p.base))) None // field absent: no edges
+        else {
+          val arrays = ps.filter(_.isArray)
+          val scalars = ps.filterNot(_.isArray)
+          def requiredFilter(binds: Map[String, Column]): Column =
+            binds.collect { case (v, c) if link.templateRequired.contains(v) =>
+              c.isNotNull }.foldLeft(lit(true))(_ && _)
+          if (arrays.isEmpty) {
+            // all-scalar pointers: bind the paths directly — one edge
+            // per row with non-null required values
+            val binds = scalars.map(p => p.v -> col(p.base)).toMap
+            val to = graft.rules.SchemaLoader.hrefColumnBound(link.href, binds)
+            Some(df.filter(requiredFilter(binds))
+              .select(from, to.as("_to"), lit(link.rel).as("_label")))
+          } else {
+            val elem =
+              if (arrays.size == 1) explode(col(arrays.head.base))
+              else explode(arrays_zip(
+                arrays.zipWithIndex.map { case (p, i) => col(p.base).as(s"__p$i") }: _*))
+            val exploded = df.select(
+              from +: elem.as("__e") +:
+                scalars.zipWithIndex.map { case (p, i) => col(p.base).as(s"__s$i") }: _*)
+            val arrayBinds = arrays.zipWithIndex.map { case (p, i) =>
+              val root = if (arrays.size == 1) col("__e") else col(s"__e.__p$i")
+              p.v -> p.sub.fold(root)(s => s.split("\\.").foldLeft(root)(_ getField _))
+            }
+            val scalarBinds = scalars.zipWithIndex.map { case (p, i) =>
+              p.v -> col(s"__s$i")
+            }
+            val binds = (arrayBinds ++ scalarBinds).toMap
+            val to = graft.rules.SchemaLoader.hrefColumnBound(link.href, binds)
+            Some(exploded.filter(requiredFilter(binds))
+              .select(col("_from"), to.as("_to"), lit(link.rel).as("_label")))
+          }
         }
       }
     }.reduceOption(_ unionByName _)

@@ -142,6 +142,31 @@ class IceLite(val root: String) {
       JsonMethods.compact(JsonMethods.render(doc)))
   }
 
+  /** Integral footer bounds above 2^53 can round toward the INTERIOR
+    * when narrowed to Double (min up / max down), which would let
+    * [[readTablePruned]] drop a partition that still holds in-range
+    * rows. Round-to-nearest is off by at most half an ulp, so one ulp
+    * outward restores the "pruning is never lossy" invariant; the
+    * `< 2^63` guard catches Long.MaxValue, where toLong saturates and
+    * the equality test would falsely report an exact conversion. */
+  private def widenLo(n: Number): Double = n match {
+    case l: java.lang.Long =>
+      val d = l.doubleValue
+      if (d >= Long.MinValue.toDouble && d < Long.MaxValue.toDouble &&
+        d.toLong == l.longValue) d
+      else math.nextDown(d)
+    case _ => n.doubleValue
+  }
+
+  private def widenHi(n: Number): Double = n match {
+    case l: java.lang.Long =>
+      val d = l.doubleValue
+      if (d >= Long.MinValue.toDouble && d < Long.MaxValue.toDouble &&
+        d.toLong == l.longValue) d
+      else math.nextUp(d)
+    case _ => n.doubleValue
+  }
+
   /** Min/max per NUMERIC column across every row group of every parquet
     * file in `dir`, read from footers only. Non-numeric and statless
     * columns are absent (⇒ never pruned on). */
@@ -162,7 +187,7 @@ class IceLite(val root: String) {
             (st.genericGetMin, st.genericGetMax) match {
               case (mn: Number, mx: Number) =>
                 val name = col.getPath.toDotString
-                val (mnD, mxD) = (mn.doubleValue, mx.doubleValue)
+                val (mnD, mxD) = (widenLo(mn), widenHi(mx))
                 acc(name) = acc.get(name) match {
                   case Some((a, b)) => (math.min(a, mnD), math.max(b, mxD))
                   case None => (mnD, mxD)

@@ -231,9 +231,13 @@ object RowOps {
     * replace path: hit → mapped value, miss → unchanged). */
   def lookupReplace(df: DataFrame, lookup: DataFrame, field: String,
       rightKey: String, rightValue: String): DataFrame = {
-    val lk = lookup.select(col(rightKey).as("__lk_key"), col(rightValue).as("__lk_val"))
-      // map semantics, deterministic winner (greatest value) — see lookupCopy
-      .groupBy("__lk_key").agg(max(col("__lk_val")).as("__lk_val"))
+    val projected = lookup.select(col(rightKey).as("__lk_key"), col(rightValue).as("__lk_val"))
+    // map semantics, deterministic winner (greatest value) — see lookupCopy.
+    // Unorderable value types (maps) can't go through max(): fall back to
+    // dropDuplicates — still one row per key, winner arbitrary.
+    val lk =
+      if (hasMap(projected.schema("__lk_val").dataType)) projected.dropDuplicates("__lk_key")
+      else projected.groupBy("__lk_key").agg(max(col("__lk_val")).as("__lk_val"))
     df.join(broadcast(lk), df(field) === col("__lk_key"), "left")
       .withColumn(field, coalesce(col("__lk_val"), col(field)))
       .drop("__lk_key", "__lk_val")
@@ -290,7 +294,14 @@ object RowOps {
           .select(col(rightKey).cast("string").as("__lk_key"),
             col(rightValue).cast("string").as("__lk_val"))
           .groupBy("__lk_key").agg(max(col("__lk_val")).as("__lk_val"))
+        // monotonically_increasing_id is NONdeterministic: the self-join
+        // below recomputes withId on both sides, and with a
+        // nondeterministic upstream (uuid step, sample) or a task retry
+        // the two recomputations could assign different ids — silently
+        // attaching replaced values to the wrong rows. localCheckpoint
+        // materializes the ids once so both sides read the same frame.
         val withId = df.withColumn("__rid", monotonically_increasing_id())
+          .localCheckpoint()
         val repl = withId
           .select(col("__rid"), posexplode(col(field)).as(Seq("__pos", "__elem")))
           .join(broadcast(lk), col("__elem").cast("string") === col("__lk_key"), "left")
@@ -326,7 +337,14 @@ object RowOps {
           .select(col(rightKey).cast("string").as("__lk_key"),
             col(rightValue).cast("string").as("__lk_val"))
           .groupBy("__lk_key").agg(max(col("__lk_val")).as("__lk_val"))
+        // monotonically_increasing_id is NONdeterministic: the self-join
+        // below recomputes withId on both sides, and with a
+        // nondeterministic upstream (uuid step, sample) or a task retry
+        // the two recomputations could assign different ids — silently
+        // attaching replaced values to the wrong rows. localCheckpoint
+        // materializes the ids once so both sides read the same frame.
         val withId = df.withColumn("__rid", monotonically_increasing_id())
+          .localCheckpoint()
         val repl = withId
           .select(col("__rid"), explode(map_entries(col(field))).as("__e"))
           .join(broadcast(lk),

@@ -443,7 +443,11 @@ object YamlPlaybook {
         val mapping = asMap(c.getOrElse("mapping", null)).toSeq
           .map { case (dst, v) => dst -> str(v) }
         val itemField = str(c.getOrElse("itemField", ""))
-        df => df.schema(field).dataType.typeName match {
+        // NOTE: resolve the field's type through the analyzer, not
+        // StructType.apply — the latter only sees top-level names, but
+        // `field:` may be a nested dotted path (the reference resolves it
+        // via GetJSONPath '$.a.b', jsonpath.go).
+        df => df.select(col(field)).schema.head.dataType.typeName match {
           case "struct" =>
             // a MAP-valued field emits ONE row: the sub-object plus the
             // mapping columns rendered against the parent row

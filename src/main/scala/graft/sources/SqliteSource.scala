@@ -1,6 +1,7 @@
 package graft.sources
 
 import scala.collection.mutable
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -14,90 +15,189 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * is a missing value — here a null cell, the fixed-schema analog).
   * Projections/filters compose in Spark on top.
   *
-  * Like the reference (single-threaded database/sql scan), the file is
-  * parsed sequentially on the driver — SQLite inputs in sifter
-  * playbooks are reference lookup tables, not the big corpus. An
-  * `INTEGER PRIMARY KEY` column is the rowid alias: stored as NULL in
-  * the record, materialized from the rowid, per the format spec.
-  * WITHOUT ROWID tables and indexes are not supported.
+  * Unlike the reference (single-threaded database/sql scan), the read
+  * is PARTITIONED: the driver touches only the header, sqlite_master,
+  * and the top interior pages of the table's b-tree — enough to split
+  * the tree into subtree roots — and each Spark task walks its own
+  * subtrees against a page-cached random-access view of the file. A
+  * multi-GB sqlite file therefore never materializes on the driver
+  * (files ≤ [[SqliteSource.BufferCap]] are still read into one array,
+  * which is faster for the config-sized lookup tables sifter playbooks
+  * actually use). An `INTEGER PRIMARY KEY` column is the rowid alias:
+  * stored as NULL in the record, materialized from the rowid, per the
+  * format spec. WITHOUT ROWID tables and indexes are not supported.
   */
 object SqliteSource {
 
-  def table(spark: SparkSession, path: String, tableName: String): DataFrame = {
+  /** Files at or below this buffer fully (driver AND tasks); above it
+    * pages are fetched on demand through an LRU block cache. */
+  private val BufferCap: Long = 64L << 20
+
+  private def openBytes(path: String,
+      hconf: org.apache.hadoop.conf.Configuration): Bytes = {
     import org.apache.hadoop.fs.{Path => HPath}
     val p = new HPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(hconf)
     val len = fs.getFileStatus(p).getLen
-    require(len <= (1L << 31) - 1, s"sqlite file too large to buffer: $len bytes")
-    val bytes = new Array[Byte](len.toInt)
-    val in = fs.open(p)
-    try in.readFully(0, bytes) finally in.close()
-    val db = new Db(bytes)
-    val (cols, affinities, ipkIdx, rootPage) = db.tableInfo(tableName)
-    val rows = db.tableRows(rootPage).map { case (rowid, vals) =>
-      Row(cols.indices.map { i =>
-        if (i == ipkIdx) rowid.toString
-        else if (i < vals.length) vals(i).map {
-          // REAL affinity: SQLite stores integral reals as integers on
-          // disk and converts back on read — so must we
-          case l: Long if affinities(i) == 'R' => l.toDouble.toString
-          case l: Long => l.toString
-          case d: Double => d.toString
-          case s: String => s
-        }.orNull
-        else null
-      }: _*)
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(cols.map(c => StructField(c, StringType))))
+    if (len <= BufferCap) {
+      val bytes = new Array[Byte](len.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, bytes) finally in.close()
+      new ArrayBytes(bytes)
+    } else new CachedFileBytes(fs.open(p), len)
   }
+
+  def table(spark: SparkSession, path: String, tableName: String): DataFrame = {
+    val driverBytes = openBytes(path, spark.sparkContext.hadoopConfiguration)
+    val (cols, affinities, ipkIdx, rootPage, roots) =
+      try {
+        val db = new Db(driverBytes)
+        val (c, a, i, r) = db.tableInfo(tableName)
+        // enough subtrees for every core to get a few (task skew from
+        // uneven subtrees averages out when tasks ≫ cores is possible)
+        val rts = if (r == 0) Seq.empty[Long]
+          else db.subtreeRoots(r, spark.sparkContext.defaultParallelism)
+        (c, a, i, r, rts)
+      } finally driverBytes.close()
+    val schema = StructType(cols.map(c => StructField(c, StringType)))
+    val mk = mkRow(affinities, ipkIdx, cols.length) _
+    if (roots.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    else {
+      // contiguous chunks keep b-tree (rowid) order across partitions
+      val nParts = math.min(roots.length, math.max(2, spark.sparkContext.defaultParallelism))
+      val groups = chunk(roots, nParts)
+      val rdd = spark.sparkContext.parallelize(groups, groups.length)
+        .mapPartitions { it =>
+          val bytes = openBytes(path, new org.apache.hadoop.conf.Configuration())
+          Option(TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => bytes.close()))
+          val db = new Db(bytes)
+          it.flatMap(_.iterator.flatMap(pg =>
+            db.tableRows(pg).iterator.map { case (rowid, vals) => mk(rowid, vals) }))
+        }
+      spark.createDataFrame(rdd, schema)
+    }
+  }
+
+  private def chunk(xs: Seq[Long], n: Int): Seq[Seq[Long]] = {
+    val per = math.max(1, (xs.length + n - 1) / n)
+    xs.grouped(per).toSeq
+  }
+
+  /** Stringify one decoded record (shared by driver and task paths). */
+  private def mkRow(affinities: IndexedSeq[Char], ipkIdx: Int, nCols: Int)(
+      rowid: Long, vals: IndexedSeq[Option[Any]]): Row =
+    Row((0 until nCols).map { i =>
+      if (i == ipkIdx) rowid.toString
+      else if (i < vals.length) vals(i).map {
+        // REAL affinity: SQLite stores integral reals as integers on
+        // disk and converts back on read — so must we
+        case l: Long if affinities(i) == 'R' => l.toDouble.toString
+        case l: Long => l.toString
+        case d: Double => d.toString
+        case s: String => s
+      }.orNull
+      else null
+    }: _*)
 
   /** List of (name, sql) for all tables in the file. */
   def tables(spark: SparkSession, path: String): Seq[(String, String)] = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val p = new HPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in = fs.open(p)
-    try in.readFully(0, bytes) finally in.close()
-    new Db(bytes).masterRows.collect {
+    val bytes = openBytes(path, spark.sparkContext.hadoopConfiguration)
+    try new Db(bytes).masterRows.collect {
       case ("table", name, _, sql) => (name, sql)
-    }
+    } finally bytes.close()
   }
 
-  private final class Db(bytes: Array[Byte]) {
-    require(bytes.length >= 100 &&
-      new String(bytes, 0, 15, "UTF-8") == "SQLite format 3",
-      "not a SQLite 3 database file")
+  /** Random-access byte view of the database file. Implementations
+    * need not be thread-safe: each task builds its own. */
+  private trait Bytes {
+    def length: Long
+    def get(off: Long): Byte
+    def copy(off: Long, dst: Array[Byte], dstOff: Int, len: Int): Unit
+    def close(): Unit = ()
+  }
+
+  private final class ArrayBytes(a: Array[Byte]) extends Bytes {
+    val length: Long = a.length.toLong
+    def get(off: Long): Byte = a(off.toInt)
+    def copy(off: Long, dst: Array[Byte], dstOff: Int, len: Int): Unit =
+      System.arraycopy(a, off.toInt, dst, dstOff, len)
+  }
+
+  /** Positioned reads through a small LRU of 64 KiB blocks — the b-tree
+    * walk touches pages (and their overflow chains) with strong
+    * locality, so a handful of blocks covers a subtree scan while a
+    * multi-GB file stays on disk. */
+  private final class CachedFileBytes(
+      in: org.apache.hadoop.fs.FSDataInputStream, val length: Long)
+      extends Bytes {
+    private val BlockBits = 16
+    private val BlockSize = 1 << BlockBits
+    private val MaxBlocks = 256 // 16 MiB resident per reader
+    private val cache = new java.util.LinkedHashMap[Long, Array[Byte]](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, Array[Byte]]): Boolean =
+        size() > MaxBlocks
+    }
+    private def block(idx: Long): Array[Byte] = {
+      var b = cache.get(idx)
+      if (b == null) {
+        val off = idx << BlockBits
+        val len = math.min(BlockSize.toLong, length - off).toInt
+        b = new Array[Byte](len)
+        in.readFully(off, b, 0, len)
+        cache.put(idx, b)
+      }
+      b
+    }
+    def get(off: Long): Byte = block(off >> BlockBits)((off & (BlockSize - 1)).toInt)
+    def copy(off: Long, dst: Array[Byte], dstOff: Int, len: Int): Unit = {
+      var o = off; var d = dstOff; var left = len
+      while (left > 0) {
+        val b = block(o >> BlockBits)
+        val bo = (o & (BlockSize - 1)).toInt
+        val take = math.min(left, b.length - bo)
+        System.arraycopy(b, bo, dst, d, take)
+        o += take; d += take; left -= take
+      }
+    }
+    override def close(): Unit = in.close()
+  }
+
+  private final class Db(bytes: Bytes) {
+    require(bytes.length >= 100 && {
+      val magic = new Array[Byte](15)
+      bytes.copy(0, magic, 0, 15)
+      new String(magic, "UTF-8") == "SQLite format 3"
+    }, "not a SQLite 3 database file")
     private val pageSizeRaw = u16(16)
     val pageSize: Int = if (pageSizeRaw == 1) 65536 else pageSizeRaw
-    private val reserved = bytes(20) & 0xff
+    private val reserved = u8(20)
     val usable: Int = pageSize - reserved
 
-    private def u8(off: Int): Int = bytes(off) & 0xff
-    private def u16(off: Int): Int = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
-    private def u32(off: Int): Long =
-      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
-        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    private def u8(off: Long): Int = bytes.get(off) & 0xff
+    private def u16(off: Long): Int = ((bytes.get(off) & 0xff) << 8) | (bytes.get(off + 1) & 0xff)
+    private def u32(off: Long): Long =
+      ((bytes.get(off) & 0xffL) << 24) | ((bytes.get(off + 1) & 0xffL) << 16) |
+        ((bytes.get(off + 2) & 0xffL) << 8) | (bytes.get(off + 3) & 0xffL)
 
     /** (value, bytesConsumed) big-endian 7-bit varint, 9th byte = 8 bits. */
-    private def varint(off: Int): (Long, Int) = {
+    private def varint(off: Long): (Long, Int) = {
       var v = 0L
       var i = 0
       while (i < 8) {
-        val b = bytes(off + i)
+        val b = bytes.get(off + i)
         v = (v << 7) | (b & 0x7fL)
         if ((b & 0x80) == 0) return (v, i + 1)
         i += 1
       }
-      ((v << 8) | (bytes(off + 8) & 0xffL), 9)
+      ((v << 8) | (bytes.get(off + 8) & 0xffL), 9)
     }
 
-    private def pageOff(page: Long): Int = ((page - 1) * pageSize).toInt
+    private def pageOff(page: Long): Long = (page - 1) * pageSize
 
     /** Full payload of a leaf-table cell, following overflow chains. */
-    private def payload(off0: Int, total: Long): (Array[Byte], Int) = {
+    private def payload(off0: Long, total: Long): Array[Byte] = {
       val x = usable - 35
       val inline: Int =
         if (total <= x) total.toInt
@@ -107,21 +207,19 @@ object SqliteSource {
           if (k <= x) k else m
         }
       val out = new Array[Byte](total.toInt)
-      System.arraycopy(bytes, off0, out, 0, inline)
+      bytes.copy(off0, out, 0, inline)
       var done = inline
-      var cellEnd = off0 + inline
       if (inline < total) {
         var over = u32(off0 + inline)
-        cellEnd = off0 + inline + 4
         while (over != 0 && done < total) {
           val po = pageOff(over)
           over = u32(po)
           val take = math.min(usable - 4, total.toInt - done)
-          System.arraycopy(bytes, po + 4, out, done, take)
+          bytes.copy(po + 4, out, done, take)
           done += take
         }
       }
-      (out, cellEnd)
+      out
     }
 
     /** Decode a record into per-column values (None = SQL NULL; Long /
@@ -182,6 +280,43 @@ object SqliteSource {
       }.toIndexedSeq
     }
 
+    /** Children of an interior table page, left-to-right (cell pointers
+      * then the right-most pointer). */
+    private def interiorChildren(pg: Long): Seq[Long] = {
+      val base = pageOff(pg)
+      val hdr = if (pg == 1) base + 100 else base
+      val ncells = u16(hdr + 3)
+      (0 until ncells).map(i => u32(base + u16(hdr + 12 + 2 * i))) :+ u32(hdr + 8)
+    }
+
+    private def pageType(pg: Long): Int = {
+      val base = pageOff(pg)
+      u8(if (pg == 1) base + 100 else base)
+    }
+
+    /** Split the table b-tree rooted at `page` into ≥ `target` subtree
+      * roots when the tree has that much fan-out — only INTERIOR pages
+      * are touched (a few KB for any file size): the frontier expands
+      * level by level until it is wide enough or all-leaf. Walking the
+      * returned pages in order visits every row exactly once in rowid
+      * order. */
+    def subtreeRoots(page: Long, target: Int): Seq[Long] = {
+      var frontier: Seq[Long] = Seq(page)
+      var expandable = true
+      while (frontier.length < target && expandable) {
+        expandable = false
+        frontier = frontier.flatMap { pg =>
+          pageType(pg) match {
+            case 5 =>
+              val kids = interiorChildren(pg)
+              if (kids.nonEmpty) { expandable = true; kids } else Seq(pg)
+            case _ => Seq(pg)
+          }
+        }
+      }
+      frontier
+    }
+
     /** All (rowid, values) of the table b-tree rooted at `page`. */
     def tableRows(page: Long): Seq[(Long, IndexedSeq[Option[Any]])] = {
       val out = mutable.ArrayBuffer.empty[(Long, IndexedSeq[Option[Any]])]
@@ -197,17 +332,12 @@ object SqliteSource {
               val cell = base + u16(hdr + 8 + 2 * i)
               val (plen, n1) = varint(cell)
               val (rowid, n2) = varint(cell + n1)
-              val (pl, _) = payload(cell + n1 + n2, plen)
+              val pl = payload(cell + n1 + n2, plen)
               out += ((rowid, record(pl)))
               i += 1
             }
           case 5 => // interior table
-            var i = 0
-            while (i < ncells) {
-              walk(u32(base + u16(hdr + 12 + 2 * i)))
-              i += 1
-            }
-            walk(u32(hdr + 8)) // right-most pointer
+            interiorChildren(pg).foreach(walk)
           case other => sys.error(s"unexpected page type $other in table b-tree")
         }
       }

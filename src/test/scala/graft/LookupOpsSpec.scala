@@ -163,4 +163,51 @@ class LookupOpsSpec extends AnyFunSuite {
     val df = Seq((1L, "a")).toDF("id", "x")
     assert(RowOps.debug(df, 1).collect() === df.collect())
   }
+
+  test("lookupReplace: unorderable (map) lookup values skip max() at analysis") {
+    // maps are unorderable, so the deterministic-winner max() would fail
+    // analysis; the hasMap guard must route map-valued tables through
+    // dropDuplicates (mirroring lookupCopy). A map-typed field can't be
+    // a join key anyway, so the full replace can't run end-to-end — the
+    // guard is proven by analysis getting PAST the aggregate to Spark's
+    // join-key complaint instead of dying inside max().
+    val lkm = Seq((Map("k" -> "1"), Map("v" -> "1"))).toDF("k", "v")
+    val main = Seq((1L, Map("k" -> "1"))).toDF("id", "f")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      RowOps.lookupReplace(main, lkm, "f", "k", "v").collect()
+    }
+    val msg = e.getMessage.toLowerCase
+    assert(!msg.contains("\"max\""), s"died inside max(): $msg")
+    // struct-wrapped map values: same guard via the recursive hasMap
+    val lks = Seq(("a", ("x", Map("m" -> "1")))).toDF("k", "v")
+    val scalarMain = Seq((1L, "a")).toDF("id", "f")
+    // value coalesces against a string field -> type error is expected,
+    // but it must be the coalesce/type mismatch, not an ordering error
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      RowOps.lookupReplace(scalarMain, lks, "f", "k", "v").collect()
+    }
+    assert(!e2.getMessage.toLowerCase.contains("ordering"), e2.getMessage)
+  }
+
+  test("lookupReplaceArray join fallback: ids pinned across the self-join " +
+    "(nondeterministic upstream cannot misalign rows)") {
+    // a rand()-derived array column is recomputed differently per action;
+    // without localCheckpoint the fallback's two withId evaluations could
+    // see different rows for the same id. With the checkpoint the output
+    // rows must be internally consistent: every replaced array matches
+    // the row's own key column through the lookup table.
+    val n = 10001 // one past LitMapMaxRows -> forces the join-based plan
+    val lk = spark.range(n).selectExpr("concat('k', id) AS k", "concat('v', id) AS v")
+    val df = spark.range(200)
+      .selectExpr("id", s"concat('k', cast(rand() * $n AS int)) AS key")
+      .selectExpr("id", "key", "array(key, 'miss') AS xs")
+    val out = RowOps.lookupReplaceArray(df, lk, "xs", "k", "v").collect()
+    assert(out.length === 200)
+    out.foreach { r =>
+      val key = r.getAs[String]("key")
+      val xs = r.getSeq[String](r.fieldIndex("xs"))
+      assert(xs === Seq("v" + key.stripPrefix("k"), "miss"),
+        s"row ${r.getAs[Long]("id")}: key=$key got $xs")
+    }
+  }
 }

@@ -97,6 +97,41 @@ class SchemaLoaderSpec extends AnyFunSuite {
     assert(orphans.collect().map(_.getAs[String]("_to")).toSeq === Seq("repo/rMISSING"))
   }
 
+  test("multi-variable templatePointers: array pointers zip in lockstep, " +
+    "scalars broadcast per row (output_graph.go:160-184 generator loop)") {
+    import graft.rules.SchemaLoader.{LinkSpec, SchemaClass}
+    val cls2 = SchemaClass("sample", "Sample", Seq.empty, Map.empty, Seq(
+      LinkSpec("aliquots", "aliquot/{proj}/{aid}/{center}", "aliquot",
+        templateRequired = Seq("aid", "proj"), backref = None, multiplicity = None,
+        templatePointers = Map(
+          "aid" -> "/aliquots/-/id",   // array pointer 1
+          "proj" -> "/projects/-",     // array pointer 2 (bare elements)
+          "center" -> "/meta/center")) // scalar pointer
+    ))
+    val df = Seq(
+      // 2 aliquots zip with 2 projects -> 2 edges
+      ("s1", Seq("a1", "a2"), Seq("p1", "p2"), "c1"),
+      // ragged: 2 aliquots, 1 project -> zip pads with null, the
+      // templateRequired filter drops the padded edge -> 1 edge
+      ("s2", Seq("a3", "a4"), Seq("p3"), "c2"),
+      // aliquot id null -> dropped by templateRequired
+      ("s3", Seq(null.asInstanceOf[String]), Seq("p4"), "c3"))
+      .toDF("id", "aliquot_ids", "project_ids", "center")
+      .select(col("id"),
+        expr("transform(aliquot_ids, x -> named_struct('id', x))").as("aliquots"),
+        col("project_ids").as("projects"),
+        struct(col("center")).as("meta"))
+    val edges = GraphEmit.schemaEdges(df, cls2)
+    val got = edges.select("_from", "_to").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got === Seq(
+      ("sample/s1", "aliquot/p1/a1/c1"),
+      ("sample/s1", "aliquot/p2/a2/c1"),
+      ("sample/s2", "aliquot/p3/a3/c2")))
+    // plan stays a narrow projection: no join introduced by the zip
+    assert(!edges.queryExecution.optimizedPlan.toString.contains("Join"))
+  }
+
   test("compat: loads the reference's own schema directory when present") {
     val dir = "/root/reference/test/resources/schemas"
     assume(Files.exists(Paths.get(dir)))

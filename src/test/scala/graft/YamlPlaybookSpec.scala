@@ -618,4 +618,34 @@ class YamlPlaybookSpec extends AnyFunSuite {
       if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
     assert(chain(err).exists(m => m != null && m.contains("output schema")))
   }
+
+  test("fieldProcess resolves a nested dotted field ($.a.b jsonpath semantics)") {
+    // StructType.apply only sees top-level names; the reference resolves
+    // `field:` through GetJSONPath, so `a.b` must reach the nested array
+    // (transform/field_process.go:26-71 + evaluate/jsonpath.go)
+    val dir = Files.createTempDirectory("graft_fp_nested")
+    Files.writeString(dir.resolve("in.json"),
+      """{"id": "r1", "a": {"b": [{"x": "1"}, {"x": "2"}]}}
+        |{"id": "r2", "a": {"b": [{"x": "3"}]}}
+        |""".stripMargin)
+    val yaml =
+      """name: fp-nested
+        |outdir: out
+        |inputs:
+        |  rows:
+        |    json:
+        |      path: in.json
+        |pipelines:
+        |  t:
+        |    - from: rows
+        |    - fieldProcess:
+        |        field: a.b
+        |        mapping:
+        |          pid: "{{row.id}}"
+        |""".stripMargin
+    val pb = YamlPlaybook.load(yaml, dir.toString).playbook
+    val got = pb.resolve(spark, "t").select("pid", "x").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got === Seq(("r1", "1"), ("r1", "2"), ("r2", "3")))
+  }
 }
