@@ -91,6 +91,36 @@ object SparkEntry {
       DriftCheck.psi(f, length(col("content")), col("doc_id") % 2 === 0,
         FileRules.drift.bucketWidth)
     }),
+    "v_resume" -> ((s, d) => {
+      // north_star resumability, oracle-gated: run the checkpointed
+      // validation, CRASH after 2 committed partitions, resume, and
+      // return the resumed snapshot's verdicts — which must equal the
+      // one-shot oracle grid. The require()s certify the resume SKIPPED
+      // completed work: exactly 2 lineage records exist before the
+      // second run and their bytes' mtimes are untouched by it.
+      val root = java.nio.file.Files.createTempDirectory("graft_resume").toString
+      val files = FilesTable.files(s, d)
+      try { CheckpointedValidation.run(s, files, FileRules.rowRules, root,
+        crashAfter = Some(2)); () }
+      catch { case _: CheckpointedValidation.SimulatedCrash => () }
+      val ice = new graft.io.IceLite(root)
+      val snap0 = ice.nextSnapshotId
+      val done = ice.completedParts(snap0)
+      require(done.size == 2,
+        s"expected 2 committed partitions at the crash point, got ${done.size}")
+      val mtimes = java.nio.file.Files.list(ice.lineageDir(snap0)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p)).toMap
+      val snap = CheckpointedValidation.run(s, files, FileRules.rowRules, root)
+      require(snap == snap0, s"resume must reuse snapshot $snap0, got $snap")
+      mtimes.foreach { case (f, t0) =>
+        val t1 = java.nio.file.Files.getLastModifiedTime(
+          ice.lineageDir(snap).resolve(f))
+        require(t1 == t0, s"resume recomputed already-committed partition $f")
+      }
+      CheckpointedValidation.verdicts(s, root, snap)
+    }),
 
     // ---- sources over raw fixture files (SURVEY.md §2.1) ----
     "q_table_src" -> ((s, _) =>
@@ -390,7 +420,9 @@ object SparkEntry {
         col("doc_id") % 2 === 0)
     }),
     "v_salted_hot" -> ((s, d) =>
-      SaltedAgg.countByKey(FilesTable.files(s, d), Seq("repo"))),
+      // auto-detects the planted 30%-hot repo and routes through the
+      // two-phase salted plan (countByKeyAuto -> isSkewed -> countByKey)
+      SaltedAgg.countByKeyAuto(FilesTable.files(s, d), Seq("repo"))),
     "d_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(augDocs(s, d), "doc_id", "text", maxHamming = 2)),
     "d_embed_neardup" -> ((s, d) => {
@@ -473,6 +505,8 @@ object SparkEntry {
     "v_profile" -> DuckSql.vProfile(profiledCols),
     "v_drift_ks" -> DuckSql.vDriftKs,
     "v_drift_psi" -> DuckSql.vDriftPsi,
+    // resumed checkpointed run must land on the same grid as one-shot
+    "v_resume" -> DuckSql.vVerdicts,
     // source oracles re-derive the parse semantics from RAW LINES (this
     // DuckDB predates read_csv's `comment` param): comment lines dropped
     // BEFORE records are numbered, rowSkip counts post-comment records,

@@ -1,0 +1,123 @@
+package graft.bench
+
+import graft.io.IceLite
+import graft.sources.Sources
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Storage-layer evidence for two 100 TB claims (VERDICT r4 asks #5/#9):
+  *
+  *  1. **IceLite stats pruning**: a selective predicate over a
+  *     multi-snapshot, many-partition table must cost proportional to
+  *     the SURVIVING files, not the table — measured as files touched
+  *     (`df.inputFiles`) and wall seconds, pruned vs full scan.
+  *
+  *  2. **Glob fan-in**: the single-scan fast path for file-source
+  *     inners must stay flat in plan size and near-flat in wall-clock
+  *     from 10^3 to 10^4 files, where the per-file fold (the
+  *     reference-shaped per-file loop) grows with file count.
+  *
+  * Usage: runMain graft.bench.StorageBench [workDir]
+  * Prints one JSON line per measurement; numbers are transcribed into
+  * BENCH/NOTES.md.
+  */
+object StorageBench {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def pruneBench(spark: SparkSession, workDir: String): Unit = {
+    val root = s"$workDir/icelite_prune"
+    val parts = 64
+    val rowsPerPart = 20000
+    val ice = new IceLite(root)
+    if (ice.currentSnapshotId.isEmpty) {
+      // two snapshots so the read goes through snapshot resolution, not
+      // a bare directory listing; each partition holds a disjoint
+      // doc_id range so the footer min/max actually separates them
+      (1 to 2).foreach { _ =>
+        val snap = ice.nextSnapshotId
+        val names = (0 until parts).map(p => f"p$p%03d")
+        names.zipWithIndex.foreach { case (part, p) =>
+          val lo = p.toLong * rowsPerPart
+          val df = spark.range(lo, lo + rowsPerPart).toDF("doc_id")
+            .withColumn("content", md5(col("doc_id").cast("string")))
+            .coalesce(2)
+          ice.commitPartition(snap, part, rowsPerPart.toLong, Map("files" -> df))
+        }
+        ice.commitSnapshot(snap, names)
+      }
+    }
+    val snap = ice.currentSnapshotId.get
+    // predicate covering 2 of 64 partitions
+    val lo = 10L * rowsPerPart
+    val hi = 12L * rowsPerPart - 1
+    def count(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("doc_id").between(lo, hi)).count()
+    // warm-up both paths (file listing, codegen)
+    count(ice.readTable(spark, snap, "files"))
+    count(ice.readTablePruned(spark, snap, "files", "doc_id", lo.toDouble, hi.toDouble))
+    val full = ice.readTable(spark, snap, "files")
+    val (nFull, tFull) = time(count(full))
+    val pruned = ice.readTablePruned(spark, snap, "files", "doc_id", lo.toDouble, hi.toDouble)
+    val (nPruned, tPruned) = time(count(pruned))
+    require(nFull == nPruned, s"pruning changed the answer: $nFull vs $nPruned")
+    println(f"""{"metric":"icelite_prune","partitions":$parts,"rows":${parts.toLong * rowsPerPart},""" +
+      f""""files_full":${full.inputFiles.length},"files_pruned":${pruned.inputFiles.length},""" +
+      f""""sec_full":$tFull%.3f,"sec_pruned":$tPruned%.3f,"rows_out":$nPruned}""")
+  }
+
+  def globBench(spark: SparkSession, workDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(s"$workDir/glob_fanin")
+    val total = 10000
+    if (!Files.isDirectory(dir) ||
+      Files.list(dir).count() < total) {
+      Files.createDirectories(dir)
+      (0 until total).foreach { i =>
+        Files.writeString(dir.resolve(f"part_$i%05d.ndjson"),
+          (0 until 5).map(j => s"""{"v":${i * 5 + j},"s":"doc_$i"}""")
+            .mkString("", "\n", "\n"))
+      }
+    }
+    def pat(n: Int): String = n match {
+      case 100 => s"$dir/part_000*.ndjson"   // 00000..00099
+      case 1000 => s"$dir/part_00*.ndjson"   // 00000..00999
+      case _ => s"$dir/part_*.ndjson"
+    }
+    Seq(100, 1000, total).foreach { n =>
+      val fast = Sources.glob(spark, pat(n), Sources.ndjson,
+        storeFilename = Some("fname"), fileSourceInner = true)
+      val (cnt, tFast) = time(fast.count())
+      val planLines = fast.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+      // the per-file fold beyond 10^3 files is exactly the hazard the
+      // fast path removes (10^4 unionByName plans take minutes to even
+      // ANALYZE); measured only where it terminates in reasonable time
+      val foldTimes =
+        if (n <= 1000) {
+          val fold = Sources.glob(spark, pat(n), Sources.ndjson,
+            storeFilename = Some("fname"))
+          val (c2, tFold) = time(fold.count())
+          require(c2 == cnt)
+          val foldLines = fold.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+          f""","sec_fold":$tFold%.3f,"plan_lines_fold":$foldLines"""
+        } else ""
+      println(f"""{"metric":"glob_fanin","files":$n,"rows":$cnt,""" +
+        f""""sec_fast":$tFast%.3f,"plan_lines_fast":$planLines$foldTimes}""")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val workDir = args.headOption.getOrElse("/tmp/graft_bench")
+    val spark = graft.GraftSession.builder("local[16]", 16)
+      .appName("storage-bench").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      pruneBench(spark, workDir)
+      globBench(spark, workDir)
+    } finally spark.stop()
+  }
+}

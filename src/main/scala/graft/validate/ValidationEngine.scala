@@ -68,6 +68,36 @@ object SaltedAgg {
       .groupBy((keys.map(col) :+ col("_salt")): _*).agg(count(lit(1)).as("_partial"))
       .groupBy(keys.map(col): _*).agg(sum(col("_partial")).cast(LongType).as("n_rows"))
   }
+
+  /** Cheap skew sketch: does one key group hold ≥ `hotShare` of a
+    * deterministic ~1/`frac` row sample? The sample is picked by FULL-ROW
+    * hash (not rand(), so re-evaluation under retries is stable; not a
+    * KEY hash, which would keep all-or-none of the hot key and see no
+    * skew at all). The sampled aggregation touches only the key columns
+    * after pruning — at 100 TB this is a narrow 1% columnar scan, far
+    * cheaper than letting a 30%-hot reducer spill. Stats-fed callers
+    * that already know the answer should call [[countByKey]] /
+    * the plain groupBy directly and skip the probe. */
+  def isSkewed(df: DataFrame, keys: Seq[String], hotShare: Double = 0.2,
+      frac: Int = 100): Boolean = {
+    val h = pmod(xxhash64(struct(df.columns.map(col): _*)), lit(frac))
+    val r = df.filter(h === 0)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("__mx"), sum(col("__n")).as("__tot"))
+      .collect()(0)
+    !r.isNullAt(0) && r.getLong(1) > 0 &&
+      r.getLong(0).toDouble / r.getLong(1) >= hotShare
+  }
+
+  /** [[countByKey]] that decides salting ITSELF: a hot key above
+    * `hotShare` of the sampled rows routes through the two-phase salted
+    * plan, a balanced key distribution keeps the plain single-shuffle
+    * aggregate (identical output either way — only the plan differs). */
+  def countByKeyAuto(df: DataFrame, keys: Seq[String], salts: Int = 32,
+      hotShare: Double = 0.2, frac: Int = 100): DataFrame =
+    if (isSkewed(df, keys, hotShare, frac)) countByKey(df, keys, salts)
+    else df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast(LongType).as("n_rows"))
 }
 
 /** Uniqueness on a composite key: groups with >1 row are violations.

@@ -166,6 +166,31 @@ class ValidationSpec extends AnyFunSuite {
     // the fixture really is skewed: hot repo holds ~30%
     assert(direct("bigorg/monorepo").toDouble / 505 > 0.25)
   }
+
+  test("auto-salting: skew sketch routes the hot fixture through SaltedAgg, " +
+    "balanced keys keep the plain aggregate — identical output either way") {
+    // frac=1 samples every row: exact decision on the small fixture
+    // (production default 100 ~ a 1% deterministic full-row-hash sample)
+    assert(SaltedAgg.isSkewed(files, Seq("repo"), frac = 1))
+    val auto = SaltedAgg.countByKeyAuto(files, Seq("repo"), frac = 1)
+    // routed through the two-phase salted plan: the _salt stage survives
+    // into the optimized plan
+    assert(auto.queryExecution.optimizedPlan.toString.contains("_salt"))
+    val direct = files.groupBy("repo").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(auto.collect().map(r => r.getString(0) -> r.getAs[Long]("n_rows")).toMap
+      === direct)
+    // balanced keys: one row per (repo,path,commit) triple is unique-ish
+    // per key -> no hot group -> plain single-shuffle plan, same output
+    val balanced = files.withColumn("k",
+      concat(col("repo"), lit("/"), col("path")))
+    assert(!SaltedAgg.isSkewed(balanced, Seq("k"), frac = 1))
+    val plain = SaltedAgg.countByKeyAuto(balanced, Seq("k"), frac = 1)
+    assert(!plain.queryExecution.optimizedPlan.toString.contains("_salt"))
+    assert(plain.collect().map(r => r.getString(0) -> r.getAs[Long]("n_rows")).toMap
+      === balanced.groupBy("k").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
 }
 
 /** Unit behavior of the sifter operator combinators (SURVEY.md §2.2-2.4). */
