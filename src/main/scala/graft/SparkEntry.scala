@@ -43,6 +43,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The reference's public gdc test corpus (read-only) — used by the
+    * non-toy graph-emission query; both the Spark reader and the DuckDB
+    * oracle parse the same raw bytes. */
+  private val gdcDir = "/root/reference/test/resources"
+
   /** documents + planted near-dups (every 25th doc re-appended with a
     * ' zz' suffix) — the shared corpus of the dedup queries, mirrored
     * by the oracle's `aug` CTE. */
@@ -364,6 +369,16 @@ object SparkEntry {
       GraphEmit.orphanEdges(GraphEmit.edges(f),
         GraphEmit.vertices(f, FilesTable.repoManifest(s, d)))
     }),
+    "g_gdc_edges" -> ((s, _) => {
+      // schema-driven graph emission at non-toy scale: the reference's
+      // own gdc corpus (106,521 cases) through the case class's link
+      // declarations (projects + phenotypes templatePointers) — the
+      // same engine path the YAML goldens exercise, here oracle-gated
+      // and bench-timed (~128k edges)
+      val cases = sources.Sources.ndjson(s, s"$gdcDir/gdc-case.json.gz")
+      val cls = graft.rules.SchemaLoader.loadDir(s"$gdcDir/schemas")("case")
+      GraphEmit.schemaEdges(cases, cls)
+    }),
 
     // ---- text analysis (training-data ops) ----
     "t_tokens" -> ((s, d) =>
@@ -655,6 +670,7 @@ object SparkEntry {
     "g_vertices" -> DuckSql.gVertices,
     "g_edges" -> DuckSql.gEdges,
     "g_orphan_edges" -> DuckSql.gOrphanEdges,
+    "g_gdc_edges" -> DuckSql.gGdcEdges(gdcDir),
     "t_tokens" -> DuckSql.tTokens,
     "t_langid" -> DuckSql.tLangid,
     "t_quality" -> DuckSql.tQuality,

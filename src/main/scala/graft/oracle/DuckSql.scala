@@ -105,6 +105,25 @@ object DuckSql {
        |SELECT md5(_from || '>' || _to) AS _id, _from, _to, _label FROM e
        |WHERE _to NOT IN (SELECT 'repo:' || repo FROM repo_manifest)""".stripMargin
 
+  /** gdc-corpus schema-link edges: one per projects / phenotypes array
+    * element with a non-null id (templateRequired), deduped, md5 gid
+    * with the engine's `from>to#label` material. compounds / same_as
+    * links bind fields absent from the corpus — no edges, mirroring
+    * hasPath returning false on the Spark side. */
+  def gGdcEdges(gdcDir: String): String =
+    s"""WITH gdc AS (
+       |  SELECT * FROM read_json('$gdcDir/gdc-case.json.gz', format='newline_delimited')
+       |), e AS (
+       |  SELECT DISTINCT 'case/' || id AS _from, 'project/' || p.id AS _to,
+       |    'projects' AS _label
+       |  FROM gdc, UNNEST(projects) AS t(p) WHERE p.id IS NOT NULL
+       |  UNION ALL
+       |  SELECT DISTINCT 'case/' || id, 'phenotype/' || p.id, 'phenotypes'
+       |  FROM gdc, UNNEST(phenotypes) AS t(p) WHERE p.id IS NOT NULL
+       |)
+       |SELECT _from, _to, _label,
+       |  md5(_from || '>' || _to || '#' || _label) AS _id FROM e""".stripMargin
+
   // ---- text analysis (TextOps) ----
 
   /** DuckDB left-fold polynomial hash of a BIGINT-list expression

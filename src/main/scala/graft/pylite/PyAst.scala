@@ -29,6 +29,14 @@ final case class PSub(obj: PExpr, idx: PExpr, line: Int) extends PExpr
 final case class PSliceE(obj: PExpr, lo: Option[PExpr], hi: Option[PExpr], line: Int) extends PExpr
 final case class PAttr(obj: PExpr, name: String, line: Int) extends PExpr
 final case class PCall(fn: PExpr, args: Vector[PExpr], line: Int) extends PExpr
+/** keyword argument inside a call's arg list: `f(name=value)` — only
+  * ever produced by the parser inside PCall.args. */
+final case class PKwArg(name: String, value: PExpr, line: Int) extends PExpr
+/** `lambda a, b: expr` — closes over the defining environment (LEGB:
+  * the body sees enclosing locals through the captured env chain). */
+final case class PLambda(params: Vector[String], body: PExpr, line: Int) extends PExpr
+/** `f(**mapping)` — keyword splat; only inside PCall.args. */
+final case class PKwSplat(value: PExpr, line: Int) extends PExpr
 final case class PBin(op: String, l: PExpr, r: PExpr, line: Int) extends PExpr
 final case class PUn(op: String, e: PExpr, line: Int) extends PExpr
 final case class PCond(c: PExpr, t: PExpr, f: PExpr, line: Int) extends PExpr

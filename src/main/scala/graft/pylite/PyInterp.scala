@@ -48,12 +48,21 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
   // ---- execution --------------------------------------------------------
 
   private final class Env(val locals: mutable.HashMap[String, Any],
-                          val globalScope: mutable.HashMap[String, Any]) {
+                          val globalScope: mutable.HashMap[String, Any],
+                          val parent: Env = null) {
     // null-based fast path: getOrNull avoids the by-name-thunk allocation
     // of getOrElse on every name reference (hottest call in the tree walk)
+    // LEGB: locals, then enclosing lambda scopes (live refs — late
+    // binding, as CPython closures), then globals, then builtins
     def lookup(n: String, line: Int): Any = {
       val l = locals.getOrElse(n, NotFound)
       if (l.asInstanceOf[AnyRef] ne NotFound) return l
+      var e = parent
+      while (e != null) {
+        val v = e.locals.getOrElse(n, NotFound)
+        if (v.asInstanceOf[AnyRef] ne NotFound) return v
+        e = e.parent
+      }
       val g = globalScope.getOrElse(n, NotFound)
       if (g.asInstanceOf[AnyRef] ne NotFound) return g
       builtinOrType(n).getOrElse(
@@ -68,6 +77,37 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
       throw new PyBudgetExceeded(s"step budget exceeded ($maxSteps) — non-terminating loop?", line)
   }
 
+  /** Split a call's arg list into evaluated positionals and kwargs in
+    * source order (the parser guarantees PKwArg only appears here). */
+  private def evalArgs(args: Vector[PExpr],
+      env: Env): (Vector[Any], Vector[(String, Any)]) = {
+    val pos = Vector.newBuilder[Any]
+    val kw = Vector.newBuilder[(String, Any)]
+    var sawKw = false
+    args.foreach {
+      case PKwArg(n, v, _) =>
+        sawKw = true
+        kw += (n -> eval(v, env))
+      case PKwSplat(v, line) =>
+        sawKw = true
+        eval(v, env) match {
+          case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
+            m.foreach {
+              case (k: String, value) => kw += (k -> value)
+              case (k, _) => throw new PyLiteException(
+                s"keywords must be strings, not ${typeName(k)}", line)
+            }
+          case o => throw new PyLiteException(
+            s"argument after ** must be a mapping, not ${typeName(o)}", line)
+        }
+      case e =>
+        if (sawKw) throw new PyLiteException(
+          "positional argument follows keyword argument", e.line)
+        pos += eval(e, env)
+    }
+    (pos.result(), kw.result())
+  }
+
   private def callValue(f: Any, args: Vector[Any], line: Int): Any = f match {
     case PyFunc(fd) =>
       if (args.length != fd.params.length)
@@ -80,10 +120,110 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
         try { execBlock(fd.body, env); null }
         catch { case r: ReturnEx => r.value }
       } finally depth -= 1
+    case PyLambda(params, body, defEnvRef) =>
+      val defEnv = defEnvRef.asInstanceOf[Env]
+      if (args.length != params.length)
+        throw new PyLiteException(
+          s"<lambda>() takes ${params.length} arguments but ${args.length} were given", line)
+      depth += 1
+      if (depth > 200) { depth -= 1; throw new PyLiteException("recursion limit (200) exceeded", line) }
+      try eval(body, new Env(mutable.HashMap(params.zip(args): _*),
+        defEnv.globalScope, defEnv))
+      finally depth -= 1
     case PyBuiltin(name) => callBuiltin(name, args, line)
     case t: PyType => callTypeCtor(t, args, line)
     case other =>
       throw new PyLiteException(s"'${typeName(other)}' object is not callable", line)
+  }
+
+  /** Call with keyword arguments: kwargs bind to named parameters for
+    * user functions/lambdas; dict/sorted/min/max understand their own
+    * keywords; everything else rejects them with CPython's message. */
+  private def callValueKw(f: Any, args: Vector[Any],
+      kw: Vector[(String, Any)], line: Int): Any = f match {
+    case _ if kw.isEmpty => callValue(f, args, line)
+    case PyFunc(fd) => callValue(f, bindKw(fd.name, fd.params, args, kw, line), line)
+    case PyLambda(params, _, _) => callValue(f, bindKw("<lambda>", params, args, kw, line), line)
+    case PyBuiltin(name) => callBuiltinKw(name, args, kw, line)
+    case t: PyType => callBuiltinKw(t.name, args, kw, line)
+    case other =>
+      throw new PyLiteException(s"'${typeName(other)}' object is not callable", line)
+  }
+
+  private def bindKw(fname: String, params: Vector[String], args: Vector[Any],
+      kw: Vector[(String, Any)], line: Int): Vector[Any] = {
+    val byName = mutable.HashMap[String, Any]()
+    kw.foreach { case (k, v) =>
+      if (!params.contains(k))
+        throw new PyLiteException(s"$fname() got an unexpected keyword argument '$k'", line)
+      if (byName.contains(k))
+        throw new PyLiteException(s"keyword argument repeated: $k", line)
+      byName(k) = v
+    }
+    // conflict check BEFORE the count check (CPython reports "multiple
+    // values" for g(1, a=2), not an arity error)
+    params.take(args.length).foreach { pn =>
+      if (byName.contains(pn))
+        throw new PyLiteException(s"$fname() got multiple values for argument '$pn'", line)
+    }
+    if (args.length + byName.size != params.length)
+      throw new PyLiteException(
+        s"$fname() takes ${params.length} arguments but ${args.length + byName.size} were given", line)
+    params.zipWithIndex.map { case (pn, i) =>
+      if (i < args.length) args(i)
+      else byName.getOrElse(pn,
+        throw new PyLiteException(s"$fname() missing required argument: '$pn'", line))
+    }
+  }
+
+  private def callBuiltinKw(name: String, args: Vector[Any],
+      kw: Vector[(String, Any)], line: Int): Any = name match {
+    case "dict" =>
+      // dict(**kw) / dict(mapping, **kw): kwargs are string keys, merged
+      // after (and overriding) the optional positional mapping
+      if (args.length > 1)
+        throw new PyLiteException(s"dict() takes at most 1 positional argument", line)
+      val out = mutable.LinkedHashMap[Any, Any]()
+      args.headOption.foreach {
+        case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => out ++= m
+        case o => throw new PyLiteException(
+          s"dict() argument must be a dict, not ${typeName(o)}", line)
+      }
+      kw.foreach { case (k, v) => out(k) = v }
+      out
+    case "sorted" | "min" | "max" =>
+      var keyFn: Any = null
+      var reverse = false
+      kw.foreach {
+        case ("key", f) => keyFn = f
+        case ("reverse", r) if name == "sorted" => reverse = truthy(r)
+        case (k, _) =>
+          throw new PyLiteException(s"$name() got an unexpected keyword argument '$k'", line)
+      }
+      val items: Vector[Any] =
+        if (name != "sorted" && args.length > 1) args.toVector
+        else { arity(name, args, 1, line); iterate(args.head, line).toVector }
+      if (name == "sorted") {
+        val keyed = items.map(i =>
+          (if (keyFn == null) i else callValue(keyFn, Vector(i), line), i))
+        // strict-lt comparator + TimSort = stable, equal keys keep input
+        // order under BOTH directions (CPython semantics for reverse)
+        val sorted0 =
+          if (reverse) keyed.sortWith((a, b) => pyCompare(a._1, b._1, line) > 0)
+          else keyed.sortWith((a, b) => pyCompare(a._1, b._1, line) < 0)
+        mutable.ArrayBuffer[Any](sorted0.map(_._2): _*)
+      } else {
+        if (items.isEmpty)
+          throw new PyLiteException(s"$name() arg is an empty sequence", line)
+        def k(v: Any): Any = if (keyFn == null) v else callValue(keyFn, Vector(v), line)
+        items.reduce { (a, b) =>
+          val c = pyCompare(k(a), k(b), line)
+          if (name == "min") (if (c <= 0) a else b) else (if (c >= 0) a else b)
+        }
+      }
+    case other =>
+      throw new PyLiteException(
+        s"$other() got an unexpected keyword argument '${kw.head._1}'", line)
   }
 
   private def execBlock(stmts: Vector[PStmt], env: Env): Unit = {
@@ -183,9 +323,16 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
       throw new PyLiteException(
         s"attribute '$name' accessed without a call — only method calls (x.$name(...)) are in the PyLite subset", line)
     case PCall(PAttr(objE, mname, _), args, line) =>
-      callMethod(eval(objE, env), mname, args.map(eval(_, env)), line)
+      val obj = eval(objE, env)
+      val (pos, kw) = evalArgs(args, env)
+      if (kw.nonEmpty) throw new PyLiteException(
+        s"keyword arguments are not supported for method '$mname' in PyLite", line)
+      callMethod(obj, mname, pos, line)
     case PCall(fnE, args, line) =>
-      callValue(eval(fnE, env), args.map(eval(_, env)), line)
+      val f = eval(fnE, env)
+      val (pos, kw) = evalArgs(args, env)
+      callValueKw(f, pos, kw, line)
+    case PLambda(params, body, _) => PyLambda(params, body, env)
     case PBin("and", l, r, _) => val lv = eval(l, env); if (!truthy(lv)) lv else eval(r, env)
     case PBin("or", l, r, _)  => val lv = eval(l, env); if (truthy(lv)) lv else eval(r, env)
     case PBin(op, l, r, line) => binOp(op, eval(l, env), eval(r, env), line)
@@ -865,6 +1012,9 @@ object PyInterp {
   import scala.collection.mutable
 
   final case class PyFunc(fd: PFuncDef)
+  /** Lambda value: AST body + the live defining env (closure; typed
+    * AnyRef because Env is interpreter-private — cast at the call). */
+  final case class PyLambda(params: Vector[String], body: PExpr, defEnv: AnyRef)
   final case class PyBuiltin(name: String)
   final case class PyType(name: String)
   final case class PyModule(name: String)
@@ -1000,7 +1150,7 @@ object PyInterp {
     case _: mutable.ArrayBuffer[Any @unchecked] => "list"
     case _: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => "dict"
     case _: Array[Byte] => "bytes"
-    case _: PyFunc | _: PyBuiltin => "function"
+    case _: PyFunc | _: PyBuiltin | _: PyLambda => "function"
     case _: PyType   => "type"
     case _: PyModule => "module"
     case _: PyHash   => "hash"

@@ -193,6 +193,7 @@ private final class PyParser(toks: Vector[Tok]) {
 
   /** conditional expression: `a if cond else b` */
   private def exprTop(): PExpr = {
+    if (at(KW, "lambda")) return lambdaExpr()
     val line = cur.line
     val e = orExpr()
     if (at(KW, "if")) {
@@ -276,6 +277,29 @@ private final class PyParser(toks: Vector[Tok]) {
     else l
   }
 
+  /** One call argument: `name=value` (kwarg — NAME followed by a single
+    * '=', which the lexer never merges with '==') or a plain expression. */
+  private def callArg(): PExpr =
+    if (at(OP, "**")) { val line = advance().line; PKwSplat(exprTop(), line) }
+    else if (at(NAME) && pos + 1 < toks.length &&
+      toks(pos + 1).kind == OP && toks(pos + 1).text == "=") {
+      val n = advance()
+      advance() // '='
+      PKwArg(n.text, exprTop(), n.line)
+    } else exprTop()
+
+  /** `lambda a, b: expr` — body is a full expression (incl. conditional). */
+  private def lambdaExpr(): PExpr = {
+    val line = expect(KW, "lambda").line
+    val params = Vector.newBuilder[String]
+    if (!at(OP, ":")) {
+      params += expect(NAME).text
+      while (accept(OP, ",")) params += expect(NAME).text
+    }
+    expect(OP, ":")
+    PLambda(params.result(), exprTop(), line)
+  }
+
   private def postfix(): PExpr = {
     var e = atom()
     var done = false
@@ -284,8 +308,8 @@ private final class PyParser(toks: Vector[Tok]) {
         val line = advance().line
         val args = Vector.newBuilder[PExpr]
         if (!at(OP, ")")) {
-          args += exprTop()
-          while (accept(OP, ",")) if (!at(OP, ")")) args += exprTop()
+          args += callArg()
+          while (accept(OP, ",")) if (!at(OP, ")")) args += callArg()
         }
         expect(OP, ")")
         e = PCall(e, args.result(), line)

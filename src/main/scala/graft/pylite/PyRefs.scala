@@ -55,6 +55,12 @@ object PyRefs {
       case PDictComp(k, v, vars, it, cond, _) =>
         if (vars.contains(p)) escaped = true
         else { expr(k); expr(v); expr(it); cond.foreach(expr) }
+      case PKwArg(_, v, _) => expr(v)
+      case PKwSplat(v, _) => expr(v)
+      case PLambda(params, body, _) =>
+        // same conservative rule as comprehensions: a lambda param
+        // shadowing the row name muddies the simple tracker — bail
+        if (params.contains(p)) escaped = true else expr(body)
     }
 
     def stmts(ss: Vector[PStmt]): Unit = ss.foreach(stmt)

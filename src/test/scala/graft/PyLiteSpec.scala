@@ -401,6 +401,24 @@ class PyLiteSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("kwargs limits documented: positional-after-keyword, unknown/dup kwargs, " +
+    "method kwargs, non-dict splat all raise precisely") {
+    def bad(code: String, frag: String): Unit = {
+      val e = intercept[PyLiteException](run(code, "f"))
+      assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
+    }
+    bad("def g(a, b):\n  return a\ndef f():\n  return g(b=1, 2)",
+      "positional argument follows keyword")
+    bad("def g(a):\n  return a\ndef f():\n  return g(zz=1)",
+      "unexpected keyword argument 'zz'")
+    bad("def g(a):\n  return a\ndef f():\n  return g(1, a=2)",
+      "multiple values for argument 'a'")
+    bad("def f():\n  return [3, 1].sort(reverse=True)",
+      "keyword arguments are not supported for method")
+    bad("def f():\n  return dict(**[1])", "must be a mapping")
+    bad("def f():\n  return len(x=1)", "unexpected keyword argument")
+  }
+
   test("numeric underscores: 1_000 lexes; 1_, 1__0, 1_.5 raise like CPython") {
     assert(run("def f():\n  return 1_000 + 2_5", "f") === java.lang.Long.valueOf(1025L))
     for (bad <- Seq("1_", "1__0", "1_.5", "_1" /* lexes as a NAME → undefined */ ))
