@@ -123,15 +123,34 @@ class IceLite(val root: String) {
     * manifests get their lower/upper bounds), which
     * [[readTablePruned]] uses to skip whole partitions at scan time. */
   def commitPartition(snap: Long, part: String, rowCount: Long,
+      tables: Map[String, DataFrame]): Unit =
+    commitPartitionLazy(snap, part, () => rowCount, tables)
+
+  /** [[commitPartition]] with the table writes AND the row count run as
+    * CONCURRENT Spark jobs (the Spark scheduler interleaves them across
+    * the executor pool — a partition's tables are independent until the
+    * lineage record, and serializing 4 small jobs wastes half the
+    * commit in scheduling gaps). The lineage rename still happens only
+    * after every job finished, so the crash/resume contract is
+    * unchanged: a partition is committed all-or-nothing. */
+  def commitPartitionLazy(snap: Long, part: String, rowCount: () => Long,
       tables: Map[String, DataFrame]): Unit = {
-    val stats = tables.map { case (name, df) =>
-      val dir = partDataDir(snap, name, part)
-      df.write.mode("overwrite").parquet(dir)
-      name -> footerStats(df.sparkSession, dir)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val countF = Future(rowCount())
+    val statsF = Future.traverse(tables.toSeq) { case (name, df) =>
+      Future {
+        val dir = partDataDir(snap, name, part)
+        df.write.mode("overwrite").parquet(dir)
+        name -> footerStats(df.sparkSession, dir)
+      }
     }
+    val stats = Await.result(statsF, Duration.Inf).toMap
+    val nRows = Await.result(countF, Duration.Inf)
     val doc = JObject(
       "snapshot" -> JLong(snap), "part" -> JString(part),
-      "rows" -> JLong(rowCount),
+      "rows" -> JLong(nRows),
       "tables" -> JArray(tables.keys.toList.sorted.map(JString(_))),
       "stats" -> JObject(stats.toList.sortBy(_._1).map { case (t, cols) =>
         t -> JObject(cols.toList.sortBy(_._1).map { case (c, (mn, mx)) =>

@@ -47,8 +47,9 @@ object CheckpointedValidation {
         val metrics = Profile.columns(sub,
           Seq("repo", "path", "commit", "lang", "content"), exact = false)
         // "part" is the hive partition dir; drop it from the data files
-        // and let readTable restore it (no duplicate column).
-        ice.commitPartition(snap, part, sub.count(),
+        // and let readTable restore it (no duplicate column). The lazy
+        // count runs concurrently with the three table writes.
+        ice.commitPartitionLazy(snap, part, () => sub.count(),
           Map("verdicts" -> verdicts.drop("part"), "violations" -> violations,
             "metrics" -> metrics))
         processed += 1
