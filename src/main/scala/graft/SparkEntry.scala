@@ -113,10 +113,12 @@ object SparkEntry {
       val done = ice.completedParts(snap0)
       require(done.size == 2,
         s"expected 2 committed partitions at the crash point, got ${done.size}")
-      val mtimes = java.nio.file.Files.list(ice.lineageDir(snap0)).toArray
+      val lst = java.nio.file.Files.list(ice.lineageDir(snap0))
+      val mtimes = try lst.toArray
         .map(_.asInstanceOf[java.nio.file.Path])
         .map(p => p.getFileName.toString ->
           java.nio.file.Files.getLastModifiedTime(p)).toMap
+      finally lst.close()
       val snap = CheckpointedValidation.run(s, files, FileRules.rowRules, root)
       require(snap == snap0, s"resume must reuse snapshot $snap0, got $snap")
       mtimes.foreach { case (f, t0) =>

@@ -74,8 +74,11 @@ object StorageBench {
     import java.nio.file.{Files, Paths}
     val dir = Paths.get(s"$workDir/glob_fanin")
     val total = 10000
-    if (!Files.isDirectory(dir) ||
-      Files.list(dir).count() < total) {
+    def fileCount(): Long = {
+      val s = Files.list(dir)
+      try s.count() finally s.close()
+    }
+    if (!Files.isDirectory(dir) || fileCount() < total) {
       Files.createDirectories(dir)
       (0 until total).foreach { i =>
         Files.writeString(dir.resolve(f"part_$i%05d.ndjson"),

@@ -378,6 +378,12 @@ object Dedup {
            FloatType | DoubleType => true
       case _ => false
     }
+    // NOTE: this count() is one extra job per clustering call even at
+    // scale — the pair table must materialize before the route is
+    // chosen. It is the cheap side of the trade: pairs are cached by
+    // the callers that loop (dedupPipeline persists them), AQE sizes
+    // the job from the real shuffle, and skipping the guard would risk
+    // collecting an unbounded edge list onto the driver.
     val edgeCount = edges.count()
     if (fastType && edgeCount > 0 && edgeCount <= driverMaxEdges) {
       val spark = pairs.sparkSession

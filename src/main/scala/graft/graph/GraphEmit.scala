@@ -60,34 +60,44 @@ object GraphEmit {
   private def hasPath(schema: org.apache.spark.sql.types.StructType, path: String): Boolean =
     graft.rules.SchemaLoader.hasPath(schema, path)
 
-  /** One edge set per schema link. Links carrying `templatePointers`
-    * resolve their href variable through the pointer (output_graph.go →
-    * bmeg/jsonschema Generate): `/projects/-/id` explodes the row's
-    * `projects` array and binds one edge per element's `id`; a pointer
-    * whose base field is absent from the frame's schema yields no edges
-    * (the reference's pointer resolution fails silently per row).
-    * Links without pointers keep the literal-column href rendering. */
+  private val EdgeArmType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType.fromDDL("_to STRING, _label STRING"))
+
+  /** Edges from a schema class's `links` declarations — emitted in ONE
+    * scan of the frame. Each link compiles to an
+    * `array<struct<_to,_label>>` "arm" column (empty array = no edges
+    * for that row); a single `explode(concat(arms))` then yields every
+    * link's edges without re-scanning the corpus per link, which at
+    * 10^12 rows turns an N-link class from N passes into one.
+    *
+    * Per-link semantics (output_graph.go → bmeg/jsonschema Generate):
+    *  - no `templatePointers`: href rendered from row columns, one edge
+    *    per row with non-null `templateRequired` fields;
+    *  - `/projects/-/id` array pointer: one edge per element, the href
+    *    variable bound per element; a base field absent from the schema
+    *    yields no edges (the reference's pointer resolution fails
+    *    silently per row);
+    *  - MULTIPLE array pointers advance in LOCKSTEP (the generator
+    *    loop): `arrays_zip` inside the arm, shorter arrays padded with
+    *    null and dropped by the `templateRequired` filter — never a
+    *    join of explosions (which would cross-product). */
   def schemaEdges(df: DataFrame, cls: graft.rules.SchemaLoader.SchemaClass,
-      idField: String = "id"): DataFrame =
-    cls.links.flatMap { link =>
-      val from = concat(lit(cls.id + "/"), col(idField)).as("_from")
+      idField: String = "id"): DataFrame = {
+    val emptyArm = array().cast(EdgeArmType)
+    def edge(to: Column, rel: String): Column =
+      struct(to.as("_to"), lit(rel).as("_label"))
+
+    val arms: Seq[Column] = cls.links.flatMap { link =>
       if (link.templatePointers.isEmpty) {
-        val ok = link.templateRequired.forall(hasPath(df.schema, _))
-        if (!ok) None
-        else Some(df.filter(link.templateRequired.map(col(_).isNotNull)
-            .foldLeft(lit(true))(_ && _))
-          .select(from,
-            graft.rules.SchemaLoader.hrefColumn(link.href).as("_to"),
-            lit(link.rel).as("_label")))
+        if (!link.templateRequired.forall(hasPath(df.schema, _))) None
+        else {
+          val cond = link.templateRequired.map(col(_).isNotNull)
+            .foldLeft(lit(true))(_ && _)
+          Some(when(cond,
+            array(edge(graft.rules.SchemaLoader.hrefColumn(link.href), link.rel)))
+            .otherwise(emptyArm))
+        }
       } else {
-        // every schema in the reference corpus is single-variable, but
-        // its generator loops ALL pointers (output_graph.go:160-184 via
-        // bmeg/jsonschemagraph): multiple array pointers advance in
-        // LOCKSTEP — element i of each array binds edge i. Spark-first
-        // that is NOT a join of explosions (which would cross-product):
-        // one explode of arrays_zip keeps it a narrow, shuffle-free
-        // projection; zip pads the shorter array with null, which the
-        // templateRequired null filter then drops.
         case class Ptr(v: String, base: String, sub: Option[String], isArray: Boolean)
         val ps = link.templatePointers.toSeq.sortBy(_._1).map { case (v, ptr) =>
           val segs = ptr.stripPrefix("/").split("/").toIndexedSeq
@@ -104,45 +114,53 @@ object GraphEmit {
           def requiredFilter(binds: Map[String, Column]): Column =
             binds.collect { case (v, c) if link.templateRequired.contains(v) =>
               c.isNotNull }.foldLeft(lit(true))(_ && _)
+          def subBind(root: Column, sub: Option[String]): Column =
+            sub.fold(root)(s => s.split("\\.").foldLeft(root)(_ getField _))
+          val scalarBinds = scalars.map(p => p.v -> col(p.base)).toMap
           if (arrays.isEmpty) {
-            // all-scalar pointers: bind the paths directly — one edge
-            // per row with non-null required values
-            val binds = scalars.map(p => p.v -> col(p.base)).toMap
-            val to = graft.rules.SchemaLoader.hrefColumnBound(link.href, binds)
-            Some(df.filter(requiredFilter(binds))
-              .select(from, to.as("_to"), lit(link.rel).as("_label")))
+            // all-scalar pointers: one edge per row with non-null
+            // required values, paths bound directly
+            val to = graft.rules.SchemaLoader.hrefColumnBound(link.href, scalarBinds)
+            Some(when(requiredFilter(scalarBinds), array(edge(to, link.rel)))
+              .otherwise(emptyArm))
           } else {
-            val elem =
-              if (arrays.size == 1) explode(col(arrays.head.base))
-              else explode(arrays_zip(
-                arrays.zipWithIndex.map { case (p, i) => col(p.base).as(s"__p$i") }: _*))
-            val exploded = df.select(
-              from +: elem.as("__e") +:
-                scalars.zipWithIndex.map { case (p, i) => col(p.base).as(s"__s$i") }: _*)
-            val arrayBinds = arrays.zipWithIndex.map { case (p, i) =>
-              val root = if (arrays.size == 1) col("__e") else col(s"__e.__p$i")
-              p.v -> p.sub.fold(root)(s => s.split("\\.").foldLeft(root)(_ getField _))
-            }
-            val scalarBinds = scalars.zipWithIndex.map { case (p, i) =>
-              p.v -> col(s"__s$i")
-            }
-            val binds = (arrayBinds ++ scalarBinds).toMap
-            val to = graft.rules.SchemaLoader.hrefColumnBound(link.href, binds)
-            Some(exploded.filter(requiredFilter(binds))
-              .select(col("_from"), to.as("_to"), lit(link.rel).as("_label")))
+            // per-element source: the single array, or the lockstep zip
+            val src =
+              if (arrays.size == 1) col(arrays.head.base)
+              else arrays_zip(
+                arrays.zipWithIndex.map { case (p, i) => col(p.base).as(s"__p$i") }: _*)
+            def binds(e: Column): Map[String, Column] =
+              arrays.zipWithIndex.map { case (p, i) =>
+                val root = if (arrays.size == 1) e else e.getField(s"__p$i")
+                p.v -> subBind(root, p.sub)
+              }.toMap ++ scalarBinds
+            val arm = transform(
+              filter(src, e => requiredFilter(binds(e))),
+              e => edge(graft.rules.SchemaLoader.hrefColumnBound(link.href, binds(e)),
+                link.rel))
+            // a null array must contribute NOTHING, not null out the
+            // whole concat (concat is null-propagating)
+            Some(coalesce(arm, emptyArm))
           }
         }
       }
-    }.reduceOption(_ unionByName _)
-      // leaf class (no links): an EMPTY edge table with the edge schema,
-      // not emptyDataFrame (zero columns — dropDuplicates("_from") would
-      // throw on a perfectly normal linkless class)
-      .getOrElse(df.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "_from STRING, _to STRING, _label STRING")))
-      .dropDuplicates("_from", "_to", "_label")
+    }
+    val raw =
+      if (arms.isEmpty)
+        // leaf class (no links): an EMPTY edge table with the edge
+        // schema, not emptyDataFrame (zero columns — dropDuplicates
+        // would throw on a perfectly normal linkless class)
+        df.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "_from STRING, _to STRING, _label STRING"))
+      else df
+        .select(concat(lit(cls.id + "/"), col(idField)).as("_from"),
+          explode(concat(arms: _*)).as("__e"))
+        .select(col("_from"), col("__e._to").as("_to"), col("__e._label").as("_label"))
+    raw.dropDuplicates("_from", "_to", "_label")
       .withColumn("_id", md5(concat(col("_from"), lit(">"), col("_to"), lit("#"), col("_label"))))
+  }
 
   /** graphcheck: edges whose destination vertex does not exist.
     * The vertex-id side includes one id per file row, so at 10^12 files

@@ -189,7 +189,15 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
         case o => throw new PyLiteException(
           s"dict() argument must be a dict, not ${typeName(o)}", line)
       }
-      kw.foreach { case (k, v) => out(k) = v }
+      // a key arriving twice VIA KWARGS (explicit + ** splat) is
+      // CPython's "multiple values" TypeError; overriding the
+      // positional mapping is allowed
+      val seen = mutable.HashSet[String]()
+      kw.foreach { case (k, v) =>
+        if (!seen.add(k)) throw new PyLiteException(
+          s"dict() got multiple values for keyword argument '$k'", line)
+        out(k) = v
+      }
       out
     case "sorted" | "min" | "max" =>
       var keyFn: Any = null

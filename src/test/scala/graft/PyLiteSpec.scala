@@ -416,6 +416,7 @@ class PyLiteSpec extends AnyFunSuite {
     bad("def f():\n  return [3, 1].sort(reverse=True)",
       "keyword arguments are not supported for method")
     bad("def f():\n  return dict(**[1])", "must be a mapping")
+    bad("def f():\n  return dict(a=1, **{'a': 2})", "multiple values")
     bad("def f():\n  return len(x=1)", "unexpected keyword argument")
   }
 
