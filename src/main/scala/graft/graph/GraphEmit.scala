@@ -124,11 +124,22 @@ object GraphEmit {
             Some(when(requiredFilter(scalarBinds), array(edge(to, link.rel)))
               .otherwise(emptyArm))
           } else {
-            // per-element source: the single array, or the lockstep zip
+            // per-element source: the single array, or the lockstep zip.
+            // Zip inputs are null-coalesced to typed empty arrays first:
+            // arrays_zip is null-intolerant, so one NULL array column
+            // would null the whole zip and silently suppress the
+            // sibling arrays' edges — whereas the documented contract is
+            // "shorter (incl. missing) arrays pad with null, dropped by
+            // the templateRequired filter". A lone null array still
+            // yields no edges via the trailing coalesce.
+            def zipInput(base: String): Column = {
+              val t = df.select(col(base)).schema.head.dataType
+              coalesce(col(base), array().cast(t))
+            }
             val src =
               if (arrays.size == 1) col(arrays.head.base)
               else arrays_zip(
-                arrays.zipWithIndex.map { case (p, i) => col(p.base).as(s"__p$i") }: _*)
+                arrays.zipWithIndex.map { case (p, i) => zipInput(p.base).as(s"__p$i") }: _*)
             def binds(e: Column): Map[String, Column] =
               arrays.zipWithIndex.map { case (p, i) =>
                 val root = if (arrays.size == 1) e else e.getField(s"__p$i")

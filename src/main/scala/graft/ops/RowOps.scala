@@ -276,20 +276,51 @@ object RowOps {
     }
   }
 
+  /** The effective lookup is the INTERSECTION of the table with the
+    * element values actually present in the data — a 10^9-row
+    * dictionary probed by arrays drawing from a few thousand distinct
+    * values still evaluates as a literal map. Two narrow jobs (distinct
+    * elements, then a join the optimizer broadcasts the small side of)
+    * replace materializing the full input frame. None when even the
+    * active set exceeds [[LitMapMaxRows]]. */
+  private def activeLitMap(elems: DataFrame, lookup: DataFrame,
+      keyCol: String, valCol: String): Option[Column] = {
+    val lk = lookup
+      .select(col(keyCol).cast("string").as("__lk_key"),
+        col(valCol).cast("string").as("__lk_val"))
+      .groupBy("__lk_key").agg(max(col("__lk_val")).as("__lk_val"))
+    val rows = elems.select(col("__elem").cast("string").as("__elem"))
+      .filter(col("__elem").isNotNull).distinct()
+      .join(lk, col("__elem") === col("__lk_key"))
+      .select(col("__lk_key"), col("__lk_val"))
+      .limit(LitMapMaxRows + 1).collect()
+    if (rows.length > LitMapMaxRows) None
+    else {
+      val entries = rows.toIndexedSeq
+        .filter(r => !r.isNullAt(1))
+        .map(r => r.getString(0) -> r.getString(1))
+        .sortBy(_._1)
+      Some(map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
+    }
+  }
+
   /** `lookup:` with `replace:` over an ARRAY field — each element is
     * mapped through the table, miss → element unchanged
     * (transform/lookup.go:190-201: the `[]any` branch of the replace
-    * path). Dictionary-sized tables evaluate as a codegen'd map
-    * literal (no shuffle); above [[LitMapMaxRows]] the elements
-    * posexplode, broadcast-join the table, and regroup in position
-    * order — same output, join-shaped plan. */
+    * path). Three tiers: dictionary-sized tables evaluate as a
+    * codegen'd map literal (no shuffle); above [[LitMapMaxRows]] the
+    * table is first intersected with the data's ACTIVE element set
+    * ([[activeLitMap]]) which usually restores the literal plan; only
+    * when that too exceeds the cap do the elements posexplode,
+    * broadcast-join the table, and regroup in position order. */
   def lookupReplaceArray(df: DataFrame, lookup: DataFrame, field: String,
-      rightKey: String, rightValue: String): DataFrame =
-    litMap(lookup, rightKey, rightValue) match {
-      case Some(m) =>
-        df.withColumn(field,
-          transform(col(field), x => coalesce(element_at(m, x), x)))
-      case None =>
+      rightKey: String, rightValue: String): DataFrame = {
+    def applyLit(m: Column): DataFrame =
+      df.withColumn(field,
+        transform(col(field), x => coalesce(element_at(m, x), x)))
+    litMap(lookup, rightKey, rightValue).map(applyLit).getOrElse {
+      activeLitMap(df.select(explode(col(field)).as("__elem")),
+        lookup, rightKey, rightValue).map(applyLit).getOrElse {
         val lk = lookup
           .select(col(rightKey).cast("string").as("__lk_key"),
             col(rightValue).cast("string").as("__lk_val"))
@@ -316,23 +347,25 @@ object RowOps {
           .withColumn(field,
             coalesce(col("__replaced"), col(field).cast("array<string>")))
           .drop("__rid", "__replaced")
+      }
     }
+  }
 
   /** `lookup:` with `replace:` over a MAP field's KEYS — each key is
     * mapped through the table, miss → key unchanged, values untouched
     * (transform/lookup.go:202-214: the `map[string]any` branch rewrites
-    * keys). Literal-map plan for dictionary-sized tables; join-based
-    * fallback above [[LitMapMaxRows]] (map entry order is not
-    * significant). */
+    * keys). Same three tiers as [[lookupReplaceArray]]; map entry order
+    * is not significant. */
   def lookupReplaceMapKeys(df: DataFrame, lookup: DataFrame, field: String,
-      rightKey: String, rightValue: String): DataFrame =
-    litMap(lookup, rightKey, rightValue) match {
-      case Some(m) =>
-        df.withColumn(field,
-          map_from_entries(transform(map_entries(col(field)), e =>
-            struct(coalesce(element_at(m, e.getField("key")), e.getField("key")).as("key"),
-              e.getField("value").as("value")))))
-      case None =>
+      rightKey: String, rightValue: String): DataFrame = {
+    def applyLit(m: Column): DataFrame =
+      df.withColumn(field,
+        map_from_entries(transform(map_entries(col(field)), e =>
+          struct(coalesce(element_at(m, e.getField("key")), e.getField("key")).as("key"),
+            e.getField("value").as("value")))))
+    litMap(lookup, rightKey, rightValue).map(applyLit).getOrElse {
+      activeLitMap(df.select(explode(map_keys(col(field))).as("__elem")),
+        lookup, rightKey, rightValue).map(applyLit).getOrElse {
         val lk = lookup
           .select(col(rightKey).cast("string").as("__lk_key"),
             col(rightValue).cast("string").as("__lk_val"))
@@ -356,7 +389,9 @@ object RowOps {
         withId.join(repl, Seq("__rid"), "left")
           .withColumn(field, coalesce(col("__replaced"), col(field)))
           .drop("__rid", "__replaced")
+      }
     }
+  }
 
   /** `intervalIntersect:` joined-rows form — one output row per
     * (row, overlapping ref) pair. The reference materializes the whole

@@ -759,21 +759,14 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
       case _ => throw new PyLiteException("round() expects (number[, ndigits])", line)
     }
     case "min" | "max" =>
-      val items: Vector[Any] =
-        if (args.length == 1) iterate(args.head, line).toVector else args.toVector
-      if (items.isEmpty) throw new PyLiteException(s"$name() arg is an empty sequence", line)
-      items.reduce { (a, b) =>
-        val c = pyCompare(a, b, line)
-        if (name == "min") (if (c <= 0) a else b) else (if (c >= 0) a else b)
-      }
+      // single implementation: the keyword-aware path with no kwargs
+      callBuiltinKw(name, args, Vector.empty, line)
     case "sum" =>
       arity("sum", args, 1, line)
       iterate(args.head, line).foldLeft(java.lang.Long.valueOf(0L): Any)((a, b) => numOp("+", a, b, line))
     case "sorted" =>
-      arity("sorted", args, 1, line)
-      val items = iterate(args.head, line).toVector
-      val sortedItems = items.sortWith((a, b) => pyCompare(a, b, line) < 0)
-      mutable.ArrayBuffer[Any](sortedItems: _*)
+      // single implementation: the keyword-aware path with no kwargs
+      callBuiltinKw("sorted", args, Vector.empty, line)
     case "enumerate" =>
       arity("enumerate", args, 1, line)
       val out = mutable.ArrayBuffer[Any]()

@@ -48,7 +48,22 @@ object SqliteSource {
   }
 
   def table(spark: SparkSession, path: String, tableName: String): DataFrame = {
-    val driverBytes = openBytes(path, spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // tasks must resolve the path with the DRIVER's filesystem settings
+    // (fs.defaultFS, object-store credentials set via spark.hadoop.*) —
+    // a fresh default Configuration would silently read a different
+    // filesystem or fail auth. Hadoop's Configuration isn't
+    // Serializable, so ship its entries and rebuild per task.
+    val confKV: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    }
+    def taskConf(): org.apache.hadoop.conf.Configuration = {
+      val c = new org.apache.hadoop.conf.Configuration(false)
+      confKV.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+    val driverBytes = openBytes(path, hconf)
     val (cols, affinities, ipkIdx, rootPage, roots) =
       try {
         val db = new Db(driverBytes)
@@ -69,12 +84,12 @@ object SqliteSource {
       val groups = chunk(roots, nParts)
       val rdd = spark.sparkContext.parallelize(groups, groups.length)
         .mapPartitions { it =>
-          val bytes = openBytes(path, new org.apache.hadoop.conf.Configuration())
+          val bytes = openBytes(path, taskConf())
           Option(TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ => bytes.close()))
           val db = new Db(bytes)
           it.flatMap(_.iterator.flatMap(pg =>
-            db.tableRows(pg).iterator.map { case (rowid, vals) => mk(rowid, vals) }))
+            db.tableRowsIter(pg).map { case (rowid, vals) => mk(rowid, vals) }))
         }
       spark.createDataFrame(rdd, schema)
     }
@@ -317,33 +332,47 @@ object SqliteSource {
       frontier
     }
 
-    /** All (rowid, values) of the table b-tree rooted at `page`. */
-    def tableRows(page: Long): Seq[(Long, IndexedSeq[Option[Any]])] = {
-      val out = mutable.ArrayBuffer.empty[(Long, IndexedSeq[Option[Any]])]
-      def walk(pg: Long): Unit = {
-        val base = pageOff(pg)
-        val hdr = if (pg == 1) base + 100 else base
-        val ptype = u8(hdr)
-        val ncells = u16(hdr + 3)
-        ptype match {
-          case 13 => // leaf table
-            var i = 0
-            while (i < ncells) {
-              val cell = base + u16(hdr + 8 + 2 * i)
-              val (plen, n1) = varint(cell)
-              val (rowid, n2) = varint(cell + n1)
-              val pl = payload(cell + n1 + n2, plen)
-              out += ((rowid, record(pl)))
-              i += 1
+    /** LAZY left-to-right walk of the table b-tree rooted at `page`:
+      * cells decode one at a time as the iterator is pulled, so a task
+      * scanning a multi-GB subtree holds one decoded row (plus the
+      * page cache) — never the subtree. Rowid order is preserved
+      * (children pushed right-to-left onto the DFS stack). */
+    def tableRowsIter(page: Long): Iterator[(Long, IndexedSeq[Option[Any]])] =
+      new Iterator[(Long, IndexedSeq[Option[Any]])] {
+        private val stack = mutable.Stack[Long](page)
+        private var leafBase = 0L
+        private var leafHdr = 0L
+        private var leafCell = 0
+        private var leafNCells = 0
+        private def descend(): Unit =
+          while (leafCell >= leafNCells && stack.nonEmpty) {
+            val pg = stack.pop()
+            val base = pageOff(pg)
+            val hdr = if (pg == 1) base + 100 else base
+            u8(hdr) match {
+              case 13 =>
+                leafBase = base; leafHdr = hdr
+                leafCell = 0; leafNCells = u16(hdr + 3)
+              case 5 =>
+                interiorChildren(pg).reverseIterator.foreach(stack.push)
+              case other => sys.error(s"unexpected page type $other in table b-tree")
             }
-          case 5 => // interior table
-            interiorChildren(pg).foreach(walk)
-          case other => sys.error(s"unexpected page type $other in table b-tree")
+          }
+        def hasNext: Boolean = { descend(); leafCell < leafNCells }
+        def next(): (Long, IndexedSeq[Option[Any]]) = {
+          descend()
+          val cell = leafBase + u16(leafHdr + 8 + 2 * leafCell)
+          leafCell += 1
+          val (plen, n1) = varint(cell)
+          val (rowid, n2) = varint(cell + n1)
+          (rowid, record(payload(cell + n1 + n2, plen)))
         }
       }
-      walk(page)
-      out.toSeq
-    }
+
+    /** All (rowid, values) of the table b-tree rooted at `page`
+      * (driver-side convenience for sqlite_master and small tables). */
+    def tableRows(page: Long): Seq[(Long, IndexedSeq[Option[Any]])] =
+      tableRowsIter(page).toSeq
 
     /** sqlite_master rows: (type, name, rootpage, sql). */
     def masterRows: Seq[(String, String, Long, String)] =

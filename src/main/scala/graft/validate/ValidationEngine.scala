@@ -70,18 +70,27 @@ object SaltedAgg {
   }
 
   /** Cheap skew sketch: does one key group hold ≥ `hotShare` of a
-    * deterministic ~1/`frac` row sample? The sample is picked by FULL-ROW
-    * hash (not rand(), so re-evaluation under retries is stable; not a
-    * KEY hash, which would keep all-or-none of the hot key and see no
-    * skew at all). The sampled aggregation touches only the key columns
-    * after pruning — at 100 TB this is a narrow 1% columnar scan, far
-    * cheaper than letting a 30%-hot reducer spill. Stats-fed callers
-    * that already know the answer should call [[countByKey]] /
-    * the plain groupBy directly and skip the probe. */
+    * seeded ~1/`frac` Bernoulli row sample? `df.sample` (seeded) rather
+    * than a content hash: a FULL-ROW hash keeps byte-identical
+    * duplicate rows all-or-none, so a key that is hot precisely because
+    * one row repeats 10^8 times would land entirely in one hash residue
+    * and be missed with probability (frac-1)/frac — and a KEY hash
+    * would keep all-or-none of every key and see no skew at all. The
+    * Bernoulli sample is per-row regardless of content, and its
+    * predicate references no columns, so the probe scan prunes down to
+    * the key columns only — at 100 TB a narrow 1% columnar scan, far
+    * cheaper than letting a 30%-hot reducer spill. (Seeded sample is
+    * reproducible per partition layout; a task-retry reshuffle could at
+    * worst flip the PLAN choice, never the result.) Stats-fed callers
+    * that already know the answer should call [[countByKey]] / the
+    * plain groupBy directly and skip the probe. */
   def isSkewed(df: DataFrame, keys: Seq[String], hotShare: Double = 0.2,
       frac: Int = 100): Boolean = {
-    val h = pmod(xxhash64(struct(df.columns.map(col): _*)), lit(frac))
-    val r = df.filter(h === 0)
+    val sampled =
+      if (frac <= 1) df.select(keys.map(col): _*)
+      else df.select(keys.map(col): _*)
+        .sample(withReplacement = false, 1.0 / frac, seed = 42)
+    val r = sampled
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .agg(max(col("__n")).as("__mx"), sum(col("__n")).as("__tot"))
       .collect()(0)

@@ -44,19 +44,29 @@ class LookupOpsSpec extends AnyFunSuite {
       .orderBy("id").collect()
     assert(out(0).getSeq[String](1) === Seq("v0", s"v${n - 1}", "miss"))
     assert(out(1).getSeq[String](1) === Seq.empty)
-    // one row past the cap: transparently switches to the join-based
-    // plan (explode + broadcast join + positional regroup), same output
+    // one row past the cap: the table no longer fits as a literal, but
+    // the data's ACTIVE element set ({k0, k9999, miss}) does — the
+    // middle tier intersects and restores the join-free literal plan
     val tooBig = spark.range(n + 1).selectExpr("concat('k', id) AS k", "concat('v', id) AS v")
-    val joined = RowOps.lookupReplaceArray(df, tooBig, "xs", "k", "v")
-    assert(joined.queryExecution.optimizedPlan.toString.contains("Join"))
-    val out2 = joined.orderBy("id").collect()
+    val active = RowOps.lookupReplaceArray(df, tooBig, "xs", "k", "v")
+    assert(!active.queryExecution.optimizedPlan.toString.contains("Join"))
+    val out2 = active.orderBy("id").collect()
     assert(out2(0).getSeq[String](1) === Seq("v0", s"v${n - 1}", "miss"))
     assert(out2(1).getSeq[String](1) === Seq.empty)
-    // map-keys form: same fallback
+    // map-keys form: same middle tier
     val dfm = Seq((1L, Map("k0" -> "a", "zz" -> "b"))).toDF("id", "m")
     val outm = RowOps.lookupReplaceMapKeys(dfm, tooBig, "m", "k", "v")
       .collect().head.getMap[String, String](1)
     assert(outm.toMap === Map("v0" -> "a", "zz" -> "b"))
+    // BOTH the table and the active set past the cap: the final
+    // join-based tier (explode + broadcast join + positional regroup)
+    val wide = spark.range(n + 1)
+      .selectExpr("id", "array(concat('k', id), 'miss') AS xs")
+    val joined = RowOps.lookupReplaceArray(wide, tooBig, "xs", "k", "v")
+    assert(joined.queryExecution.optimizedPlan.toString.contains("Join"))
+    val sample = joined.filter(col("id") === n).collect().head
+    assert(sample.getSeq[String](1) === Seq(s"v$n", "miss"))
+    assert(joined.count() === n + 1)
   }
 
   test("lookup dup-key winner is deterministic: greatest value wins everywhere") {
@@ -195,14 +205,16 @@ class LookupOpsSpec extends AnyFunSuite {
     // without localCheckpoint the fallback's two withId evaluations could
     // see different rows for the same id. With the checkpoint the output
     // rows must be internally consistent: every replaced array matches
-    // the row's own key column through the lookup table.
-    val n = 10001 // one past LitMapMaxRows -> forces the join-based plan
-    val lk = spark.range(n).selectExpr("concat('k', id) AS k", "concat('v', id) AS v")
-    val df = spark.range(200)
-      .selectExpr("id", s"concat('k', cast(rand() * $n AS int)) AS key")
+    // the row's own key column through the lookup table. The probe rows
+    // span > LitMapMaxRows DISTINCT elements so the active-set literal
+    // tier cannot absorb the call — this really is the join-based plan.
+    val n = 10001
+    val lk = spark.range(2 * n).selectExpr("concat('k', id) AS k", "concat('v', id) AS v")
+    val df = spark.range(n.toLong + 5)
+      .selectExpr("id", s"concat('k', id + cast(rand() * 3 AS int)) AS key")
       .selectExpr("id", "key", "array(key, 'miss') AS xs")
     val out = RowOps.lookupReplaceArray(df, lk, "xs", "k", "v").collect()
-    assert(out.length === 200)
+    assert(out.length === n + 5)
     out.foreach { r =>
       val key = r.getAs[String]("key")
       val xs = r.getSeq[String](r.fieldIndex("xs"))

@@ -132,6 +132,27 @@ class SchemaLoaderSpec extends AnyFunSuite {
     assert(!edges.queryExecution.optimizedPlan.toString.contains("Join"))
   }
 
+  test("multi-pointer zip: a missing (null) array behaves exactly like an " +
+    "empty one (arrays_zip null-intolerance guarded)") {
+    import graft.rules.SchemaLoader.{LinkSpec, SchemaClass}
+    val cls2 = SchemaClass("s", "S", Seq.empty, Map.empty, Seq(
+      LinkSpec("r", "t/{a}/{b}", "t",
+        templateRequired = Seq("a"), // b NOT required: padded nulls emit
+        backref = None, multiplicity = None,
+        templatePointers = Map("a" -> "/as/-", "b" -> "/bs/-"))))
+    val df = Seq(
+      ("x1", Seq("a1"), Some(Seq.empty[String])), // empty sibling array
+      ("x2", Seq("a2"), None))                    // MISSING sibling array
+      .toDF("id", "as", "bs")
+    val got = GraphEmit.schemaEdges(df, cls2)
+      .select("_from", "_to").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).sorted.toSeq
+    // both rows pad b with null -> href concat nulls out -> same shape;
+    // before the zipInput coalesce, x2's null array nulled the whole
+    // zip and silently dropped its edge while x1 kept one
+    assert(got === Seq(("s/x1", None), ("s/x2", None)))
+  }
+
   test("compat: loads the reference's own schema directory when present") {
     val dir = "/root/reference/test/resources/schemas"
     assume(Files.exists(Paths.get(dir)))
