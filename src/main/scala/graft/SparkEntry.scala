@@ -96,6 +96,25 @@ object SparkEntry {
       DriftCheck.psi(f, length(col("content")), col("doc_id") % 2 === 0,
         FileRules.drift.bucketWidth)
     }),
+    "v_stream_violations" -> ((s, d) => {
+      // the SAME compiled rule predicates run incrementally under
+      // readStream (Violations.extract is a stateless narrow
+      // projection, so the batch plan is reused verbatim):
+      // Trigger.AvailableNow drains the source in several micro-batches
+      // (maxFilesPerTrigger=4) and stops; the streamed violation set
+      // must hash-match the one-shot batch oracle exactly.
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+      FilesTable.files(s, d).write.mode("overwrite").parquet(dir)
+      val schema = s.read.parquet(dir).schema
+      val stream = graft.streaming.StreamValidate.violationStream(
+        s, dir, schema, FileRules.rowRules, maxFilesPerTrigger = Some(4))
+      val qname = "v_stream_violations_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamValidate.toMemorySink(stream, qname, "append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qname)
+    }),
     "v_resume" -> ((s, d) => {
       // north_star resumability, oracle-gated: run the checkpointed
       // validation, CRASH after 2 committed partitions, resume, and
@@ -524,6 +543,8 @@ object SparkEntry {
     "v_drift_psi" -> DuckSql.vDriftPsi,
     // resumed checkpointed run must land on the same grid as one-shot
     "v_resume" -> DuckSql.vVerdicts,
+    // incremental (streamed) violations must equal the batch set
+    "v_stream_violations" -> DuckSql.vViolations,
     // source oracles re-derive the parse semantics from RAW LINES (this
     // DuckDB predates read_csv's `comment` param): comment lines dropped
     // BEFORE records are numbered, rowSkip counts post-comment records,

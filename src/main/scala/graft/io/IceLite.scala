@@ -279,6 +279,22 @@ class IceLite(val root: String) {
     else readDirs(spark, snap, table, kept)
   }
 
+  /** Partitions present in `toSnap` but absent from `fromSnap` — the
+    * incremental "commit stream" read: a consumer that already
+    * processed `fromSnap` catches up on `toSnap` by touching ONLY the
+    * newly appended partitions' files (verifiable via `df.inputFiles`),
+    * never rescanning history. Empty diff returns an empty frame with
+    * the table's schema. */
+  def readTableAppended(spark: SparkSession, fromSnap: Long, toSnap: Long,
+      table: String): DataFrame = {
+    val before = snapshotParts(fromSnap).toSet
+    val added = snapshotParts(toSnap).filterNot(before)
+    if (added.isEmpty)
+      readDirs(spark, toSnap, table, snapshotParts(toSnap))
+        .filter(org.apache.spark.sql.functions.lit(false))
+    else readDirs(spark, toSnap, table, added)
+  }
+
   private def readDirs(spark: SparkSession, snap: Long, table: String,
       parts: Seq[String]): DataFrame = {
     val dirs = parts.map(partDataDir(snap, table, _))

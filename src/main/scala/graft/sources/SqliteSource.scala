@@ -30,8 +30,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 object SqliteSource {
 
   /** Files at or below this buffer fully (driver AND tasks); above it
-    * pages are fetched on demand through an LRU block cache. */
+    * pages are fetched on demand through an LRU block cache. Tests
+    * force the paged path on small fixtures via [[bufferCapOverride]]. */
   private val BufferCap: Long = 64L << 20
+  private[graft] var bufferCapOverride: Option[Long] = None
 
   private def openBytes(path: String,
       hconf: org.apache.hadoop.conf.Configuration): Bytes = {
@@ -39,7 +41,7 @@ object SqliteSource {
     val p = new HPath(path)
     val fs = p.getFileSystem(hconf)
     val len = fs.getFileStatus(p).getLen
-    if (len <= BufferCap) {
+    if (len <= bufferCapOverride.getOrElse(BufferCap)) {
       val bytes = new Array[Byte](len.toInt)
       val in = fs.open(p)
       try in.readFully(0, bytes) finally in.close()

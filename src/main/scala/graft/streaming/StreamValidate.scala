@@ -25,12 +25,18 @@ final case class RuleTotal(rule_id: String, total: Long, batch_inc: Long)
   */
 object StreamValidate {
 
-  /** Continuous violation stream from a parquet directory source. */
+  /** Continuous violation stream from a parquet directory source.
+    * `maxFilesPerTrigger` caps each micro-batch's file intake (the
+    * knob that turns one drain into genuinely incremental batches). */
   def violationStream(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
-      rules: Seq[RowRule]): DataFrame =
-    Violations.extract(
-      spark.readStream.schema(schema).parquet(dir), rules)
+      rules: Seq[RowRule],
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    val tuned = maxFilesPerTrigger.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    Violations.extract(tuned.parquet(dir), rules)
+  }
 
   /** Windowed event-rate monitoring (the ops-side health signal):
     * per event_type counts + value sums over sliding windows with a

@@ -174,4 +174,30 @@ class IceLiteSpec extends AnyFunSuite {
     assert(ice.readTable(spark, 1, "violations").count() ===
       ice.readTable(spark, 2, "violations").count())
   }
+
+  test("incremental read: only partitions appended between snapshots are " +
+    "touched (commit-stream consumption)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    def part(name: String, lo: Int): Unit =
+      ice.commitPartition(ice.nextSnapshotId, name, 3L,
+        Map("t" -> (lo until lo + 3).toDF("v")))
+    // snapshot 1: partitions a, b
+    part("a", 0); part("b", 10)
+    ice.commitSnapshot(1L, Seq("a", "b"))
+    // snapshot 2: a, b carried forward + c appended
+    ice.commitPartition(2L, "a", 3L, Map("t" -> (0 until 3).toDF("v")))
+    ice.commitPartition(2L, "b", 3L, Map("t" -> (10 until 13).toDF("v")))
+    ice.commitPartition(2L, "c", 3L, Map("t" -> (20 until 23).toDF("v")))
+    ice.commitSnapshot(2L, Seq("a", "b", "c"))
+    val inc = ice.readTableAppended(spark, 1L, 2L, "t")
+    assert(inc.select("v").collect().map(_.getInt(0)).sorted.toSeq === Seq(20, 21, 22))
+    // ONLY c's files entered the scan
+    assert(inc.inputFiles.nonEmpty &&
+      inc.inputFiles.forall(_.contains("part=c")), inc.inputFiles.mkString(","))
+    // empty diff -> empty frame with the table's schema
+    val none = ice.readTableAppended(spark, 2L, 2L, "t")
+    assert(none.columns.toSeq.contains("v") && none.count() === 0)
+  }
 }

@@ -272,6 +272,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(ids.toSeq === ids.sorted.toSeq)
   }
 
+  test("sqlite: paged reader (CachedFileBytes) decodes byte-identically to the " +
+    "full-buffer path — overflow chains and interior pages across cache blocks") {
+    // force the >BufferCap code path on the committed fixture (same
+    // JVM in local mode, so the override reaches the tasks)
+    val p = getClass.getResource("/fixture.sqlite").getPath
+    def rows() = graft.sources.SqliteSource.table(spark, p, "genes")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val buffered = rows()
+    graft.sources.SqliteSource.bufferCapOverride = Some(0L)
+    try {
+      val paged = rows()
+      assert(paged.length === 3002)
+      assert(paged === buffered)
+    } finally graft.sources.SqliteSource.bufferCapOverride = None
+  }
+
   test("ndjson and multiline json doc") {
     val nd = tmpFile("d.ndjson", """{"a":1,"b":"x"}""" + "\n" + """{"a":2,"b":"y"}""" + "\n")
     assert(Sources.ndjson(spark, nd).count() === 2)
