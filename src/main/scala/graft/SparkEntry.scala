@@ -103,13 +103,17 @@ object SparkEntry {
       // Trigger.AvailableNow drains the source in several micro-batches
       // (maxFilesPerTrigger=4) and stops; the streamed violation set
       // must hash-match the one-shot batch oracle exactly.
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+      // fixed per-corpus locations, overwritten per call: repeated
+      // verify/bench invocations must not accumulate /tmp copies of the
+      // corpus or pinned memory-sink tables
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_" +
+        java.lang.Integer.toHexString(d.hashCode)
       FilesTable.files(s, d).write.mode("overwrite").parquet(dir)
       val schema = s.read.parquet(dir).schema
       val stream = graft.streaming.StreamValidate.violationStream(
         s, dir, schema, FileRules.rowRules, maxFilesPerTrigger = Some(4))
-      val qname = "v_stream_violations_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+      val qname = "v_stream_violations_sink"
+      s.catalog.dropTempView(qname) // drop the previous call's sink table
       val q = graft.streaming.StreamValidate.toMemorySink(stream, qname, "append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()

@@ -279,20 +279,41 @@ class IceLite(val root: String) {
     else readDirs(spark, snap, table, kept)
   }
 
-  /** Partitions present in `toSnap` but absent from `fromSnap` — the
-    * incremental "commit stream" read: a consumer that already
-    * processed `fromSnap` catches up on `toSnap` by touching ONLY the
-    * newly appended partitions' files (verifiable via `df.inputFiles`),
-    * never rescanning history. Empty diff returns an empty frame with
-    * the table's schema. */
+  /** A partition's lineage record with the snapshot id field removed —
+    * equal fingerprints mean the same row count and the same per-table
+    * per-column footer min/max. Used to detect RECOMMITTED partitions
+    * between snapshots; a content change that preserves every one of
+    * those is indistinguishable (documented residual of the stats-level
+    * diff — Iceberg proper diffs manifests at file granularity). */
+  private def partFingerprint(snap: Long, part: String): Option[String] = {
+    val f = lineageDir(snap).resolve(s"${enc(part)}.json")
+    if (!Files.exists(f)) None
+    else JsonMethods.parse(Files.readString(f)) match {
+      case JObject(fields) => Some(JsonMethods.compact(JsonMethods.render(
+        JObject(fields.filterNot(_._1 == "snapshot").sortBy(_._1)))))
+      case _ => None
+    }
+  }
+
+  /** Partitions APPENDED OR RECOMMITTED between `fromSnap` and `toSnap`
+    * — the incremental "commit stream" read: a consumer that already
+    * processed `fromSnap` catches up on `toSnap` by touching only the
+    * changed partitions' files (verifiable via `df.inputFiles`), never
+    * rescanning unchanged history. "Changed" = new partition name, or a
+    * lineage fingerprint (row count + footer stats) that differs from
+    * `fromSnap`'s. Empty diff returns an empty frame with the table's
+    * schema. */
   def readTableAppended(spark: SparkSession, fromSnap: Long, toSnap: Long,
       table: String): DataFrame = {
     val before = snapshotParts(fromSnap).toSet
-    val added = snapshotParts(toSnap).filterNot(before)
-    if (added.isEmpty)
+    val changed = snapshotParts(toSnap).filter { part =>
+      !before.contains(part) ||
+        partFingerprint(fromSnap, part) != partFingerprint(toSnap, part)
+    }
+    if (changed.isEmpty)
       readDirs(spark, toSnap, table, snapshotParts(toSnap))
         .filter(org.apache.spark.sql.functions.lit(false))
-    else readDirs(spark, toSnap, table, added)
+    else readDirs(spark, toSnap, table, changed)
   }
 
   private def readDirs(spark: SparkSession, snap: Long, table: String,

@@ -276,30 +276,40 @@ object RowOps {
     }
   }
 
+  /** True when no expression anywhere in the plan is nondeterministic
+    * (rand/uuid/monotonically_increasing_id/sample...). The active-set
+    * tier evaluates the input twice (probe, then the real plan), which
+    * is only sound when both evaluations produce the same element set. */
+  private def planDeterministic(df: DataFrame): Boolean =
+    !df.queryExecution.analyzed.exists(
+      _.expressions.exists(_.exists(!_.deterministic)))
+
   /** The effective lookup is the INTERSECTION of the table with the
     * element values actually present in the data — a 10^9-row
     * dictionary probed by arrays drawing from a few thousand distinct
-    * values still evaluates as a literal map. Two narrow jobs (distinct
-    * elements, then a join the optimizer broadcasts the small side of)
-    * replace materializing the full input frame. None when even the
-    * active set exceeds [[LitMapMaxRows]]. */
+    * values still evaluates as a literal map. Cost is bounded in BOTH
+    * outcomes: the distinct-element probe is a narrow scan with a
+    * `limit` (the big lookup is NOT touched), and only when the active
+    * set fits the cap is the lookup read — with the actives pushed down
+    * as an IN filter, no join, no shuffle. None when the active set
+    * exceeds [[LitMapMaxRows]]. */
   private def activeLitMap(elems: DataFrame, lookup: DataFrame,
       keyCol: String, valCol: String): Option[Column] = {
-    val lk = lookup
-      .select(col(keyCol).cast("string").as("__lk_key"),
-        col(valCol).cast("string").as("__lk_val"))
-      .groupBy("__lk_key").agg(max(col("__lk_val")).as("__lk_val"))
-    val rows = elems.select(col("__elem").cast("string").as("__elem"))
+    val actives = elems.select(col("__elem").cast("string").as("__elem"))
       .filter(col("__elem").isNotNull).distinct()
-      .join(lk, col("__elem") === col("__lk_key"))
-      .select(col("__lk_key"), col("__lk_val"))
-      .limit(LitMapMaxRows + 1).collect()
-    if (rows.length > LitMapMaxRows) None
+      .limit(LitMapMaxRows + 1).collect().map(_.getString(0))
+    if (actives.length > LitMapMaxRows) None
     else {
+      val rows = lookup
+        .select(col(keyCol).cast("string").as("__lk_key"),
+          col(valCol).cast("string").as("__lk_val"))
+        .filter(col("__lk_key").isin(actives.toIndexedSeq: _*))
+        .collect()
+      // dup keys collapse to the greatest value — the litMap winner rule
       val entries = rows.toIndexedSeq
-        .filter(r => !r.isNullAt(1))
-        .map(r => r.getString(0) -> r.getString(1))
-        .sortBy(_._1)
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .groupMapReduce(_.getString(0))(_.getString(1))((a, b) => if (a >= b) a else b)
+        .toIndexedSeq.sortBy(_._1)
       Some(map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
     }
   }
@@ -319,8 +329,13 @@ object RowOps {
       df.withColumn(field,
         transform(col(field), x => coalesce(element_at(m, x), x)))
     litMap(lookup, rightKey, rightValue).map(applyLit).getOrElse {
-      activeLitMap(df.select(explode(col(field)).as("__elem")),
-        lookup, rightKey, rightValue).map(applyLit).getOrElse {
+      // the active-set probe re-evaluates df, so it is gated on a fully
+      // deterministic plan — a rand()/uuid upstream could produce
+      // elements in the real evaluation that the probe never saw
+      (if (planDeterministic(df))
+        activeLitMap(df.select(explode(col(field)).as("__elem")),
+          lookup, rightKey, rightValue).map(applyLit)
+      else None).getOrElse {
         val lk = lookup
           .select(col(rightKey).cast("string").as("__lk_key"),
             col(rightValue).cast("string").as("__lk_val"))
@@ -364,8 +379,11 @@ object RowOps {
           struct(coalesce(element_at(m, e.getField("key")), e.getField("key")).as("key"),
             e.getField("value").as("value")))))
     litMap(lookup, rightKey, rightValue).map(applyLit).getOrElse {
-      activeLitMap(df.select(explode(map_keys(col(field))).as("__elem")),
-        lookup, rightKey, rightValue).map(applyLit).getOrElse {
+      // deterministic-plan gate: see lookupReplaceArray
+      (if (planDeterministic(df))
+        activeLitMap(df.select(explode(map_keys(col(field))).as("__elem")),
+          lookup, rightKey, rightValue).map(applyLit)
+      else None).getOrElse {
         val lk = lookup
           .select(col(rightKey).cast("string").as("__lk_key"),
             col(rightValue).cast("string").as("__lk_val"))

@@ -31,17 +31,22 @@ object SqliteSource {
 
   /** Files at or below this buffer fully (driver AND tasks); above it
     * pages are fetched on demand through an LRU block cache. Tests
-    * force the paged path on small fixtures via [[bufferCapOverride]]. */
+    * force the paged path on small fixtures via [[bufferCapOverride]] —
+    * a DRIVER-side knob: [[table]] captures its value once at plan
+    * build and ships the captured Long in the task closure, so it works
+    * on real executors and a concurrent flip cannot affect a read
+    * already planned. */
   private val BufferCap: Long = 64L << 20
-  private[graft] var bufferCapOverride: Option[Long] = None
+  @volatile private[graft] var bufferCapOverride: Option[Long] = None
 
   private def openBytes(path: String,
-      hconf: org.apache.hadoop.conf.Configuration): Bytes = {
+      hconf: org.apache.hadoop.conf.Configuration,
+      cap: Long = BufferCap): Bytes = {
     import org.apache.hadoop.fs.{Path => HPath}
     val p = new HPath(path)
     val fs = p.getFileSystem(hconf)
     val len = fs.getFileStatus(p).getLen
-    if (len <= bufferCapOverride.getOrElse(BufferCap)) {
+    if (len <= cap) {
       val bytes = new Array[Byte](len.toInt)
       val in = fs.open(p)
       try in.readFully(0, bytes) finally in.close()
@@ -51,6 +56,7 @@ object SqliteSource {
 
   def table(spark: SparkSession, path: String, tableName: String): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
+    val cap = bufferCapOverride.getOrElse(BufferCap) // captured once, see above
     // tasks must resolve the path with the DRIVER's filesystem settings
     // (fs.defaultFS, object-store credentials set via spark.hadoop.*) —
     // a fresh default Configuration would silently read a different
@@ -65,7 +71,7 @@ object SqliteSource {
       confKV.foreach { case (k, v) => c.set(k, v) }
       c
     }
-    val driverBytes = openBytes(path, hconf)
+    val driverBytes = openBytes(path, hconf, cap)
     val (cols, affinities, ipkIdx, rootPage, roots) =
       try {
         val db = new Db(driverBytes)
@@ -86,7 +92,7 @@ object SqliteSource {
       val groups = chunk(roots, nParts)
       val rdd = spark.sparkContext.parallelize(groups, groups.length)
         .mapPartitions { it =>
-          val bytes = openBytes(path, taskConf())
+          val bytes = openBytes(path, taskConf(), cap)
           Option(TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ => bytes.close()))
           val db = new Db(bytes)
@@ -362,7 +368,7 @@ object SqliteSource {
           }
         def hasNext: Boolean = { descend(); leafCell < leafNCells }
         def next(): (Long, IndexedSeq[Option[Any]]) = {
-          descend()
+          if (!hasNext) throw new NoSuchElementException("table b-tree exhausted")
           val cell = leafBase + u16(leafHdr + 8 + 2 * leafCell)
           leafCell += 1
           val (plen, n1) = varint(cell)

@@ -200,4 +200,23 @@ class IceLiteSpec extends AnyFunSuite {
     val none = ice.readTableAppended(spark, 2L, 2L, "t")
     assert(none.columns.toSeq.contains("v") && none.count() === 0)
   }
+
+  test("incremental read catches RECOMMITTED partitions, not just appended " +
+    "(lineage fingerprint diff)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    ice.commitPartition(1L, "a", 3L, Map("t" -> (0 until 3).toDF("v")))
+    ice.commitPartition(1L, "b", 3L, Map("t" -> (10 until 13).toDF("v")))
+    ice.commitSnapshot(1L, Seq("a", "b"))
+    // snapshot 2: 'a' RECOMMITTED with corrected contents, 'b' unchanged
+    ice.commitPartition(2L, "a", 4L, Map("t" -> (100 until 104).toDF("v")))
+    ice.commitPartition(2L, "b", 3L, Map("t" -> (10 until 13).toDF("v")))
+    ice.commitSnapshot(2L, Seq("a", "b"))
+    val inc = ice.readTableAppended(spark, 1L, 2L, "t")
+    // the corrected partition is part of the diff; unchanged 'b' is not
+    assert(inc.select("v").collect().map(_.getInt(0)).sorted.toSeq ===
+      Seq(100, 101, 102, 103))
+    assert(inc.inputFiles.nonEmpty && inc.inputFiles.forall(_.contains("part=a")))
+  }
 }

@@ -199,6 +199,27 @@ class LookupOpsSpec extends AnyFunSuite {
     assert(!e2.getMessage.toLowerCase.contains("ordering"), e2.getMessage)
   }
 
+  test("active-set literal tier is GATED on a deterministic plan: a rand() " +
+    "upstream with a small active set still routes through the checkpoint join") {
+    // the probe evaluates df once and the real plan again; with a
+    // nondeterministic upstream the second evaluation could contain
+    // elements the probe never saw, leaving them silently unreplaced —
+    // so tier 2 must decline and the localCheckpoint join tier run
+    val n = 10001 // lookup past the literal cap
+    val lk = spark.range(n).selectExpr("concat('k', id) AS k", "concat('v', id) AS v")
+    val df = spark.range(50)
+      .selectExpr("id", s"concat('k', cast(rand() * 10 AS int)) AS key")
+      .selectExpr("id", "key", "array(key) AS xs") // tiny active set
+    val out = RowOps.lookupReplaceArray(df, lk, "xs", "k", "v")
+    assert(out.queryExecution.optimizedPlan.toString.contains("Join"),
+      "nondeterministic upstream must take the join tier")
+    // internally consistent despite the rand upstream (checkpoint pins rows)
+    out.collect().foreach { r =>
+      val key = r.getAs[String]("key")
+      assert(r.getSeq[String](r.fieldIndex("xs")) === Seq("v" + key.stripPrefix("k")))
+    }
+  }
+
   test("lookupReplaceArray join fallback: ids pinned across the self-join " +
     "(nondeterministic upstream cannot misalign rows)") {
     // a rand()-derived array column is recomputed differently per action;
