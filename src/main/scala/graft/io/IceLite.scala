@@ -35,7 +35,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   data/snap=3/verdicts/part=p/  // parquet
   * }}}
   */
-class IceLite(val root: String) {
+class IceLite(val root: String) extends TableIO {
   import org.json4s._
   import org.json4s.jackson.JsonMethods
   private implicit val fmts: Formats = DefaultFormats
@@ -265,12 +265,23 @@ class IceLite(val root: String) {
     * must never be lossy); if every partition prunes, an empty frame
     * with the table's schema returns. */
   def readTablePruned(spark: SparkSession, snap: Long, table: String,
-      column: String, lo: Double, hi: Double): DataFrame = {
+      column: String, lo: Double, hi: Double): DataFrame =
+    readTablePruned(spark, snap, table, Seq((column, lo, hi)))
+
+  /** Multi-predicate form: a partition survives only if EVERY
+    * (column, lo, hi) range can overlap its committed stats — the
+    * conjunctive pruning a `WHERE a BETWEEN .. AND b BETWEEN ..` scan
+    * needs. Columns without recorded stats never prune (lossless). */
+  def readTablePruned(spark: SparkSession, snap: Long, table: String,
+      preds: Seq[(String, Double, Double)]): DataFrame = {
     val parts = snapshotParts(snap)
     val kept = parts.filter { part =>
-      partStats(snap, part, table).get(column) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
+      val stats = partStats(snap, part, table)
+      preds.forall { case (column, lo, hi) =>
+        stats.get(column) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
       }
     }
     if (kept.isEmpty)

@@ -26,8 +26,13 @@ object CheckpointedValidation {
     * `crashAfter` = throw after N partitions (kill-between-partitions
     * testing). */
   def run(spark: SparkSession, files: DataFrame, rules: Seq[RowRule],
-      root: String, crashAfter: Option[Int] = None): Long = {
-    val ice = new IceLite(root)
+      root: String, crashAfter: Option[Int] = None): Long =
+    run(spark, files, rules, new IceLite(root), crashAfter)
+
+  /** As above against any [[graft.io.TableIO]] implementation — the
+    * engine's checkpoint loop is format-agnostic (SURVEY §7 seam). */
+  def run(spark: SparkSession, files: DataFrame, rules: Seq[RowRule],
+      ice: graft.io.TableIO, crashAfter: Option[Int]): Long = {
     val snap = ice.nextSnapshotId
     val orgCol = Verdicts.org(col("repo"))
     // each partition's jobs re-filter the input; cache it once so the

@@ -88,6 +88,11 @@ class IceLiteSpec extends AnyFunSuite {
     assert(none.schema.fieldNames.toSet === Set("doc_id", "name", "part"))
     // stats are exposed for audit
     assert(ice.partStats(snap, "p1", "t")("doc_id") === ((100.0, 199.0)))
+    // conjunctive multi-predicate form: each range alone keeps p1+p2 /
+    // p0+p1, the conjunction keeps only their intersection p1
+    val multi = ice.readTablePruned(spark, snap, "t",
+      Seq(("doc_id", 150.0, 250.0), ("doc_id", 50.0, 180.0)))
+    assert(multi.inputFiles.nonEmpty && multi.inputFiles.forall(_.contains("part=p1")))
   }
 
   test("kill between partitions -> resume skips completed, verdicts identical") {
@@ -199,6 +204,45 @@ class IceLiteSpec extends AnyFunSuite {
     // empty diff -> empty frame with the table's schema
     val none = ice.readTableAppended(spark, 2L, 2L, "t")
     assert(none.columns.toSeq.contains("v") && none.count() === 0)
+  }
+
+  test("TableIO seam: the checkpoint loop runs unchanged against a non-IceLite " +
+    "implementation and produces the identical verdict grid") {
+    // a minimal in-memory table format standing in for a real Iceberg
+    // catalog — proves CheckpointedValidation depends only on the trait
+    class MemIO extends graft.io.TableIO {
+      val parts = scala.collection.mutable.LinkedHashMap
+        .empty[(Long, String), Map[String, org.apache.spark.sql.DataFrame]]
+      var committed: Option[(Long, Seq[String])] = None
+      def nextSnapshotId: Long = committed.map(_._1 + 1).getOrElse(1L)
+      def completedParts(snap: Long): Set[String] =
+        parts.keys.collect { case (s, p) if s == snap => p }.toSet
+      def commitPartitionLazy(snap: Long, part: String, rowCount: () => Long,
+          tables: Map[String, org.apache.spark.sql.DataFrame]): Unit = {
+        rowCount() // exercised like the real one
+        parts((snap, part)) = tables.map { case (n, df) =>
+          n -> df.cache() // "write": pin the materialized result
+        }
+      }
+      def commitSnapshot(snap: Long, ps: Seq[String]): Unit =
+        committed = Some((snap, ps))
+      def readTable(spark: org.apache.spark.sql.SparkSession, snap: Long,
+          table: String): org.apache.spark.sql.DataFrame =
+        parts.collect { case ((s, _), t) if s == snap => t(table) }
+          .reduce(_ unionByName _)
+    }
+    val mem = new MemIO
+    val snap = CheckpointedValidation.run(spark, files, FileRules.rowRules, mem, None)
+    val root = freshRoot()
+    CheckpointedValidation.run(spark, files, FileRules.rowRules, root)
+    val ice = new IceLite(root)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.filterNot(_ == "part").sorted.toIndexedSeq
+      df.select(cols.map(col): _*).collect().map(_.mkString("|")).sorted.toIndexedSeq
+    }
+    assert(canon(mem.readTable(spark, snap, "violations")) ===
+      canon(ice.readTable(spark, 1L, "violations")))
+    mem.parts.values.foreach(_.values.foreach(_.unpersist()))
   }
 
   test("incremental read catches RECOMMITTED partitions, not just appended " +
