@@ -113,6 +113,43 @@ object StorageBench {
     }
   }
 
+  /** Partitioned sqlite read at non-toy scale: a ~100 MB, 2M-row
+    * database (generated once with the host's python3 sqlite3 module —
+    * bench tooling only, the engine never depends on it; phase skipped
+    * if python3 is absent). Reports tasks used, wall seconds, rows/s
+    * for the full scan, both through the paged (>BufferCap would be
+    * 64 MiB — this file exceeds it) reader. */
+  def sqliteBench(spark: SparkSession, workDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val dbPath = s"$workDir/big.sqlite"
+    val rows = 2000000
+    if (!Files.exists(Paths.get(dbPath))) {
+      val script =
+        s"""import sqlite3, os
+           |con = sqlite3.connect('$dbPath.tmp')
+           |con.execute("CREATE TABLE docs (id INTEGER PRIMARY KEY, name TEXT, score REAL, body TEXT)")
+           |con.executemany("INSERT INTO docs VALUES (?,?,?,?)",
+           |  ((i, 'doc_%07d' % i, i * 0.5, 'x' * (20 + i % 30)) for i in range($rows)))
+           |con.commit(); con.close()
+           |os.replace('$dbPath.tmp', '$dbPath')
+           |""".stripMargin
+      val rc = new ProcessBuilder("python3", "-c", script).inheritIO().start().waitFor()
+      if (rc != 0) {
+        System.err.println(s"[storage] python3 unavailable (rc=$rc): sqlite phase skipped")
+        return
+      }
+    }
+    val sizeMb = Files.size(Paths.get(dbPath)) / 1e6
+    import org.apache.spark.sql.functions.spark_partition_id
+    def scan() = graft.sources.SqliteSource.table(spark, dbPath, "docs")
+    scan().count() // warm-up (JIT + page-cache of interior pages)
+    val (n, t) = time(scan().count())
+    val tasks = scan().select(spark_partition_id()).distinct().count()
+    require(n == rows, s"expected $rows rows, got $n")
+    println(f"""{"metric":"sqlite_scan","rows":$n,"size_mb":$sizeMb%.1f,""" +
+      f""""tasks":$tasks,"sec":$t%.3f,"rows_per_sec":${n / t}%.0f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val workDir = args.headOption.getOrElse("/tmp/graft_bench")
     val spark = graft.GraftSession.builder("local[16]", 16)
@@ -121,6 +158,7 @@ object StorageBench {
     try {
       pruneBench(spark, workDir)
       globBench(spark, workDir)
+      sqliteBench(spark, workDir)
     } finally spark.stop()
   }
 }
