@@ -127,7 +127,9 @@ object SparkEntry {
       // completed work: exactly 2 lineage records exist before the
       // second run and their bytes' mtimes are untouched by it.
       val root = java.nio.file.Files.createTempDirectory("graft_resume").toString
-      val files = FilesTable.files(s, d)
+      // cached by the CALLER so the crash run and the resume share one
+      // materialization (run() respects a pre-persisted frame)
+      val files = FilesTable.files(s, d).cache()
       try { CheckpointedValidation.run(s, files, FileRules.rowRules, root,
         crashAfter = Some(2)); () }
       catch { case _: CheckpointedValidation.SimulatedCrash => () }
@@ -143,6 +145,7 @@ object SparkEntry {
           java.nio.file.Files.getLastModifiedTime(p)).toMap
       finally lst.close()
       val snap = CheckpointedValidation.run(s, files, FileRules.rowRules, root)
+      files.unpersist()
       require(snap == snap0, s"resume must reuse snapshot $snap0, got $snap")
       mtimes.foreach { case (f, t0) =>
         val t1 = java.nio.file.Files.getLastModifiedTime(

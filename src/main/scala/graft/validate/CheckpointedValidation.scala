@@ -37,8 +37,12 @@ object CheckpointedValidation {
     val orgCol = Verdicts.org(col("repo"))
     // each partition's jobs re-filter the input; cache it once so the
     // per-org loop does not rescan the source (at real scale this is
-    // Iceberg partition pruning instead)
-    val cached = files.cache()
+    // Iceberg partition pruning instead). A caller that ALREADY
+    // persisted the frame keeps ownership: crash-then-resume callers
+    // cache once across both runs instead of re-deriving in between.
+    val alreadyCached =
+      files.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (alreadyCached) files else files.cache()
     try {
       val parts = cached.select(orgCol.as("part")).distinct()
         .collect().map(_.getString(0)).sorted.toSeq
@@ -53,15 +57,21 @@ object CheckpointedValidation {
           Seq("repo", "path", "commit", "lang", "content"), exact = false)
         // "part" is the hive partition dir; drop it from the data files
         // and let readTable restore it (no duplicate column). The lazy
-        // count runs concurrently with the three table writes.
+        // count runs concurrently with the three table writes. Verdicts
+        // and metrics are BOUNDED tables (one row per rule / per
+        // profiled column, regardless of data size) — coalesce(1) so a
+        // commit writes one file each instead of shuffle-partition-many
+        // near-empty ones; violations scale with the data and keep
+        // their parallelism.
         ice.commitPartitionLazy(snap, part, () => sub.count(),
-          Map("verdicts" -> verdicts.drop("part"), "violations" -> violations,
-            "metrics" -> metrics))
+          Map("verdicts" -> verdicts.drop("part").coalesce(1),
+            "violations" -> violations,
+            "metrics" -> metrics.coalesce(1)))
         processed += 1
       }
       ice.commitSnapshot(snap, parts)
       snap
-    } finally cached.unpersist()
+    } finally if (!alreadyCached) cached.unpersist(): Unit
   }
 
   /** Convenience: committed verdicts of a snapshot (part restored from
