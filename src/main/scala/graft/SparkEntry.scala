@@ -126,7 +126,19 @@ object SparkEntry {
       // one-shot oracle grid. The require()s certify the resume SKIPPED
       // completed work: exactly 2 lineage records exist before the
       // second run and their bytes' mtimes are untouched by it.
-      val root = java.nio.file.Files.createTempDirectory("graft_resume").toString
+      // fixed per-corpus root, WIPED before each run: resume semantics
+      // need a clean slate (leftover lineage would satisfy
+      // completedParts), and repeated verify/bench invocations must not
+      // accumulate snapshot trees under /tmp
+      val root: String = s"${System.getProperty("java.io.tmpdir")}/graft_resume_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+        finally walk.close()
+      }
       // cached by the CALLER so the crash run and the resume share one
       // materialization (run() respects a pre-persisted frame)
       val files = FilesTable.files(s, d).cache()
