@@ -350,7 +350,10 @@ object RowOps {
           .localCheckpoint()
         val repl = withId
           .select(col("__rid"), posexplode(col(field)).as(Seq("__pos", "__elem")))
-          .join(broadcast(lk), col("__elem").cast("string") === col("__lk_key"), "left")
+          // NO broadcast hint: this tier only runs when the lookup
+          // exceeds both literal caps, so its size is unbounded — the
+          // optimizer/AQE picks broadcast vs shuffle from actual stats
+          .join(lk, col("__elem").cast("string") === col("__lk_key"), "left")
           .groupBy("__rid")
           .agg(transform(
             array_sort(collect_list(struct(col("__pos"),
@@ -398,7 +401,8 @@ object RowOps {
           .localCheckpoint()
         val repl = withId
           .select(col("__rid"), explode(map_entries(col(field))).as("__e"))
-          .join(broadcast(lk),
+          // unbounded lookup here too — no broadcast hint (see above)
+          .join(lk,
             col("__e.key").cast("string") === col("__lk_key"), "left")
           .groupBy("__rid")
           .agg(map_from_entries(collect_list(struct(
@@ -417,9 +421,9 @@ object RowOps {
     * (transform/lookup_interval.go:110-165), so the ref side gets a
     * broadcast hint: no shuffle of the (usually huge) probe side, and
     * no skew when the match key has few distinct values (chromosomes!).
-    * A ref too big to broadcast falls back automatically (Spark ignores
-    * the hint above the driver limits) to the shuffled equi-join on the
-    * match key plus a post-probe range predicate. */
+    * The hint FORCES broadcast (it fails loudly past Spark's hard
+    * broadcast limits rather than silently degrading) — a ref too big
+    * for that is exactly what [[intervalIntersectBinned]] is for. */
   def intervalIntersect(df: DataFrame, ref: DataFrame,
       matchKey: String, start: String, end: String,
       refMatch: String, refStart: String, refEnd: String): DataFrame = {
