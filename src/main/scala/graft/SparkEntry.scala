@@ -466,6 +466,29 @@ object SparkEntry {
       val clusters = Dedup.nearDupClusters(jaccardPairs(s, d))
       Dedup.survivors(augDocs(s, d), "doc_id", clusters).select("doc_id")
     }),
+    "p_train_pipeline" -> ((s, d) => {
+      // FLAGSHIP COMPOSITE: the whole training-data preparation chain —
+      // language heuristic + quality score + filters, exact dedup
+      // (min-id winner), then the full near-dup machinery over the KEPT
+      // corpus, emitting survivors with their per-doc stats. Certifies
+      // the operators COMPOSE (the standalone queries only certify each
+      // alone); the oracle replays every stage from the same fragments.
+      val scored = augDocs(s, d)
+        .withColumn("lang_guess", TextOps.langGuess("text"))
+        .withColumn("quality", TextOps.qualityScore("text"))
+      val filtered = scored.filter(col("lang_guess") =!= "und" && col("quality") >= 0.5)
+      val keep = Dedup.exact(filtered, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val kept = filtered.join(keep, Seq("doc_id"))
+      val sh = Dedup.withWordShingles(kept.select("doc_id", "text"), "text")
+        .select(col("doc_id"), col("shingles"))
+      val cand = Dedup.lshCandidatePairs(Dedup.withMinhashSignature(sh), "doc_id")
+      val pairs = Dedup.verifyPairs(sh, cand, 0.8)
+      val clusters = Dedup.nearDupClusters(pairs)
+      Dedup.survivors(kept, "doc_id", clusters)
+        .select(col("doc_id"), col("lang_guess"), col("quality"),
+          TextOps.wsTokenCount("text").as("ws_tokens"))
+    }),
     "v_len_hist" -> ((s, d) =>
       LengthHistogram.compute(FilesTable.files(s, d),
         Seq("content", "path", "lang"), bucketWidth = 32)),
@@ -742,6 +765,7 @@ object SparkEntry {
     "d_jaccard_verify" -> DuckSql.dJaccardVerify,
     "d_dedup_clusters" -> DuckSql.dDedupClusters,
     "d_dedup_survivors" -> DuckSql.dDedupSurvivors,
+    "p_train_pipeline" -> DuckSql.pTrainPipeline,
     "d_embed_neardup" -> DuckSql.dEmbedNearDup,
     "v_len_hist" -> DuckSql.vLenHist(Seq("content", "path", "lang"), 32),
     "v_drift_lang" -> DuckSql.vDriftLang,

@@ -142,17 +142,18 @@ object DuckSql {
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
       |FROM documents""".stripMargin
 
-  def tLangid: String =
-    """SELECT doc_id, CASE
+  /** The language-heuristic / quality-score EXPRESSIONS, shared by the
+    * standalone t_* oracles and the composite pipeline oracle. */
+  private val langCaseSql: String =
+    """CASE
       |  WHEN len(regexp_extract_all(text, '\b(the|and|of)\b')) >= 2 THEN 'en'
       |  WHEN len(regexp_extract_all(text, '\b(le|la|et)\b')) >= 2 THEN 'fr'
       |  WHEN len(regexp_extract_all(text, '\b(der|und|die)\b')) >= 2 THEN 'de'
       |  WHEN len(regexp_extract_all(text, '\b(el|los|y)\b')) >= 2 THEN 'es'
-      |  ELSE 'und' END AS lang_guess
-      |FROM documents""".stripMargin
+      |  ELSE 'und' END""".stripMargin
 
-  def tQuality: String =
-    """SELECT doc_id, ROUND((
+  private val qualitySql: String =
+    """ROUND((
       |  CASE WHEN LENGTH(text) >= 100 AND LENGTH(text) <= 10000 THEN CAST(1 AS DOUBLE)
       |       WHEN LENGTH(text) < 100 THEN CAST(LENGTH(text) AS DOUBLE) / 100
       |       ELSE CAST(10000 AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) END
@@ -161,8 +162,42 @@ object DuckSql {
       |         THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
       |  + CASE WHEN len(regexp_extract_all(text, '\b(the|and|of|a|to)\b')) >= 3 THEN CAST(1 AS DOUBLE)
       |         ELSE CAST(len(regexp_extract_all(text, '\b(the|and|of|a|to)\b')) AS DOUBLE) / 3 END
-      |) / 3, 6) AS quality
-      |FROM documents""".stripMargin
+      |) / 3, 6)""".stripMargin
+
+  def tLangid: String =
+    s"SELECT doc_id, $langCaseSql AS lang_guess\nFROM documents"
+
+  def tQuality: String =
+    s"SELECT doc_id, $qualitySql AS quality\nFROM documents"
+
+  /** The composite training-data pipeline: language filter → quality
+    * filter → exact dedup (min-id winner) → the full near-dup chain
+    * (shingle/minhash/LSH/jaccard/min-label clusters) over the KEPT
+    * corpus → survivors with their per-doc stats. Every stage reuses
+    * the SAME fragment its standalone oracle uses, so the composite
+    * certifies the stages COMPOSE, not just that each works alone. */
+  def pTrainPipeline: String =
+    s"WITH RECURSIVE $augCte,\n" +
+      s"""scored AS (
+         |  SELECT doc_id, text, $langCaseSql AS lang_guess, $qualitySql AS quality
+         |  FROM aug
+         |),
+         |filtered AS (
+         |  SELECT * FROM scored WHERE lang_guess <> 'und' AND quality >= 0.5
+         |),
+         |exact_keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY md5(text)
+         |),
+         |kept AS (
+         |  SELECT f.* FROM filtered f JOIN exact_keep k ON f.doc_id = k.doc_id
+         |)""".stripMargin +
+      minhashChain("kept") + jaccardPairsCte + clusterTail +
+      s"""
+         |SELECT k.doc_id, k.lang_guess, k.quality,
+         |  CASE WHEN LENGTH(TRIM(k.text)) = 0 THEN 0
+         |       ELSE CAST(len(string_split_regex(TRIM(k.text), '\\s+')) AS BIGINT) END AS ws_tokens
+         |FROM kept k
+         |WHERE k.doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin
 
   def tFingerprint: String =
     s"""SELECT doc_id,
@@ -175,15 +210,24 @@ object DuckSql {
   def dDedupExact: String =
     "SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id FROM documents GROUP BY 1"
 
-  private def minhashCtes: String = {
+  /** The augmented dedup corpus (planted ' zz' near-dups), as a CTE
+    * body reusable by the standalone dedup oracles AND the composite
+    * training-pipeline oracle. */
+  private val augCte: String =
+    """aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id % 25 = 0
+      |)""".stripMargin
+
+  /** The token-hash → shingle → MinHash-signature → banded-bucket chain
+    * over an arbitrary (doc_id, text) CTE — appended after a WITH that
+    * already defines `corpus`. */
+  private def minhashChain(corpus: String): String = {
     val tokHash = polyFold(charCodes("t", "1", "LENGTH(t)"))
-    s"""WITH aug AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id % 25 = 0
-       |), th AS (
+    s""", th AS (
        |  SELECT doc_id,
        |    list_transform(string_split_regex(TRIM(text), '\\s+'), t -> $tokHash) AS h
-       |  FROM aug
+       |  FROM $corpus
        |), sh AS (
        |  SELECT doc_id, CASE WHEN len(h) < 3 THEN CAST([] AS BIGINT[])
        |    ELSE list_distinct(list_transform(range(1, len(h) - 1),
@@ -202,6 +246,8 @@ object DuckSql {
        |  FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b) bands
        |)""".stripMargin
   }
+
+  private def minhashCtes: String = s"WITH $augCte" + minhashChain("aug")
 
   private val minhashPairsSelect: String =
     """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -232,18 +278,21 @@ object DuckSql {
   /** Connected components over the verified pairs via a recursive CTE:
     * reach(id, r) = ids reachable from r; min reachable id = the
     * cluster label, replaying the engine's min-label propagation. */
+  private val clusterTail: String =
+    s""", edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jp
+       |  UNION SELECT id_b, id_a FROM jp
+       |), reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+       |), clusters AS (
+       |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+       |)""".stripMargin
+
   private def clusterCtes: String =
     minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + jaccardPairsCte +
-      s""", edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM jp
-         |  UNION SELECT id_b, id_a FROM jp
-         |), reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-         |), clusters AS (
-         |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
-         |)""".stripMargin
+      clusterTail
 
   def dDedupClusters: String = clusterCtes + "\nSELECT id, cluster_id FROM clusters"
 
