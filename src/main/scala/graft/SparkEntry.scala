@@ -473,6 +473,10 @@ object SparkEntry {
       // corpus, emitting survivors with their per-doc stats. Certifies
       // the operators COMPOSE (the standalone queries only certify each
       // alone); the oracle replays every stage from the same fragments.
+      // Deliberately UNpersisted (a pure declarative plan the oracle can
+      // replay; `kept` is recomputed per consuming branch) — the
+      // production entry point with persist-once sharing of the shingle
+      // and pair tables is Dedup.pipeline (see its scaladoc).
       val scored = augDocs(s, d)
         .withColumn("lang_guess", TextOps.langGuess("text"))
         .withColumn("quality", TextOps.qualityScore("text"))

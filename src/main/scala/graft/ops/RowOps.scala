@@ -300,16 +300,20 @@ object RowOps {
       .limit(LitMapMaxRows + 1).collect().map(_.getString(0))
     if (actives.length > LitMapMaxRows) None
     else {
+      // dup keys collapse to the greatest value (the litMap winner
+      // rule) BEFORE the collect: a table that repeats a hot key
+      // millions of times must reach the driver as <= |actives| rows,
+      // not raw
       val rows = lookup
         .select(col(keyCol).cast("string").as("__lk_key"),
           col(valCol).cast("string").as("__lk_val"))
-        .filter(col("__lk_key").isin(actives.toIndexedSeq: _*))
+        .filter(col("__lk_key").isin(actives.toIndexedSeq: _*) &&
+          col("__lk_val").isNotNull)
+        .groupBy("__lk_key").agg(max(col("__lk_val")).as("__lk_val"))
         .collect()
-      // dup keys collapse to the greatest value — the litMap winner rule
       val entries = rows.toIndexedSeq
-        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-        .groupMapReduce(_.getString(0))(_.getString(1))((a, b) => if (a >= b) a else b)
-        .toIndexedSeq.sortBy(_._1)
+        .map(r => r.getString(0) -> r.getString(1))
+        .sortBy(_._1)
       Some(map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
     }
   }
