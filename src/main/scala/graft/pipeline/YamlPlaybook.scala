@@ -36,9 +36,14 @@ object YamlPlaybook {
 
   // ---------- YAML plumbing ----------
 
+  /** YAML mappings preserve INSERTION order (snakeyaml gives a
+    * LinkedHashMap): keep it — scala's default HashMap reorders beyond
+    * 4 entries, which would emit project mappings / struct templates /
+    * output columns in hash order instead of playbook order. */
   private def asMap(o: Any): Map[String, Any] = o match {
     case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, v) => k.toString -> v }.toMap
+      scala.collection.immutable.ListMap(
+        m.asScala.toSeq.map { case (k, v) => k.toString -> v }: _*)
     case _ => Map.empty
   }
   private def asSeq(o: Any): Seq[Any] = o match {
@@ -47,6 +52,11 @@ object YamlPlaybook {
     case x => Seq(x)
   }
   private def str(o: Any): String = Option(o).map(_.toString).getOrElse("")
+
+  /** The `{{params.x}}` placeholder — ONE compiled pattern shared by
+    * inspect() and load()'s subst (drift between copies is how the
+    * output-path substitution gap happened). */
+  private val ParamRx = "\\{\\{\\s*params\\.([A-Za-z0-9_]+)\\s*\\}\\}".r
 
   final case class Loaded(playbook: Playbook, name: String, outdir: String)
 
@@ -84,7 +94,7 @@ object YamlPlaybook {
     val root = asMap(raw)
     val defaults = paramDefaults(root)
     val have = defaults ++ params
-    val rx = "\\{\\{\\s*params\\.([A-Za-z0-9_]+)\\s*\\}\\}".r
+    val rx = ParamRx
 
     def strings(o: Any): Iterator[String] = o match {
       case m: java.util.Map[_, _] =>
@@ -147,7 +157,7 @@ object YamlPlaybook {
     // `undefined param`, not silently substitute junk into a path.
     val p = paramDefaults(root) ++ params
     def subst(s: String): String =
-      "\\{\\{\\s*params\\.([A-Za-z0-9_]+)\\s*\\}\\}".r.replaceAllIn(s, m =>
+      ParamRx.replaceAllIn(s, m =>
         java.util.regex.Matcher.quoteReplacement(
           p.getOrElse(m.group(1), sys.error(s"undefined param: ${m.group(1)}"))))
     def resolvePath(s: String): String = {
@@ -171,7 +181,13 @@ object YamlPlaybook {
         val pieces = lits.toSeq.map(l => Option(l).filter(_.nonEmpty).map(lit))
           .zipAll(fields.map(f => Some(fieldCol(f))), None, None)
           .flatMap { case (a, b) => Seq(a, b).flatten }
-        if (pieces.size == 1) pieces.head else concat(pieces.map(_.cast("string")): _*)
+        // a single bare {{row.x}} passes the TYPED column through (the
+        // engine's fixed-schema strengthening of raymond's stringify);
+        // a MIXED template renders null fields as "" like raymond —
+        // concat alone would null the whole rendered string on one
+        // null field, which silently breaks hash/lookup/filter steps
+        if (pieces.size == 1) pieces.head
+        else concat(pieces.map(p => coalesce(p.cast("string"), lit(""))): _*)
       }
     }
 
@@ -204,8 +220,34 @@ object YamlPlaybook {
     val outdir = resolvePath(str(root.getOrElse("outdir", ".")))
     val outputs: Map[String, (String, DataFrame => Unit)] =
       asMap(root.getOrElse("outputs", null)).map { case (name, raw) =>
-        name -> outputSink(name, asMap(raw), outdir, resolvePath)
+        name -> outputSink(name, asMap(raw), outdir, resolvePath, subst)
       }
+
+    // static cycle check over `from` AND lookup-pipeline references:
+    // Playbook.resolve's runtime detection covers the main from-graph,
+    // but a lookup step resolving its pipeline: target starts a FRESH
+    // resolve — a cycle through it would recurse to StackOverflow
+    // instead of a clean error, so reject it at load
+    {
+      val rawPipes = asMap(root.getOrElse("pipelines", null))
+        .map { case (n, raw) => n -> asSeq(raw).map(asMap) }
+      def refs(steps: Seq[Map[String, Any]]): Seq[String] = steps.flatMap { m =>
+        m.get("from").map(str).toSeq ++
+          m.get("lookup").toSeq.flatMap(l =>
+            asMap(asMap(l).getOrElse("pipeline", null)).get("from").map(str))
+      }
+      val edges = rawPipes.map { case (n, steps) =>
+        n -> refs(steps).filter(rawPipes.contains).distinct }
+      val done = scala.collection.mutable.Set.empty[String]
+      def visit(n: String, path: Seq[String]): Unit =
+        if (!done.contains(n)) {
+          if (path.contains(n)) sys.error(
+            s"pipeline cycle: ${(path.dropWhile(_ != n) :+ n).mkString(" -> ")}")
+          edges.getOrElse(n, Seq.empty).foreach(visit(_, path :+ n))
+          done += n
+        }
+      rawPipes.keys.foreach(visit(_, Seq.empty))
+    }
 
     built = Playbook(inputs, pipelines, outputs)
     Loaded(built, str(root.getOrElse("name", "")), outdir)
@@ -643,9 +685,16 @@ object YamlPlaybook {
   // ---------- outputs (playbook/load.go:20-24) ----------
 
   private def outputSink(name: String, m: Map[String, Any], outdir: String,
-      resolvePath: String => String): (String, DataFrame => Unit) = {
-    def out(p: String): String =
-      if (p.startsWith("/") || p.contains("://")) p else s"$outdir/$p"
+      resolvePath: String => String,
+      subst: String => String): (String, DataFrame => Unit) = {
+    // output paths get the SAME param substitution inputs do (an
+    // undefined param fails at load, a defined one resolves — without
+    // this a {{params.x}} path was written literally while inspect()
+    // reported the substituted one)
+    def out(p: String): String = {
+      val s0 = subst(p)
+      if (s0.startsWith("/") || s0.contains("://")) s0 else s"$outdir/$s0"
+    }
     if (m.contains("json")) {
       val c = asMap(m("json"))
       val path = out(str(c("path")))

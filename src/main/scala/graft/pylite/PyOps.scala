@@ -308,7 +308,13 @@ object PyBridge {
     else (dt, v) match {
       case (_: LongType, l: java.lang.Long)      => l
       case (_: LongType, b: java.lang.Boolean)   => java.lang.Long.valueOf(if (b) 1L else 0L)
-      case (_: LongType, d: java.lang.Double) if d.doubleValue == math.rint(d.doubleValue) =>
+      case (_: LongType, d: java.lang.Double)
+        // Infinity passes rint(d)==d but longValue SATURATES to
+        // Long.MaxValue; out-of-range whole doubles likewise — both must
+        // fail loudly (the documented convention), like NaN already does
+        if !d.isInfinite && d.doubleValue == math.rint(d.doubleValue) &&
+          d.doubleValue >= Long.MinValue.toDouble &&
+          d.doubleValue < Long.MaxValue.toDouble =>
         java.lang.Long.valueOf(d.longValue)
       case (_: DoubleType, d: java.lang.Double)  => d
       case (_: DoubleType, l: java.lang.Long)    => java.lang.Double.valueOf(l.doubleValue)

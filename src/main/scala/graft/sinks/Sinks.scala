@@ -29,6 +29,11 @@ object Sinks {
     }
     val w = df.select(cells: _*).write.mode("overwrite")
       .option("sep", sep).option("header", "true")
+      // RAW cells, no quoting: the reference writes bytes as-is
+      // (output_table.go uses LazyQuotes-style raw emission), so a
+      // JSON-encoded cell must appear as {"a":1}, not "{\"a\":1}" —
+      // default CSV quoting would mangle every non-string cell
+      .option("quote", "").option("escapeQuotes", "false")
     (if (gzip) w.option("compression", "gzip") else w).csv(path)
   }
 

@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.util.regex.Pattern
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -84,20 +84,31 @@ object Sources {
     val (cols: Seq[String], body: DataFrame) = spec.columns match {
       case Some(cs) => (cs, afterSkip)
       case None =>
-        // header mode: column NAMES come from the first file that has a
-        // post-skip record (driver-side peek, like the reference's
-        // sequential read); every file's own header record is dropped
-        val hdr = files.iterator.flatMap { f =>
+        // header mode: each file's header record is peeked driver-side
+        // (one small read per file — the same opens the reference's
+        // sequential per-file loop performs). When every file agrees on
+        // the header, ONE multi-file frame proceeds; files whose header
+        // ORDER/NAMES differ must NOT be split positionally under the
+        // first file's names (silent column misalignment) — they fall
+        // back to per-file loads unioned by NAME, the reference's
+        // per-file mapping semantics.
+        def headerOf(f: String): Option[String] = {
           val in = openFile(fs, new HPath(f))
           try {
             scala.io.Source.fromInputStream(in, "UTF-8").getLines()
               .filter(l => comment.isEmpty || !l.startsWith(comment))
               .slice(spec.rowSkip, spec.rowSkip + 1).toList.headOption
           } finally in.close()
-        }.take(1).toSeq.headOption.getOrElse(throw new IllegalArgumentException(
+        }
+        val headers = files.map(f => f -> headerOf(f))
+        val present = headers.collect { case (f, Some(h)) => (f, h) }
+        if (present.isEmpty) throw new IllegalArgumentException(
           s"table source '$path': no header record (files empty, fully " +
-            "commented, or rowSkip past the end); pass explicit columns"))
-        val names = dedupHeader(hdr.split(Pattern.quote(spec.sep), -1).toSeq)
+            "commented, or rowSkip past the end); pass explicit columns")
+        if (present.map(_._2).distinct.size > 1)
+          return present.map { case (f, _) => table(spark, f, spec) }
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+        val names = dedupHeader(present.head._2.split(Pattern.quote(spec.sep), -1).toSeq)
         (names, afterSkip.filter(col("__rec") > rowSkip))
     }
 
@@ -194,6 +205,9 @@ object Sources {
       case null => Array.empty[String]
       case st => st.map(_.getPath.toString)
     }
+    // loud like table()/glob(): a typo'd path must not become a silent
+    // zero-column frame that fails far downstream
+    require(files.nonEmpty, s"avro source '$path': no files match")
     val jsons = spark.sparkContext
       .parallelize(files.toIndexedSeq, math.max(files.length, 1))
       .flatMap { f =>
@@ -292,15 +306,25 @@ object Sources {
 
   /** gripql-style graph file loaders (graph_file_reader.go:15-84):
     * NDJSON of vertices {gid,label,data} / edges {gid,label,from,to,data}
-    * into the engine's vertex/edge frames. */
-  def vertexFile(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(path).select(
-      col("gid").as("_id"), col("label").as("_label"),
-      col("data").cast("string").as("data"))
+    * into the engine's vertex/edge frames. `data` serializes back to
+    * JSON (to_json, NOT a struct cast — Spark's struct-to-string
+    * rendering drops the field names); files where no row carries
+    * `data` get a null column instead of an unresolved-column error. */
+  private def jsonDataCol(df: DataFrame): Column =
+    if (!df.columns.contains("data")) lit(null).cast("string").as("data")
+    else df.schema("data").dataType.typeName match {
+      case "struct" | "map" | "array" => to_json(col("data")).as("data")
+      case _ => col("data").cast("string").as("data")
+    }
 
-  def edgeFile(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(path).select(
-      col("gid").as("_id"), col("label").as("_label"),
-      col("from").as("_from"), col("to").as("_to"),
-      col("data").cast("string").as("data"))
+  def vertexFile(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.json(path)
+    df.select(col("gid").as("_id"), col("label").as("_label"), jsonDataCol(df))
+  }
+
+  def edgeFile(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.json(path)
+    df.select(col("gid").as("_id"), col("label").as("_label"),
+      col("from").as("_from"), col("to").as("_to"), jsonDataCol(df))
+  }
 }

@@ -489,6 +489,19 @@ class PyLiteSpec extends AnyFunSuite {
       Seq((1L, "alice"), (2L, "bob"), (3L, "charlie")))
   }
 
+  test("pyToAny: Infinity / out-of-range whole doubles into a Long field " +
+    "fail LOUDLY, never silently saturate to Long.MaxValue") {
+    import org.apache.spark.sql.types.LongType
+    // (through mapPy the sampled inference would just widen the field
+    // to double — the saturation hazard is the declared-Long target)
+    assert(PyBridge.pyToAny(java.lang.Double.valueOf(3.0), LongType, "n")
+      === java.lang.Long.valueOf(3L))
+    intercept[Exception](PyBridge.pyToAny(
+      java.lang.Double.valueOf(Double.PositiveInfinity), LongType, "n"))
+    intercept[Exception](PyBridge.pyToAny(
+      java.lang.Double.valueOf(1e19), LongType, "n"))
+  }
+
   test("filterPy keeps schema and matches the reference filter example") {
     val df = Seq(("alice", 1L), ("bob", 2L), ("charlie", 3L)).toDF("name", "k")
     val code = "def filter_bob(row):\n\treturn row['name'] == \"bob\""

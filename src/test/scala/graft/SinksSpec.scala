@@ -31,6 +31,18 @@ class SinksSpec extends AnyFunSuite {
     assert(back.count() === df.count())
   }
 
+  test("table sink writes RAW cells: JSON-encoded structs appear unquoted, " +
+    "matching the reference's raw emission (output_table.go LazyQuotes)") {
+    import spark.implicits._
+    val d = tmp()
+    val df = Seq(("r1", Map("a" -> 1L))).toDF("id", "m")
+    Sinks.table(df, s"$d/raw", Seq("id", "m"))
+    val lines = spark.read.text(s"$d/raw").collect().map(_.getString(0)).sorted
+    // data line must carry the bare JSON object, not "{\"a\":1}"
+    assert(lines.exists(_ == "id\tm"))
+    assert(lines.exists(_ == "r1\t{\"a\":1}"), lines.mkString("|"))
+  }
+
   test("graph sink writes vertex + edge ndjson.gz (output_graph.go)") {
     val d = tmp()
     val files = FilesTable.files(spark, sf)

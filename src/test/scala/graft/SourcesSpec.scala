@@ -288,6 +288,18 @@ class SourcesSpec extends AnyFunSuite {
     } finally graft.sources.SqliteSource.bufferCapOverride = None
   }
 
+  test("table glob: files with REORDERED headers map by their own header, " +
+    "never positionally under the first file's names") {
+    val d = Files.createTempDirectory("tblhdr")
+    Files.writeString(d.resolve("f1.tsv"), "a\tb\n1\tx\n")
+    Files.writeString(d.resolve("f2.tsv"), "b\ta\ny\t2\n") // reversed order
+    val df = Sources.table(spark, d.toString + "/*.tsv")
+    val got = df.select("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    // before the per-file fallback, f2's 'y' landed in column a
+    assert(got === Seq(("1", "x"), ("2", "y")))
+  }
+
   test("ndjson and multiline json doc") {
     val nd = tmpFile("d.ndjson", """{"a":1,"b":"x"}""" + "\n" + """{"a":2,"b":"y"}""" + "\n")
     assert(Sources.ndjson(spark, nd).count() === 2)

@@ -619,6 +619,80 @@ class YamlPlaybookSpec extends AnyFunSuite {
     assert(chain(err).exists(m => m != null && m.contains("output schema")))
   }
 
+  test("third-review fixes: output-path params, null template rendering, " +
+    "lookup-pipeline cycle, YAML-ordered project mapping") {
+    val dir = Files.createTempDirectory("graft_r5fix")
+    Files.writeString(dir.resolve("in.json"),
+      """{"id": "r1", "a": "va", "b": null, "k1":"1","k2":"2","k3":"3","k4":"4","k5":"5","k6":"6"}
+        |""".stripMargin)
+    val yaml =
+      """name: fixes
+        |outdir: out
+        |params:
+        |  sub:
+        |    type: String
+        |    default: subdir
+        |inputs:
+        |  rows:
+        |    json:
+        |      path: in.json
+        |outputs:
+        |  o:
+        |    json:
+        |      from: t
+        |      path: "{{params.sub}}/res.json"
+        |pipelines:
+        |  t:
+        |    - from: rows
+        |    - project:
+        |        mapping:
+        |          joined: "{{row.a}}-{{row.b}}"
+        |          c1: "{{row.k1}}"
+        |          c2: "{{row.k2}}"
+        |          c3: "{{row.k3}}"
+        |          c4: "{{row.k4}}"
+        |          c5: "{{row.k5}}"
+        |          c6: "{{row.k6}}"
+        |""".stripMargin
+    val loaded = YamlPlaybook.load(yaml, dir.toString)
+    loaded.playbook.outputs.foreach { case (_, (from, sink)) =>
+      sink(loaded.playbook.resolve(spark, from))
+    }
+    // 1) the output path substituted {{params.sub}} (was written literally)
+    assert(Files.isDirectory(dir.resolve("out").resolve("subdir")),
+      "output path must substitute params")
+    val row = spark.read.json(s"${loaded.outdir}/subdir/res.json").collect().head
+    // 2) mixed template renders the NULL field as "" (raymond), not NULL
+    assert(row.getAs[String]("joined") === "va-")
+    // 3) project mapping columns land in YAML order, not hash order
+    val df = loaded.playbook.resolve(spark, "t")
+    assert(df.columns.toSeq.filter(_.startsWith("c")) ===
+      Seq("c1", "c2", "c3", "c4", "c5", "c6"))
+    // 4) a cycle through lookup.pipeline fails at LOAD with a clean error
+    val cyclic =
+      """name: cyc
+        |outdir: out
+        |inputs:
+        |  src:
+        |    json:
+        |      path: in.json
+        |pipelines:
+        |  a:
+        |    - from: src
+        |    - lookup:
+        |        lookup: "{{row.id}}"
+        |        pipeline:
+        |          from: b
+        |          key: id
+        |        copy:
+        |          x: id
+        |  b:
+        |    - from: a
+        |""".stripMargin
+    val e = intercept[RuntimeException](YamlPlaybook.load(cyclic, dir.toString))
+    assert(e.getMessage.contains("pipeline cycle"), e.getMessage)
+  }
+
   test("fieldProcess resolves a nested dotted field ($.a.b jsonpath semantics)") {
     // StructType.apply only sees top-level names; the reference resolves
     // `field:` through GetJSONPath, so `a.b` must reach the nested array
