@@ -31,21 +31,33 @@ object Dedup {
   val P: Long = graft.expr.PolyHash.Mod // one canonical modulus everywhere
 
   /** Exact dedup groups: one row per distinct digest with group size and
-    * the kept (minimum) id. */
+    * the kept (minimum) id. NULL text is EXCLUDED — md5(null) is null
+    * and Spark groups nulls together, so 10k unfetched-content docs
+    * would otherwise collapse into one "duplicate" group and lose all
+    * but one; null means MISSING, not identical ([[pipeline]] carries
+    * null-text docs through as their own survivors). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("digest"))
+    df.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("digest"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** Backtick-quote a column name for interpolation into expr() SQL —
+    * a name like `content-type` or `a.b` would otherwise parse as
+    * arithmetic / field access (same hazard Profile.bq documents). */
+  private def bq(name: String): String = "`" + name.replace("`", "``") + "`"
 
   /** Distinct char-`k`-gram polynomial hashes of `textCol` as an array
     * column `shingles`. Pure lambda expressions — codegen, no UDF. */
-  def withShingleHashes(df: DataFrame, textCol: String, k: Int = 5): DataFrame =
+  def withShingleHashes(df: DataFrame, textCol: String, k: Int = 5): DataFrame = {
+    val t = bq(textCol)
     df.withColumn("shingles",
       when(length(col(textCol)) < k, array().cast("array<bigint>"))
         .otherwise(expr(
-          s"""array_distinct(transform(sequence(1, length($textCol) - ${k - 1}),
+          s"""array_distinct(transform(sequence(1, length($t) - ${k - 1}),
              |  i -> aggregate(transform(sequence(0, ${k - 1}),
-             |                           j -> ascii(substring($textCol, i + j, 1))),
+             |                           j -> ascii(substring($t, i + j, 1))),
              |                 0L, (acc, x) -> (acc * 131 + x) % $P)))""".stripMargin)))
+  }
 
   /** Distinct word-trigram shingle hashes: hash each whitespace token
     * once (polynomial over chars), then combine consecutive triples.
@@ -221,6 +233,11 @@ object Dedup {
     val base = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm("v"))
+      // zero vectors have no direction: sim would be 0/0 = NaN, and
+      // Spark orders NaN ABOVE every double, so NaN >= threshold is
+      // TRUE — a pair of failed-embedder zero vectors would silently
+      // count as near-duplicates. Excluded from pairing entirely.
+      .filter(col("nrm") > 0)
     val bucketed = base
       .withColumn("tbl", explode(expr(s"sequence(0, ${tables - 1})")))
       .withColumn("bucket", graft.sim.Ann.srpBucket("v", planes, "tbl"))
@@ -254,6 +271,7 @@ object Dedup {
     val base = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm("v"))
+      .filter(col("nrm") > 0) // zero-norm exclusion — see embeddingNearDups
     val a = base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -509,7 +527,10 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     val exactKeep = exact(docs, idCol, textCol)
       .select(col("keep_id").as("__keep_id"))
+    // null-text docs are NOT in any digest group (missing != identical):
+    // they pass through as their own survivors rather than vanishing
     val uniq = docs.join(exactKeep, docs(idCol) === col("__keep_id"), "left_semi")
+      .unionByName(docs.filter(col(textCol).isNull))
     val sh = withWordShingles(uniq, textCol)
       .select(col(idCol).as("doc_id"), col("shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -208,7 +208,10 @@ object DuckSql {
   // ---- dedup ----
 
   def dDedupExact: String =
-    "SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id FROM documents GROUP BY 1"
+    // WHERE mirrors the engine: null text is missing content, not a
+    // duplicate group (md5(null) would lump all nulls together)
+    "SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id " +
+      "FROM documents WHERE text IS NOT NULL GROUP BY 1"
 
   /** The augmented dedup corpus (planted ' zz' near-dups), as a CTE
     * body reusable by the standalone dedup oracles AND the composite

@@ -38,9 +38,15 @@ object Ann {
   /** Norm hoisted out of pair scoring: one fold per VECTOR instead of
     * two extra folds per PAIR (sqrt(dot(v,v)) of the same value —
     * bit-identical to folding inside [[cosine]], so oracle hashes are
-    * unchanged; [[graft.dedup.Dedup.embeddingNearDups]] does the same). */
-  private def withNorm(df: DataFrame, vec: String, as: String): DataFrame =
+    * unchanged; [[graft.dedup.Dedup.embeddingNearDups]] does the same).
+    * Zero-norm vectors are EXCLUDED: their cosine is 0/0 = NaN, which
+    * Spark orders above every double — a zero corpus vector would rank
+    * as the #1 neighbor of every query, and a zero query would return k
+    * arbitrary NaN-scored rows. Directionless vectors have no
+    * neighbors, by definition. */
+  private[graft] def withNorm(df: DataFrame, vec: String, as: String): DataFrame =
     df.withColumn(as, sqrt(call_function("dotp", col(vec), col(vec))))
+      .filter(col(as) > 0)
 
   private def pairSim(qv: String, nv: String, qn: String, nn: String): Column =
     round(call_function("dotp", col(qv), col(nv)) / (col(qn) * col(nn)), 6)

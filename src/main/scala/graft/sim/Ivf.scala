@@ -82,16 +82,23 @@ object Ivf {
     graft.expr.GraftFunctions.register(corpus.sparkSession)
     val cents = centroids(corpus, idCol, vecCol, nCells, iters)
     val ordered = cents.sortBy(_._1).map(_._2)
+    // norms hoisted out of the re-rank (one fold per vector, not two
+    // per candidate pair — the Ann.withNorm shape); zero-norm vectors
+    // excluded: their cosine is NaN, which Spark ranks above everything
+    def norm(v: String) = sqrt(call_function("dotp", col(v), col(v)))
     val cells = assign(corpus, idCol, vecCol, cents)
+      .withColumn("nn", norm("nv")).filter(col("nn") > 0)
     val probes = queries
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm("qv")).filter(col("qn") > 0)
       .withColumn("cell", explode(
         transform(slice(cellRanking(col("qv"), ordered), 1, nprobe),
           s => s.getField("cell"))))
     val cand = probes.join(cells, Seq("cell"))
       .filter(col("nid") =!= col("qid"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    cand.withColumn("sim", round(Ann.cosine("qv", "nv"), 6))
+    cand.withColumn("sim", round(
+      call_function("dotp", col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("sim"))

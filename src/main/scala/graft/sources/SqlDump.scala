@@ -52,9 +52,13 @@ object SqlDump {
     statements(dump).foreach { stmt =>
       val s = stmt.trim
       val up = s.toUpperCase
-      if (up.startsWith("CREATE TABLE")) {
+      // \s+ between keywords: `INSERT\nINTO` / `CREATE  TABLE` are
+      // legal SQL — a single-space startsWith would silently DROP such
+      // statements (and a dropped CREATE loses the column names for
+      // every later INSERT of that table)
+      if (up.matches("(?s)CREATE\\s+TABLE\\b.*")) {
         createTable(s).foreach { case (name, cols) => tableColumns(name) = cols }
-      } else if (up.startsWith("INSERT INTO") || up.startsWith("INSERT IGNORE INTO")) {
+      } else if (up.matches("(?s)INSERT\\s+(IGNORE\\s+)?INTO\\b.*")) {
         insertRows(s, tableColumns).foreach { case (name, rows) =>
           if (keep.isEmpty || keep(name)) out ++= rows.map(name -> _)
         }
@@ -150,16 +154,29 @@ object SqlDump {
     }
   }
 
-  /** Top-level `( ... )` groups of a VALUES clause. */
+  /** Top-level `( ... )` groups of a VALUES clause: group, comma,
+    * group, ... — scanning STOPS at the first token that is not a
+    * comma between groups, so a trailing `ON DUPLICATE KEY UPDATE
+    * a=VALUES(a)` / `ON CONFLICT ... / RETURNING ...` clause is never
+    * mined for parens (its `VALUES(a)` would otherwise emit a phantom
+    * empty row). */
   private def tupleGroups(s: String): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == '(') {
+    var expectGroup = true
+    var done = false
+    while (i < s.length && !done) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (expectGroup && c == '(') {
         val close = matchParen(s, i)
         out += s.substring(i + 1, close)
         i = close + 1
-      } else i += 1
+        expectGroup = false
+      } else if (!expectGroup && c == ',') {
+        i += 1
+        expectGroup = true
+      } else done = true // trailing clause (ON DUPLICATE/CONFLICT, RETURNING...)
     }
     out.toSeq
   }

@@ -112,6 +112,9 @@ object XmlSource {
     val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = Option(fs.globStatus(new HPath(path)))
       .getOrElse(Array.empty).map(_.getPath.toString).toIndexedSeq
+    // loud like table()/avro(): a typo'd glob must not surface as a
+    // confusing schema-inference failure three operators downstream
+    require(files.nonEmpty, s"xml source '$path': no files match")
     val jsons = spark.sparkContext
       .parallelize(files, math.max(files.length, 1))
       .flatMap { f =>
@@ -120,6 +123,11 @@ object XmlSource {
         val in = if (f.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
         try rows(in, level) finally in.close()
       }
+      // read.json's eager schema inference is a FULL pass, and every
+      // later action re-runs the StAX extraction — persist the
+      // extracted JSON strings so the (dominant) parse cost is paid
+      // once per source, not once per action
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     import spark.implicits._
     spark.read.json(spark.createDataset(jsons))
   }

@@ -147,7 +147,13 @@ object Referential {
   private def orphansJoin(files: DataFrame, dim: DataFrame,
       column: String, broadcastDim: Boolean): DataFrame = {
     val right = if (broadcastDim) broadcast(dim) else dim
-    files.join(right, files(column) === col("__ref_key"), "left_anti")
+    // NULL foreign keys are MISSING values (the Required rule's
+    // finding), not dangling references — without this filter every
+    // null-FK row lands in the anti-join output (null never equals the
+    // key) and gets double-reported; also matches the SQL-oracle
+    // semantics, where `NOT IN` is never true for NULL
+    files.filter(col(column).isNotNull)
+      .join(right, files(column) === col("__ref_key"), "left_anti")
       .groupBy(col(column))
       .agg(count(lit(1)).cast(LongType).as("n_rows"))
   }

@@ -40,6 +40,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("e2", "e3"))
   }
 
+  test("zero-norm embeddings are excluded from near-dup pairing (no NaN pairs)") {
+    import spark.implicits._
+    // two zero vectors + two genuine near-dups: without the norm guard
+    // the zero pair scores NaN and NaN >= 0.9 is TRUE under Spark's
+    // NaN-is-greatest ordering
+    val emb = Seq(
+      (1L, Seq(0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.0, 0.1)),
+      (4L, Seq(1.0, 0.0, 0.11))).toDF("id", "v")
+    val pairs = graft.dedup.Dedup.embeddingNearDupsExact(emb, "id", "v", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((3L, 4L)), s"zero-vector pair must not appear: $pairs")
+    val banded = graft.dedup.Dedup.embeddingNearDups(emb, "id", "v", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === Set((3L, 4L)))
+  }
+
+  test("dedup exact/pipeline: NULL text is missing content, not a duplicate group") {
+    import spark.implicits._
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // exact(): only the real duplicate group; nulls contribute nothing
+    val groups = graft.dedup.Dedup.exact(docs, "doc_id", "text").collect()
+    assert(groups.length === 1 && groups.head.getAs[Long]("n_docs") === 2L)
+    // pipeline(): both null-text docs survive as their own rows
+    val res = graft.dedup.Dedup.pipeline(docs, "doc_id", "text")
+    try {
+      val surv = res.survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(surv === Set(1L, 3L, 4L), s"null-text docs must survive: $surv")
+    } finally res.unpersist()
+  }
+
   test("graph: schemaEdges of a linkless class is an empty edge table, not a crash") {
     val cls = graft.rules.SchemaLoader.SchemaClass(
       id = "leaf", title = "leaf", required = Seq("id"),

@@ -113,6 +113,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(byId("3") === Map("id" -> "3", "symbol" -> "O'Neil gene"))
   }
 
+  test("sqldump: ON DUPLICATE/ON CONFLICT trailing clauses emit no phantom " +
+    "rows; multi-whitespace keywords dispatch") {
+    val dump =
+      "CREATE  TABLE t (a INT, b VARCHAR(10));\n" +
+        "INSERT\nINTO t VALUES (1, 'x'), (2, 'y') ON DUPLICATE KEY UPDATE a=VALUES(a);\n" +
+        "INSERT INTO t VALUES (3, 'z') ON CONFLICT (a) DO NOTHING;\n"
+    val rows = graft.sources.SqlDump.parse(dump)
+    // exactly 3 real rows — the VALUES(a) parens inside the trailing
+    // clause must not become a phantom empty row, and the \n/double
+    // space between keywords must not drop statements
+    assert(rows.length === 3, rows.mkString(";"))
+    assert(rows.map(_._2("a")).sorted === Seq("1", "2", "3"))
+    assert(rows.forall(_._2.contains("b")))
+  }
+
   test("plugin source: external command stdout NDJSON becomes rows") {
     val df = graft.sources.Plugin.source(spark,
       Seq("/bin/sh", "-c", """printf '{"a":1,"b":"x"}\n{"a":2,"b":"y"}\n'"""))

@@ -157,6 +157,17 @@ class ValidationSpec extends AnyFunSuite {
     assert(v.filter(col("pass") && col("violation_count") =!= 0).count() === 0)
   }
 
+  test("referential: NULL foreign keys are NOT orphans (Required's finding, " +
+    "and the SQL NOT-IN oracle's semantics)") {
+    import spark.implicits._
+    val f = Seq(("r1", 1L), (null.asInstanceOf[String], 2L),
+      ("rMISS", 3L)).toDF("repo", "doc_id")
+    val manifest = Seq("r1").toDF("repo")
+    val got = Referential.orphans(f, manifest, "repo", "repo")
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(got === Set(Some("rMISS")), s"null FK must not be an orphan: $got")
+  }
+
   test("salted aggregation agrees with the direct group-by under skew") {
     val direct = files.groupBy("repo").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
