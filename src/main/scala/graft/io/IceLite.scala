@@ -68,10 +68,16 @@ class IceLite(val root: String) extends TableIO {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 3 <= s.length) {
+      if (c == '%' && i + 3 <= s.length &&
+        s.substring(i + 1, i + 3).forall(h =>
+          (h >= '0' && h <= '9') || (h >= 'A' && h <= 'F') || (h >= 'a' && h <= 'f'))) {
         out += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
         i += 3
-      } else { out += c; i += 1 }
+      } else {
+        // a '%' not produced by enc() (stray file, editor backup):
+        // pass through rather than crash completedParts/resume
+        out += c; i += 1
+      }
     }
     out.toString
   }
@@ -202,7 +208,14 @@ class IceLite(val root: String) extends TableIO {
       try r.getFooter.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { col =>
           val st = col.getStatistics
-          if (st != null && st.hasNonNullValue) {
+          // decimal columns store UNSCALED integers in parquet (12.34 at
+          // scale 2 is physical 1234): recording those as-is would make
+          // pruning compare unscaled bounds against scaled query values
+          // — lossy. Decimals simply don't prune (absent stats = kept).
+          val isDecimal = col.getPrimitiveType.getLogicalTypeAnnotation != null &&
+            col.getPrimitiveType.getLogicalTypeAnnotation.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+          if (st != null && st.hasNonNullValue && !isDecimal) {
             (st.genericGetMin, st.genericGetMax) match {
               case (mn: Number, mx: Number) =>
                 val name = col.getPath.toDotString
@@ -342,11 +355,17 @@ class IceLite(val root: String) extends TableIO {
     // NAMES — an all-numeric repo org would otherwise come back as an
     // IntegerType column (and "0100" as 100).
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.getOption(inferKey)
-    spark.conf.set(inferKey, "false")
-    try spark.read.option("basePath", p("data", s"snap=$snap", enc(table)).toString)
-      .parquet(dirs: _*)
-    finally prev.fold(spark.conf.unset(inferKey))(spark.conf.set(inferKey, _))
+    // the toggle mutates SHARED session conf and read.parquet resolves
+    // partitions eagerly under it — serialize concurrent readers so one
+    // thread's restore can't re-enable inference mid-resolution in
+    // another (an all-numeric part name would come back as IntegerType)
+    IceLite.readLock.synchronized {
+      val prev = spark.conf.getOption(inferKey)
+      spark.conf.set(inferKey, "false")
+      try spark.read.option("basePath", p("data", s"snap=$snap", enc(table)).toString)
+        .parquet(dirs: _*)
+      finally prev.fold(spark.conf.unset(inferKey))(spark.conf.set(inferKey, _))
+    }
   }
 
   /** Lineage across all snapshots as a DataFrame (metrics/audit table). */
@@ -392,4 +411,9 @@ class IceLite(val root: String) extends TableIO {
       finally s.close()
     }
   }
+}
+
+object IceLite {
+  /** Guards the session-conf toggle in readDirs (see there). */
+  private[io] val readLock = new Object
 }

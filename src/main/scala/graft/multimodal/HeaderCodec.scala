@@ -47,19 +47,34 @@ object HeaderCodec {
     else if (b.length >= 4 && b(0) == 'G' && b(1) == 'M') "gm"
     else "unknown"
 
+  /** Dimensions are UNTRUSTED u32/i32 header fields: anything outside
+    * (0, 2^31) — including 0x80000000, whose .toInt is Int.MinValue and
+    * whose math.abs is STILL negative — must come back invalid, never a
+    * negative width/height with valid=true (downstream bounds checks
+    * and buffer sizing would see nonsense). */
+  private def dims(mediaId: Long, fmt: String, w: Long, h: Long,
+      size: Long): Meta = {
+    val ok = w > 0 && w <= Int.MaxValue && h > 0 && h <= Int.MaxValue
+    if (ok) Meta(mediaId, fmt, w.toInt, h.toInt, 0, 0, size, valid = true)
+    else Meta(mediaId, fmt, 0, 0, 0, 0, size, valid = false)
+  }
+
   def decode(mediaId: Long, b: Array[Byte]): Meta = sniff(b) match {
     case "png" if b.length >= 24 &&
         new String(b, 12, 4, "US-ASCII") == "IHDR" =>
-      Meta(mediaId, "png", beU32(b, 16).toInt, beU32(b, 20).toInt, 0, 0, b.length.toLong, valid = true)
+      dims(mediaId, "png", beU32(b, 16), beU32(b, 20), b.length.toLong)
     case "bmp" =>
-      // BITMAPINFOHEADER: signed LE width@18, height@22 (negative =
-      // top-down); BITMAPCOREHEADER (size 12) uses u16 fields instead
+      // BITMAPINFOHEADER: signed LE width@18, height@22 (negative
+      // height = top-down bitmap, a LEGAL encoding — |height| is the
+      // real dimension); BITMAPCOREHEADER (size 12) uses u16 fields
       val dibSize = leU32(b, 14)
       if (dibSize == 12)
-        Meta(mediaId, "bmp", leU16(b, 18), leU16(b, 20), 0, 0, b.length.toLong, valid = true)
-      else
-        Meta(mediaId, "bmp", leU32(b, 18).toInt, math.abs(leU32(b, 22).toInt), 0, 0,
-          b.length.toLong, valid = true)
+        dims(mediaId, "bmp", leU16(b, 18).toLong, leU16(b, 20).toLong, b.length.toLong)
+      else {
+        val w = leU32(b, 18).toInt.toLong // signed i32
+        val h = math.abs(leU32(b, 22).toInt.toLong) // abs on LONG: no MinValue trap
+        dims(mediaId, "bmp", w, h, b.length.toLong)
+      }
     case "wav" =>
       // walk RIFF chunks for 'fmt ' (never assume a fixed offset: LIST
       // or JUNK chunks legitimately precede it). Chunk sizes are

@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object Reshape {
 
+  /** Backtick-quote an identifier / single-quote a string literal for
+    * interpolation into expr() text — a column named `o'brien` or
+    * carrying a backtick must not break (or splice into) the stack(). */
+  private def bq(name: String): String = "`" + name.replace("`", "``") + "`"
+  private def sqlStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** Wide→long: one output row per (id, column) pair. */
   def melt(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
       varName: String = "variable", valName: String = "value"): DataFrame = {
-    val stackArgs = valueCols.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+    val stackArgs = valueCols.map(c => s"${sqlStr(c)}, cast(${bq(c)} as string)").mkString(", ")
     df.select(idCols.map(col) :+
-      expr(s"stack(${valueCols.size}, $stackArgs) as (`$varName`, `$valName`)"): _*)
+      expr(s"stack(${valueCols.size}, $stackArgs) as (${bq(varName)}, ${bq(valName)})"): _*)
   }
 
   /** Long→wide over a known pivot-value list (explicit values keep the

@@ -15,7 +15,13 @@ object RowOps {
     * transform/project.go:57-106; handlebars templates become Column
     * expressions — params are resolved at plan-build time). */
   def project(df: DataFrame, fields: (String, Column)*): DataFrame =
-    fields.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+    // ONE projection node, not a withColumn-per-field stack (whose
+    // nested Projects make analysis cost quadratic on wide mappings);
+    // ListMap keeps the mapping's declared order for NEW columns. All
+    // templates resolve against the INPUT row — faithful to the
+    // reference, whose Go map iteration order is random, so its
+    // projects can't rely on seeing earlier computed fields either
+    df.withColumns(scala.collection.immutable.ListMap(fields: _*))
 
   /** `project.rename` (transform/project.go:99-104). */
   def rename(df: DataFrame, renames: (String, String)*): DataFrame =
@@ -42,11 +48,14 @@ object RowOps {
     val kept = df.select(fields.map(col) ++
       extraCol.map { case (dst, c) => c.as(dst) }: _*)
     if (!removeEmpty) kept
-    else fields.foldLeft(kept) { (d, f) =>
-      d.schema(f).dataType.typeName match {
-        case "string" => d.withColumn(f, when(length(col(f)) === 0, lit(null)).otherwise(col(f)))
-        case _ => d
-      }
+    else {
+      // one projection for all the empty->null rewrites, not a
+      // withColumn stack per string field
+      val rewrites = fields.filter(f =>
+        kept.schema(f).dataType.typeName == "string")
+        .map(f => f -> when(length(col(f)) === 0, lit(null)).otherwise(col(f)))
+      if (rewrites.isEmpty) kept
+      else kept.withColumns(scala.collection.immutable.ListMap(rewrites: _*))
     }
   }
 
@@ -54,11 +63,11 @@ object RowOps {
     * (transform/field_type.go:26-46: unparseable string → nil). Uses
     * try_cast so the behavior is explicit under ANSI mode. */
   def fieldType(df: DataFrame, casts: (String, DataType)*): DataFrame =
-    casts.foldLeft(df) { case (d, (f, t)) =>
-      // backtick-quoted: a name like `token-count` must not parse as
-      // arithmetic inside the expr text
-      d.withColumn(f, expr(s"try_cast(`${f.replace("`", "``")}` as ${t.sql})"))
-    }
+    // backtick-quoted: a name like `token-count` must not parse as
+    // arithmetic inside the expr text; single projection for all casts
+    df.withColumns(scala.collection.immutable.ListMap(casts.map { case (f, t) =>
+      f -> expr(s"try_cast(`${f.replace("`", "``")}` as ${t.sql})")
+    }: _*))
 
   /** `fieldType: list` — promote scalar to single-element array
     * (transform/field_type.go:47-57). */
@@ -100,7 +109,11 @@ object RowOps {
     val parsed = str_to_map(_: Column, lit(s), lit(a))
     if (sep.length == 1 && assign.length == 1) {
       val repl = "$1" + java.util.regex.Matcher.quoteReplacement(assign + "true")
-      val pre = regexp_replace(col(field), s"(?<=^|$s)([^$s$a]+)(?=$s|$$)", repl)
+      // \z, not $: Java's $ matches BEFORE a final trailing newline, so
+      // a bare key ending in \n would be rewritten mid-string and key
+      // "flag\n" would become key "flag" value "true\n" — diverging
+      // from strings.Split and the multi-char fallback path
+      val pre = regexp_replace(col(field), s"(?<=^|$s)([^$s$a]+)(?=$s|\\z)", repl)
       df.withColumn(dst, parsed(pre))
     } else
       df.withColumn(dst,
@@ -267,10 +280,18 @@ object RowOps {
       // dup keys collapse to the greatest value — same deterministic winner
       // rule as lookupCopy/lookupReplace (map() would throw on duplicates);
       // null keys/values can't live in a map literal and a null-keyed entry
-      // can never match an element lookup anyway
+      // can never match an element lookup anyway. "Greatest" is UTF-8
+      // BYTE order (what Spark's max() on StringType uses) — Java's
+      // String >= compares UTF-16 units and flips for supplementary
+      // characters, which would make THIS tier's winner differ from the
+      // active-set/join tiers' once the table outgrows the cap
+      def utf8Gte(a: String, b: String): Boolean =
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) >= 0
       val deduped = rows.toIndexedSeq
         .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-        .groupMapReduce(_.getString(0))(_.getString(1))((a, b) => if (a >= b) a else b)
+        .groupMapReduce(_.getString(0))(_.getString(1))((a, b) => if (utf8Gte(a, b)) a else b)
         .toIndexedSeq.sortBy(_._1)
       Some(map(deduped.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*))
     }

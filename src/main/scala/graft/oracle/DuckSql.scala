@@ -135,12 +135,18 @@ object DuckSql {
   private def charCodes(tc: String, from: String, n: String): String =
     s"list_transform(range($from, ($from) + ($n)), i2 -> CAST(ascii(substring($tc, CAST(i2 AS INT), 1)) AS BIGINT))"
 
+  /** Non-empty tokens of the \s+ split — exact for any leading/trailing
+    * whitespace (the TRIM-guarded form stripped spaces only and
+    * overcounted on trailing newlines; mirrors TextOps.wsTokenCount). */
+  private def wsTokensOf(c: String): String =
+    s"""CAST(len(list_filter(string_split_regex($c, '\\s+'), t -> t <> '')) AS BIGINT)"""
+  private val wsTokensSql: String = wsTokensOf("text")
+
   def tTokens: String =
-    """SELECT doc_id,
-      |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-      |       ELSE CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) END AS ws_tokens,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id,
+       |  $wsTokensSql AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+       |FROM documents""".stripMargin
 
   /** The language-heuristic / quality-score EXPRESSIONS, shared by the
     * standalone t_* oracles and the composite pipeline oracle. */
@@ -194,8 +200,7 @@ object DuckSql {
       minhashChain("kept") + jaccardPairsCte + clusterTail +
       s"""
          |SELECT k.doc_id, k.lang_guess, k.quality,
-         |  CASE WHEN LENGTH(TRIM(k.text)) = 0 THEN 0
-         |       ELSE CAST(len(string_split_regex(TRIM(k.text), '\\s+')) AS BIGINT) END AS ws_tokens
+         |  ${wsTokensOf("k.text")} AS ws_tokens
          |FROM kept k
          |WHERE k.doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)""".stripMargin
 

@@ -17,10 +17,13 @@ object TextOps {
   /** Backtick-quoted identifier for interpolation into expr() text. */
   private def bq(name: String): String = "`" + name.replace("`", "``") + "`"
 
-  /** Whitespace token count. */
+  /** Whitespace token count — NON-EMPTY tokens of the \s+ split. The
+    * former trim()-guarded form stripped SPACES only, so a trailing
+    * newline/tab left an empty trailing token and overcounted by one
+    * ("hello world\n" → 3), and a tabs-only string counted 2; filtering
+    * empties is exact for any leading/trailing whitespace mix. */
   def wsTokenCount(c: String): Column =
-    when(length(trim(col(bq(c)))) === 0, lit(0L))
-      .otherwise(size(split(trim(col(bq(c))), "\\s+")).cast("long"))
+    size(filter(split(col(bq(c)), "\\s+"), t => length(t) > 0)).cast("long")
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric glyphs — the pre-tokenizer shape most BPE vocab
