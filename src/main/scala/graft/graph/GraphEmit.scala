@@ -52,9 +52,15 @@ object GraphEmit {
     * rendered from the link's href template. */
   def schemaVertices(df: DataFrame, cls: graft.rules.SchemaLoader.SchemaClass,
       idField: String = "id", dataCols: Seq[String] = Seq.empty): DataFrame =
-    df.select(Seq(
-      concat(lit(cls.id + "/"), col(idField)).as("_id"),
-      lit(cls.title).as("_label")) ++ dataCols.map(col): _*)
+    // null-id rows are dropped BEFORE the dedup: concat null-propagates
+    // _id to NULL and dropDuplicates treats nulls as equal, so distinct
+    // id-less rows would silently collapse into one phantom vertex (the
+    // reference emits an _id-less map for these — a broken vertex either
+    // way; dropping is the honest fixed-schema analog)
+    df.filter(col(idField).isNotNull)
+      .select(Seq(
+        concat(lit(cls.id + "/"), col(idField)).as("_id"),
+        lit(cls.title).as("_label")) ++ dataCols.map(col): _*)
       .dropDuplicates("_id")
 
   private def hasPath(schema: org.apache.spark.sql.types.StructType, path: String): Boolean =
@@ -111,17 +117,27 @@ object GraphEmit {
         else {
           val arrays = ps.filter(_.isArray)
           val scalars = ps.filterNot(_.isArray)
+          // templateRequired names NOT bound by a pointer resolve to
+          // plain row columns (the no-pointer branch already treats
+          // them so): absent from the schema → no edges at all;
+          // present → row-level non-null condition
+          val extraRequired = link.templateRequired
+            .filterNot(ps.map(_.v).toSet)
           def requiredFilter(binds: Map[String, Column]): Column =
             binds.collect { case (v, c) if link.templateRequired.contains(v) =>
               c.isNotNull }.foldLeft(lit(true))(_ && _)
+          val rowRequired: Column =
+            extraRequired.map(col(_).isNotNull).foldLeft(lit(true))(_ && _)
           def subBind(root: Column, sub: Option[String]): Column =
             sub.fold(root)(s => s.split("\\.").foldLeft(root)(_ getField _))
           val scalarBinds = scalars.map(p => p.v -> col(p.base)).toMap
-          if (arrays.isEmpty) {
+          if (!extraRequired.forall(hasPath(df.schema, _))) None
+          else if (arrays.isEmpty) {
             // all-scalar pointers: one edge per row with non-null
             // required values, paths bound directly
             val to = graft.rules.SchemaLoader.hrefColumnBound(link.href, scalarBinds)
-            Some(when(requiredFilter(scalarBinds), array(edge(to, link.rel)))
+            Some(when(requiredFilter(scalarBinds) && rowRequired,
+              array(edge(to, link.rel)))
               .otherwise(emptyArm))
           } else {
             // per-element source: the single array, or the lockstep zip.
@@ -150,8 +166,9 @@ object GraphEmit {
               e => edge(graft.rules.SchemaLoader.hrefColumnBound(link.href, binds(e)),
                 link.rel))
             // a null array must contribute NOTHING, not null out the
-            // whole concat (concat is null-propagating)
-            Some(coalesce(arm, emptyArm))
+            // whole concat (concat is null-propagating); the row-level
+            // required columns gate the whole arm
+            Some(when(rowRequired, coalesce(arm, emptyArm)).otherwise(emptyArm))
           }
         }
       }

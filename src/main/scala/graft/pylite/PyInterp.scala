@@ -245,7 +245,21 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
       val rhs0 = eval(value, env)
       target match {
         case PName(n, _) =>
-          val rhs = if (op == "=") rhs0 else binOp(op.substring(0, 1), env.lookup(n, line), rhs0, line)
+          // augmented assignment reads from LOCALS only (unless locals
+          // IS the module scope): `count += 1` against a global with no
+          // `global` decl is CPython's UnboundLocalError — reading the
+          // global and writing a fresh local would silently fork the
+          // variable and never advance the global
+          val rhs =
+            if (op == "=") rhs0
+            else {
+              val cur =
+                if ((env.locals eq env.globalScope) || env.locals.contains(n))
+                  env.lookup(n, line)
+                else throw new PyLiteException(
+                  s"UnboundLocalError: local variable '$n' referenced before assignment", line)
+              binOp(op.substring(0, 1), cur, rhs0, line)
+            }
           env.locals(n) = rhs
         case PSub(obj, idx, _) =>
           val o = eval(obj, env)
@@ -413,14 +427,37 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
     case "%" if l.isInstanceOf[String] =>
       PyFormat.percent(l.asInstanceOf[String], r, line)
     case "*" => (l, r) match {
-      case (a: String, b: java.lang.Long) => a * math.max(0, b.toInt)
-      case (a: java.lang.Long, b: String) => b * math.max(0, a.toInt)
+      case (a: String, b: java.lang.Long) => repeatStr(a, b.longValue, line)
+      case (a: java.lang.Long, b: String) => repeatStr(b, a.longValue, line)
       case (a: mutable.ArrayBuffer[Any @unchecked], b: java.lang.Long) =>
-        val out = mutable.ArrayBuffer[Any](); (0L until math.max(0L, b.longValue)).foreach(_ => out ++= a); out
+        // ticked per repetition so `[] * 10**18` hits the step budget
+        // instead of spinning the executor outside it; size-capped so a
+        // single repetition can't allocate past the budget either
+        val n = math.max(0L, b.longValue)
+        // n-first guard: the product could overflow Long for huge n
+        if (n > maxSteps || n * math.max(1, a.length) > maxSteps)
+          throw new PyBudgetExceeded(
+            s"list repetition of $n x ${a.length} elements exceeds the step budget", line)
+        val out = mutable.ArrayBuffer[Any]()
+        (0L until n).foreach { _ => tick(line); out ++= a }
+        out
       case _ => numOp(op, l, r, line)
     }
     case "-" | "/" | "//" | "%" | "**" => numOp(op, l, r, line)
     case _ => throw new PyLiteException(s"unknown operator '$op'", line)
+  }
+
+  /** String repetition with loud bounds: counts past Int range must not
+    * silently wrap through .toInt ("x" * 2^32 returned ""), and a
+    * single repetition can't allocate an unbudgeted multi-GB string
+    * (CPython raises OverflowError/MemoryError for both). */
+  private def repeatStr(s: String, n0: Long, line: Int): String = {
+    val n = math.max(0L, n0)
+    val MaxChars = 1L << 28 // 256M chars ~ 512MB — far past any row value
+    if (n > MaxChars || n * math.max(1, s.length) > MaxChars)
+      throw new PyLiteException(
+        s"string repetition of $n x ${s.length} chars is too large", line)
+    s * n.toInt
   }
 
   private def asNum(v: Any, op: String, line: Int): Either[Long, Double] = v match {
@@ -747,6 +784,16 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
       case Vector(d: java.lang.Double) =>
         java.lang.Long.valueOf(math.rint(d.doubleValue).toLong) // banker's rounding, as python
       case Vector(l: java.lang.Long) => l
+      case Vector(b: java.lang.Boolean) => // bool subclasses int: round(True) == 1
+        java.lang.Long.valueOf(if (b) 1L else 0L)
+      case Vector(l: java.lang.Long, nd: java.lang.Long) =>
+        // round(int, nd): identity for nd >= 0; NEGATIVE nd rounds to
+        // tens/hundreds with banker's rounding (round(25,-1) == 20).
+        // Clamped: any nd <= -20 zeroes every 64-bit value anyway
+        java.lang.Long.valueOf(new java.math.BigDecimal(l.longValue)
+          .setScale(math.max(-30L, math.min(0L, nd.longValue)).toInt,
+            java.math.RoundingMode.HALF_EVEN)
+          .longValueExact())
       case Vector(d: java.lang.Double, nd: java.lang.Long) =>
         // CPython rounds the EXACT binary value half-to-even at the
         // requested decimal place (round(2.675, 2) == 2.67 because
@@ -837,7 +884,11 @@ final class PyInterp(prog: PProgram, maxSteps: Long = 50000000L) {
       }
       case b: mutable.ArrayBuffer[Any @unchecked] => name match {
         case "append" => arityM(1); b += args.head; null
-        case "extend" => arityM(1); b ++= iterate(args.head, line); null
+        case "extend" =>
+          // materialized first: `b.extend(b)` over the live by-index
+          // view would grow the buffer as fast as it is consumed and
+          // spin to the step budget instead of doubling like CPython
+          arityM(1); b ++= iterate(args.head, line).toVector; null
         case "insert" => arityM(2)
           val i = args.head match {
             case l: java.lang.Long => math.max(0, math.min(b.length.toLong, if (l < 0) l + b.length else l.longValue)).toInt
@@ -1067,6 +1118,7 @@ object PyInterp {
     case b: Array[Byte]       => b.nonEmpty
     case b: mutable.ArrayBuffer[Any @unchecked] => b.nonEmpty
     case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => m.nonEmpty
+    case r: PyRange => r.length > 0 // bool(range(0)) is False in CPython
     case _ => true
   }
 
@@ -1190,7 +1242,24 @@ object PyInterp {
     if (depth > 200)
       throw new PyLiteException("maximum recursion depth exceeded in repr (deeply nested container)", 1)
     v match {
-    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case s: String =>
+      // CPython repr: prefer single quotes, switch to double when the
+      // string contains ' but no "; escape backslash/active-quote and
+      // control characters (a raw newline inside quotes is NOT repr)
+      val q = if (s.contains('\'') && !s.contains('"')) '"' else '\''
+      val sb = new StringBuilder
+      sb += q
+      s.foreach {
+        case '\\' => sb ++= "\\\\"
+        case c if c == q => sb += '\\'; sb += q
+        case '\n' => sb ++= "\\n"
+        case '\r' => sb ++= "\\r"
+        case '\t' => sb ++= "\\t"
+        case c if c < 0x20 || c == 0x7f => sb ++= f"\\x${c.toInt}%02x"
+        case c => sb += c
+      }
+      sb += q
+      sb.toString
     case b: mutable.ArrayBuffer[Any @unchecked] =>
       if (!seen.add(b)) "[...]"
       else try b.map(pyRepr0(_, seen, depth + 1)).mkString("[", ", ", "]") finally seen.remove(b)

@@ -100,7 +100,10 @@ object PyLexer {
           // f-string: desugared AT LEX TIME into "<fmt>".format(e1, ...)
           // — the format specs then go through the same CPython-golden
           // formatter as explicit .format() calls
-          val (s, ni, nl) = lexString(src, i + 1, line)
+          // RAW contents: fields are split before unescaping, so \x7b
+          // is data (a literal '{'), never a field delimiter, and
+          // escapes inside nested field literals re-lex intact
+          val (s, ni, nl) = lexString(src, i + 1, line, raw = true)
           val (fmt, exprs) = splitFString(s, line)
           out += Tok(STR, fmt, line)
           out += Tok(OP, ".", line)
@@ -178,7 +181,18 @@ object PyLexer {
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '{' && i + 1 < n && s.charAt(i + 1) == '{') { fmt ++= "{{"; i += 2 }
+      if (c == '\\') {
+        // literal-context escape: decode HERE (the f-string was split
+        // raw); a decoded brace is DATA — double it for format()
+        val (t, adv) = decodeEscapeAt(s, i, line)
+        t.foreach {
+          case '{' => fmt ++= "{{"
+          case '}' => fmt ++= "}}"
+          case ch => fmt += ch
+        }
+        i += adv
+      }
+      else if (c == '{' && i + 1 < n && s.charAt(i + 1) == '{') { fmt ++= "{{"; i += 2 }
       else if (c == '}' && i + 1 < n && s.charAt(i + 1) == '}') { fmt ++= "}}"; i += 2 }
       else if (c == '{') {
         var j = i + 1
@@ -213,7 +227,7 @@ object PyLexer {
         if (exprSrc.isEmpty) throw new PyLiteException("empty expression in f-string", line)
         exprs += exprSrc
         fmt += '{'
-        if (colon >= 0) { fmt += ':'; fmt ++= s.substring(colon + 1, j) }
+        if (colon >= 0) { fmt += ':'; fmt ++= unescapeAll(s.substring(colon + 1, j), line) }
         fmt += '}'
         i = j + 1
       } else if (c == '}') {
@@ -225,7 +239,62 @@ object PyLexer {
 
   /** Single- or triple-quoted string with the escape set the reference
     * playbooks use; returns (value, next index, next line). */
-  private def lexString(src: String, start: Int, startLine: Int): (String, Int, Int) = {
+  /** Decode ONE escape sequence at `i` (where s(i) == '\\'); returns
+    * (decoded text — empty for an escaped newline, (i-advance)).
+    * \x/\u/\U hex escapes carry their own width (CPython rules:
+    * exactly 2/4/8 hex digits, short runs are a SyntaxError). */
+  private def decodeEscapeAt(s: String, i: Int, line: Int): (String, Int) = {
+    val n = s.length
+    def hexEscape(width: Int): (String, Int) = {
+      val h = s.substring(i + 2, math.min(n, i + 2 + width))
+      // ASCII hex only: Character.digit/parseInt accept non-ASCII
+      // Unicode digits CPython rejects as SyntaxError
+      def isHex(ch: Char) =
+        (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')
+      if (h.length < width || !h.forall(isHex))
+        throw new PyLiteException(s"truncated \\${s.charAt(i + 1)}$h escape", line)
+      val cp = java.lang.Integer.parseInt(h, 16)
+      if (cp > 0x10FFFF)
+        throw new PyLiteException(s"illegal Unicode character \\U$h", line)
+      (new String(Character.toChars(cp)), 2 + width)
+    }
+    if (i + 1 >= n) ("\\", 1)
+    else s.charAt(i + 1) match {
+      case 'n'  => ("\n", 2)
+      case 't'  => ("\t", 2)
+      case 'r'  => ("\r", 2)
+      case '\\' => ("\\", 2)
+      case '\'' => ("'", 2)
+      case '"'  => ("\"", 2)
+      case 'x'  => hexEscape(2)
+      case 'u'  => hexEscape(4)
+      case 'U'  => hexEscape(8)
+      case '\n' => ("", 2) // escaped newline: skip (caller bumps line)
+      case other => ("\\" + other, 2)
+    }
+  }
+
+  /** Decode every escape in `s` (used for f-string literal/spec parts,
+    * which are split RAW first so escapes can never act as braces). */
+  private[pylite] def unescapeAll(s: String, line: Int): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 <= s.length) {
+        val (t, adv) = decodeEscapeAt(s, i, line)
+        sb ++= t; i += adv
+      } else { sb += s.charAt(i); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Single- or triple-quoted string; `raw = true` returns the contents
+    * VERBATIM (escapes intact — the f-string path splits fields on the
+    * raw text and unescapes the literal parts afterwards, so \x7b can
+    * never masquerade as a field brace and an escaped newline inside a
+    * nested field literal survives re-lexing). */
+  private def lexString(src: String, start: Int, startLine: Int,
+      raw: Boolean = false): (String, Int, Int) = {
     val q = src.charAt(start)
     val n = src.length
     var line = startLine
@@ -235,35 +304,11 @@ object PyLexer {
     while (i < n) {
       val c = src.charAt(i)
       if (c == '\\' && i + 1 < n) {
-        // \x/\u/\U hex escapes carry their own width (CPython rules:
-        // exactly 2/4/8 hex digits, short runs are a SyntaxError)
-        def hexEscape(width: Int): Unit = {
-          val h = src.substring(i + 2, math.min(n, i + 2 + width))
-          // ASCII hex only: Character.digit/parseInt accept non-ASCII
-          // Unicode digits CPython rejects as SyntaxError
-          def isHex(ch: Char) =
-            (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')
-          if (h.length < width || !h.forall(isHex))
-            throw new PyLiteException(
-              s"truncated \\${src.charAt(i + 1)}$h escape", line)
-          val cp = java.lang.Integer.parseInt(h, 16)
-          if (cp > 0x10FFFF)
-            throw new PyLiteException(s"illegal Unicode character \\U$h", line)
-          sb ++= new String(Character.toChars(cp))
-          i += 2 + width
-        }
-        src.charAt(i + 1) match {
-          case 'n'  => sb += '\n'; i += 2
-          case 't'  => sb += '\t'; i += 2
-          case 'r'  => sb += '\r'; i += 2
-          case '\\' => sb += '\\'; i += 2
-          case '\'' => sb += '\''; i += 2
-          case '"'  => sb += '"'; i += 2
-          case 'x'  => hexEscape(2)
-          case 'u'  => hexEscape(4)
-          case 'U'  => hexEscape(8)
-          case '\n' => line += 1; i += 2 // escaped newline: skip
-          case other => sb += '\\' += other; i += 2
+        if (src.charAt(i + 1) == '\n') line += 1
+        if (raw) { sb += '\\' += src.charAt(i + 1); i += 2 }
+        else {
+          val (t, adv) = decodeEscapeAt(src, i, line)
+          sb ++= t; i += adv
         }
       } else if (triple && src.startsWith(s"$q$q$q", i)) {
         return (sb.toString, i + 3, line)
