@@ -18,15 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // locale-proof: f"%.2f" under a comma-decimal default locale would
+    // emit malformed JSON into the bench artifact
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // the SHIPPED session configuration (AQE, skew-join splitting, split
+    // sizing, extensions — GraftSession), not a bare builder: timings
+    // must measure the engine a user actually runs
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       // xxhash64 over map-typed columns (the force-eval hash) is exact
       // and deterministic; Spark only gates it for hash-partitioning use
       .config("spark.sql.legacy.allowHashOnMapType", "true")
-      .config("spark.ui.enabled", "false")
+      .appName("graft-bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -66,12 +70,15 @@ object Bench {
     val byQuery = passes.transpose.map { samples =>
       val name = samples.head._1
       val oks = samples.map(_._2).filter(_ > 0)
-      if (oks.nonEmpty) (name, oks.min, oks.max / oks.min)
-      else (name, -samples.map(s => -s._2).min, 1.0)
+      if (oks.nonEmpty) (name, oks.min, oks.max / oks.min, samples.length - oks.length)
+      else (name, -samples.map(s => -s._2).min, 1.0, samples.length)
     }
-    val results = byQuery.map { case (n, t, _) => (n, t) }
-    val spreads = byQuery.map { case (n, _, s) => (n, s) }
+    val results = byQuery.map { case (n, t, _, _) => (n, t) }
+    val spreads = byQuery.map { case (n, _, s, _) => (n, s) }
     val errors = results.collect { case (n, t) if t < 0 => n }
+    // a query that failed SOME passes but succeeded once would otherwise
+    // read as a clean success — partial failures stay visible
+    val flaky = byQuery.collect { case (n, t, _, fails) if t > 0 && fails > 0 => n }
 
     // recall@10 of the approximate ANN queries vs the exact baseline
     def pairs(name: String): Set[(Long, Long)] =
@@ -85,7 +92,13 @@ object Bench {
         else Map(
           "ann_lsh" -> exact.count(pairs("x_ann_lsh").contains).toDouble / exact.size,
           "ann_ivf" -> exact.count(pairs("x_ann_ivf").contains).toDouble / exact.size)
-      } catch { case _: Throwable => Map.empty }
+      } catch { case t: Throwable =>
+        // recall vanishing silently is the swallowed-error failure mode
+        // this file documents for timings — at least leave a trace
+        System.err.println(s"[bench] recall computation FAILED: $t")
+        t.printStackTrace()
+        Map.empty
+      }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -95,8 +108,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(r => math.abs(r._2)).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flk = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"recall":$rc,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"recall":$rc,"errors":$errs,"flaky":$flk,"sf":"$sfDir"}"""
     println(line)
     // the one-line grid outgrew the driver's stdout-tail capture (the r4
     // artifact lost its headline number to truncation) — persist the

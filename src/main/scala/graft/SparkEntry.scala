@@ -106,8 +106,12 @@ object SparkEntry {
       // fixed per-corpus locations, overwritten per call: repeated
       // verify/bench invocations must not accumulate /tmp copies of the
       // corpus or pinned memory-sink tables
+      // per-corpus AND per-JVM (pid): two concurrent verify/bench JVMs
+      // on the same corpus must not clobber each other's state; within
+      // one JVM the path is stable so repeated passes overwrite
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_" +
-        java.lang.Integer.toHexString(d.hashCode)
+        java.lang.Integer.toHexString(d.hashCode) + "_" +
+        ProcessHandle.current().pid()
       FilesTable.files(s, d).write.mode("overwrite").parquet(dir)
       val schema = s.read.parquet(dir).schema
       val stream = graft.streaming.StreamValidate.violationStream(
@@ -131,7 +135,8 @@ object SparkEntry {
       // completedParts), and repeated verify/bench invocations must not
       // accumulate snapshot trees under /tmp
       val root: String = s"${System.getProperty("java.io.tmpdir")}/graft_resume_" +
-        java.lang.Integer.toHexString(d.hashCode)
+        java.lang.Integer.toHexString(d.hashCode) + "_" +
+        ProcessHandle.current().pid() // per-JVM: see v_stream_violations
       val rootPath = java.nio.file.Paths.get(root)
       if (java.nio.file.Files.exists(rootPath)) {
         val walk = java.nio.file.Files.walk(rootPath)
@@ -140,30 +145,35 @@ object SparkEntry {
         finally walk.close()
       }
       // cached by the CALLER so the crash run and the resume share one
-      // materialization (run() respects a pre-persisted frame)
+      // materialization (run() respects a pre-persisted frame);
+      // unpersisted in finally — a require() failure must not leave the
+      // whole corpus pinned for every subsequent query of the run
       val files = FilesTable.files(s, d).cache()
-      try { CheckpointedValidation.run(s, files, FileRules.rowRules, root,
-        crashAfter = Some(2)); () }
-      catch { case _: CheckpointedValidation.SimulatedCrash => () }
-      val ice = new graft.io.IceLite(root)
-      val snap0 = ice.nextSnapshotId
-      val done = ice.completedParts(snap0)
-      require(done.size == 2,
-        s"expected 2 committed partitions at the crash point, got ${done.size}")
-      val lst = java.nio.file.Files.list(ice.lineageDir(snap0))
-      val mtimes = try lst.toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .map(p => p.getFileName.toString ->
-          java.nio.file.Files.getLastModifiedTime(p)).toMap
-      finally lst.close()
-      val snap = CheckpointedValidation.run(s, files, FileRules.rowRules, root)
-      files.unpersist()
-      require(snap == snap0, s"resume must reuse snapshot $snap0, got $snap")
-      mtimes.foreach { case (f, t0) =>
-        val t1 = java.nio.file.Files.getLastModifiedTime(
-          ice.lineageDir(snap).resolve(f))
-        require(t1 == t0, s"resume recomputed already-committed partition $f")
-      }
+      val snap =
+        try {
+          try { CheckpointedValidation.run(s, files, FileRules.rowRules, root,
+            crashAfter = Some(2)); () }
+          catch { case _: CheckpointedValidation.SimulatedCrash => () }
+          val ice = new graft.io.IceLite(root)
+          val snap0 = ice.nextSnapshotId
+          val done = ice.completedParts(snap0)
+          require(done.size == 2,
+            s"expected 2 committed partitions at the crash point, got ${done.size}")
+          val lst = java.nio.file.Files.list(ice.lineageDir(snap0))
+          val mtimes = try lst.toArray
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .map(p => p.getFileName.toString ->
+              java.nio.file.Files.getLastModifiedTime(p)).toMap
+          finally lst.close()
+          val resumed = CheckpointedValidation.run(s, files, FileRules.rowRules, root)
+          require(resumed == snap0, s"resume must reuse snapshot $snap0, got $resumed")
+          mtimes.foreach { case (f, t0) =>
+            val t1 = java.nio.file.Files.getLastModifiedTime(
+              ice.lineageDir(resumed).resolve(f))
+            require(t1 == t0, s"resume recomputed already-committed partition $f")
+          }
+          resumed
+        } finally files.unpersist()
       CheckpointedValidation.verdicts(s, root, snap)
     }),
 

@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
   * (AQE, skew-join splitting, extensions), not a hand-rolled variant. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
@@ -14,7 +18,12 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // full trace (getMessage can be null for an NPE) — the failed
+        // query shows up as a missing output dir, so stderr is the only
+        // place the CAUSE survives; still exit 0, the driver contract
+        // is "dump what you can and always write oracle_sql.json"
+        System.err.println(s"[verify] $name failed: $e")
+        e.printStackTrace()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

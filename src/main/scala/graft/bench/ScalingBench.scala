@@ -250,6 +250,7 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // f"%.2f" JSON must not localize
     if (args.headOption.contains("--single")) {
       val (n, dt) = timed(args(1).toInt, args(2),
         iters = args.lift(4).map(_.toInt).getOrElse(4),

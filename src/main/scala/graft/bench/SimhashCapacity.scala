@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
 object SimhashCapacity {
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // f"%.2f" JSON must not localize
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.drop(1).map(_.toInt).toSeq match {
       case Nil => Seq(25, 50, 100, 200) // x5250 seeds: 131k..1.05M docs

@@ -151,6 +151,7 @@ object StorageBench {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // f"%.2f" JSON must not localize
     val workDir = args.headOption.getOrElse("/tmp/graft_bench")
     val spark = graft.GraftSession.builder("local[16]", 16)
       .appName("storage-bench").getOrCreate()

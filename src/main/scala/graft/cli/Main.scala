@@ -75,40 +75,36 @@ object Main {
     println("outputs: verdicts, violations, metrics, lineage (IceLite snapshots)")
   }
 
-  def run(filesPath: String, outRoot: String): Unit = {
-    // GraftSession's knobs (AQE, skew-join, split sizing, UTC,
-    // extensions); master comes from spark-submit or defaults local.
-    // Only stop the session if this call created it (library embedding
-    // keeps its own session alive).
+  /** GraftSession's knobs (AQE, skew-join, split sizing, UTC,
+    * extensions); master comes from spark-submit or defaults local.
+    * Only stops the session if THIS call created it (library embedding
+    * keeps its own session alive). One definition so a future session
+    * knob can't drift between the two run modes. */
+  private def withSession(appName: String)(body: SparkSession => Unit): Unit = {
     val preexisting = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isDefined
     val spark = graft.GraftSession
       .builder(sys.env.getOrElse("SPARK_MASTER", "local[*]"),
         Runtime.getRuntime.availableProcessors())
-      .appName("sifterspark-run")
+      .appName(appName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
+    try body(spark) finally if (!preexisting) spark.stop()
+  }
+
+  def run(filesPath: String, outRoot: String): Unit =
+    withSession("sifterspark-run") { spark =>
       val files = spark.read.parquet(filesPath)
       val snap = CheckpointedValidation.run(spark, files, FileRules.rowRules, outRoot)
       val v = CheckpointedValidation.verdicts(spark, outRoot, snap)
       val failed = v.filter(!org.apache.spark.sql.functions.col("pass")).count()
       println(s"snapshot $snap committed: ${v.count()} verdict cells, $failed failing")
-    } finally if (!preexisting) spark.stop()
-  }
+    }
 
   /** `sifter run playbook.yaml -p k=v` analog. */
   def runYaml(playbookPath: String, params: Seq[String]): Unit = {
     val overrides = parseParams(params)
-    val preexisting = SparkSession.getActiveSession
-      .orElse(SparkSession.getDefaultSession).isDefined
-    val spark = graft.GraftSession
-      .builder(sys.env.getOrElse("SPARK_MASTER", "local[*]"),
-        Runtime.getRuntime.availableProcessors())
-      .appName("sifterspark-run-yaml")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try {
+    withSession("sifterspark-run-yaml") { spark =>
       val loaded = graft.pipeline.YamlPlaybook.loadFile(playbookPath, overrides)
       // resolve each output ourselves and persist before the sink, so
       // the count and the write share ONE computation of the pipeline
@@ -122,6 +118,6 @@ object Main {
           println(s"output '$name': $n rows")
         } finally df.unpersist(blocking = false)
       }
-    } finally if (!preexisting) spark.stop()
+    }
   }
 }
