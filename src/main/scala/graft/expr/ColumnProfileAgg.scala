@@ -47,6 +47,18 @@ case class ColumnProfileAgg(
     else {
       val u = v match {
         case s: UTF8String => s
+        // binary needs its BYTES: Array[Byte].toString is the JVM
+        // identity rep ("[B@1a2b3c"), which would make every row look
+        // distinct and nondeterministic across runs. Other complex
+        // types (arrays/structs) should be profiled via to_json
+        // upstream; their InternalRow toString would have the same
+        // identity hazard, so they fail loudly instead.
+        case b: Array[Byte] => UTF8String.fromBytes(b)
+        case _: org.apache.spark.sql.catalyst.util.ArrayData |
+             _: org.apache.spark.sql.catalyst.util.MapData |
+             _: InternalRow =>
+          throw new UnsupportedOperationException(
+            "col_profile on array/map/struct columns: profile to_json(col) instead")
         case other => UTF8String.fromString(other.toString)
       }
       val len = u.numChars().toLong

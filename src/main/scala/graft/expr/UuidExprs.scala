@@ -84,10 +84,9 @@ object UuidExprs {
     org.apache.spark.sql.functions.call_function("uuid3", namespace, name)
 
   /** SQL + Column registration: `SELECT uuid5(ns, name)`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "uuid5", exprs => UuidV5(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "uuid3", exprs => UuidV3(exprs(0), exprs(1)), "built-in")
-  }
+  /** Delegates to [[GraftFunctions.register]] — ONE registration path
+    * (it registers uuid5/uuid3 with identical builders; a second copy
+    * here had to be kept in sync by hand). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftFunctions.register(spark)
 }

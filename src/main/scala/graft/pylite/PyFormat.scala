@@ -18,10 +18,12 @@ import PyInterp._
   * distinguished from `"%s" % (a, b)` by type. The rule used: a
   * buffer is spread as the argument tuple when its length equals the
   * number of conversions; a single conversion with a buffer of any
-  * other length formats the buffer as one value. The only divergence
-  * from CPython is on calls CPython itself rejects (arg-count
-  * TypeError).
-  */
+  * other length formats the buffer as one value. Divergences from
+  * CPython under this rule: calls CPython itself rejects (arg-count
+  * TypeError), AND `"%s" % [x]` — CPython spreads only TUPLES, so it
+  * prints the one-element list as "[x]" where this rule spreads it;
+  * with list and tuple sharing one runtime type that case is
+  * undecidable here. */
 object PyFormat {
 
   // ---- the % operator ---------------------------------------------------
@@ -77,7 +79,15 @@ object PyFormat {
       throw new PyLiteException(s"'#' flag in %$conv is outside the PyLite subset", line)
     def asLong: Long = v match {
       case l: java.lang.Long => l.longValue
-      case d: java.lang.Double => d.longValue
+      case d: java.lang.Double =>
+        // NaN.longValue is 0 and inf saturates to Long.MaxValue — both
+        // are CPython errors (ValueError/OverflowError), never silent
+        if (d.isNaN || d.isInfinite ||
+          d.doubleValue < Long.MinValue.toDouble ||
+          d.doubleValue >= Long.MaxValue.toDouble)
+          throw new PyLiteException(
+            s"cannot convert float ${pyStr(d)} to integer for formatting", line)
+        d.longValue
       case b: java.lang.Boolean => if (b) 1L else 0L
       case o => throw new PyLiteException(s"%$conv format: a number is required, not ${typeName(o)}", line)
     }
@@ -93,8 +103,14 @@ object PyFormat {
       case "d" | "i" => asLong.toString
       case "f" => fixed(asDouble, prec.getOrElse(6))
       case "e" | "E" =>
-        // java's %e matches C/python's 2-digit-minimum exponent
-        String.format(s"%.${prec.getOrElse(6)}${conv}", java.lang.Double.valueOf(asDouble))
+        // java's %e matches C/python's 2-digit-minimum exponent, but
+        // renders non-finite as "Infinity"/"NaN" where python uses
+        // inf/nan — route those through the same bodies %f uses
+        val dv = asDouble
+        if (dv.isNaN || dv.isInfinite) {
+          val b = fixed(dv, 0)
+          if (conv == "E") b.toUpperCase(java.util.Locale.ROOT) else b
+        } else String.format(s"%.${prec.getOrElse(6)}${conv}", java.lang.Double.valueOf(dv))
       case "x" => radix(asLong, 16, upper = false)
       case "X" => radix(asLong, 16, upper = true)
       case "o" => radix(asLong, 8, upper = false)
@@ -121,7 +137,9 @@ object PyFormat {
     width match {
       case Some(w) if body.length < w =>
         if (flags.contains('-')) body + (" " * (w - body.length))
-        else if (flags.contains('0') && numeric) {
+        // the 0 flag is ignored for nan/inf (no digits to pad into) —
+        // C printf and python both space-pad non-finite bodies
+        else if (flags.contains('0') && numeric && body.exists(_.isDigit)) {
           val (sign, rest) =
             if (body.startsWith("-") || body.startsWith("+")) (body.take(1), body.drop(1))
             else ("", body)
@@ -192,16 +210,27 @@ object PyFormat {
         case _   => true
       }
       var body = typ match {
+        case "" if prec.isDefined &&
+            (v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Double]) =>
+          // CPython: floats take 'g' presentation here, ints raise —
+          // string-truncating the digits would be silently wrong either
+          // way, so the whole shape is outside the subset, loudly
+          throw new PyLiteException(
+            s"precision with an empty format type on a number is outside the PyLite subset (spec '$spec')", line)
         case "" | "s" => val s = pyStr(v); prec.fold(s)(p => s.take(p))
         case "d" => asLong.toString
         case "f" => fixed(asDouble, prec.getOrElse(6))
-        case "e" => String.format(s"%.${prec.getOrElse(6)}e", java.lang.Double.valueOf(asDouble))
+        case "e" =>
+          val dv = asDouble
+          if (dv.isNaN || dv.isInfinite) fixed(dv, 0)
+          else String.format(s"%.${prec.getOrElse(6)}e", java.lang.Double.valueOf(dv))
         case "x" => radix(asLong, 16, upper = false)
         case "X" => radix(asLong, 16, upper = true)
         case "o" => radix(asLong, 8, upper = false)
         case "b" => radix(asLong, 2, upper = false)
       }
       if (sign == "+" && numeric && !body.startsWith("-")) body = "+" + body
+      else if (sign == " " && numeric && !body.startsWith("-")) body = " " + body
       if (zero == "0" && align == null && !numeric)
         throw new PyLiteException(
           s"'=' alignment (the bare '0' shorthand) is not allowed for ${typeName(v)} in format spec '$spec'", line)

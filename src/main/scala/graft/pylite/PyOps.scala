@@ -206,7 +206,12 @@ object PyOps {
         case d: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] if !flat => Iterator(d)
         case b: mutable.ArrayBuffer[Any @unchecked] if flat =>
           b.iterator.collect { case d: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] => d }
-        case null => Iterator.empty
+        // flatMap: None = emit nothing (valid). map: None is a
+        // GUARANTEED distributed-run failure — surface it here, at plan
+        // time, instead of letting the sample pass and the job die
+        case null if flat => Iterator.empty
+        case null => throw new PyLiteException(
+          s"method '$method' returned None in the inference sample — map must return a dict for every row (use flatmap to drop rows)", 1)
         case other if !flat => throw new PyLiteException(
           s"method '$method' must return a dict, got ${typeName(other)}", 1)
         case other => throw new PyLiteException(

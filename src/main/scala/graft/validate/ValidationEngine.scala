@@ -63,7 +63,14 @@ object Violations {
   */
 object SaltedAgg {
   def countByKey(df: DataFrame, keys: Seq[String], salts: Int = 32): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)))
+    // rand-based salt, NOT a content hash: a key hot because one
+    // byte-identical row repeats collapses a content-derived salt to a
+    // single value and recreates the skew wholesale. Counts are
+    // insensitive to WHICH salt a row lands on (each row counts once
+    // under any assignment), so rand's retry-nondeterminism is harmless
+    // here — it only redistributes the partial groups.
+    val salted = df.withColumn("_salt",
+      floor(rand(42) * salts).cast("int"))
     salted
       .groupBy((keys.map(col) :+ col("_salt")): _*).agg(count(lit(1)).as("_partial"))
       .groupBy(keys.map(col): _*).agg(sum(col("_partial")).cast(LongType).as("n_rows"))
