@@ -137,9 +137,10 @@ object PyFormat {
     width match {
       case Some(w) if body.length < w =>
         if (flags.contains('-')) body + (" " * (w - body.length))
-        // the 0 flag is ignored for nan/inf (no digits to pad into) —
-        // C printf and python both space-pad non-finite bodies
-        else if (flags.contains('0') && numeric && body.exists(_.isDigit)) {
+        // NOTE: CPython's % operator zero-pads even nan/inf bodies
+        // ('%010f' % inf == '0000000inf') — golden-verified; C printf
+        // differs, python does not follow it here
+        else if (flags.contains('0') && numeric) {
           val (sign, rest) =
             if (body.startsWith("-") || body.startsWith("+")) (body.take(1), body.drop(1))
             else ("", body)
