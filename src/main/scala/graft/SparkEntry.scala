@@ -541,8 +541,10 @@ object SparkEntry {
         Seq("click", "error", "purchase", "signup", "view"), count(lit(1)))
       Reshape.transpose(wide, "user_id", Seq("u0", "u1", "u2", "u3", "u4"))
     }),
-    // rows-only queries (no SQL-expressible oracle): approximate ops
-    // verified in ScalaTest against their exact baselines instead
+    // the x_* block: queries whose oracles need more than plain SQL —
+    // each is hash-gated anyway since r4-r6 (HUGEINT bit arithmetic,
+    // precomputed deterministic literals, CPython golden parquet,
+    // fixed-point ordered replay); see the matching DuckSql scaladoc
     "x_simhash64_pairs" -> ((s, d) =>
       // the production-width near-dup path (16-bit sigs saturate ~10^4
       // docs); oracle-gated since round 4 — the wrapping-u64 splitmix64
@@ -787,5 +789,11 @@ object SparkEntry {
     "x_media_meta" -> DuckSql.xMediaMeta,
     "x_media_features" -> DuckSql.xMediaFeatures,
     "x_simhash64_pairs" -> DuckSql.xSimhash64Pairs,
-    "x_ann_lsh" -> DuckSql.xAnnLsh())
+    "x_ann_lsh" -> DuckSql.xAnnLsh(),
+    // oracle-gated since round 6: fixed-point Lloyd sums make the
+    // centroids (and hence the whole probe/re-rank) bit-reproducible
+    "x_ann_ivf" -> DuckSql.xAnnIvf(),
+    // oracle-gated since round 6: the sha1 digests come from a CPython
+    // golden parquet (DuckDB has no sha1); keys stay live from the CTE
+    "x_uuid5" -> DuckSql.xUuid5(fixturesDir))
 }

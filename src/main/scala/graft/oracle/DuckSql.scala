@@ -415,6 +415,21 @@ object DuckSql {
        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 2""".stripMargin
   }
 
+  /** Oracle for the RFC 4122 v5 (sha1) name uuid: DuckDB 1.0 has no
+    * sha1, so the digest values come from a CPython-computed golden
+    * parquet (tools/gen_uuid5_golden.py — CPython `uuid.uuid5` is an
+    * independent implementation of the RFC). Only the uids are golden:
+    * the (repo, path, commit) keys are derived LIVE from the current sf
+    * dir through the shared [[cte]], and the inner join on the full
+    * name string means any derivation drift or missing golden name
+    * drops rows → row-count mismatch → red, never a silent pass.
+    * Reference semantics: transform/uuid.go:21-48. */
+  def xUuid5(fixturesDir: String): String = cte +
+    s"""SELECT f.repo, f.path, f."commit", g.uid AS uid
+       |FROM files_all f
+       |JOIN read_parquet('$fixturesDir/uuid5_golden.parquet') g
+       |  ON g.name = f.repo || '/' || f.path || '@' || f."commit"""".stripMargin
+
   private val cosFold: String =
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |    list_transform(range(1, len(va) + 1), i -> va[CAST(i AS INT)] * vb[CAST(i AS INT)])),
@@ -513,6 +528,82 @@ object DuckSql {
        |  FROM cand JOIN n qn ON qn.vec_id = cand.qid JOIN n nn ON nn.vec_id = cand.nid
        |), r AS (
        |  SELECT qid, nid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM scored
+       |)
+       |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, sim FROM r WHERE rank <= $k""".stripMargin
+  }
+
+  /** Oracle for the IVF top-k (x_ann_ivf): every stage is
+    * deterministic since round 6 — seeds are the nCells smallest ids,
+    * the Lloyd refinement accumulates FIXED-POINT long sums
+    * ([[graft.sim.Ivf.FixedScale]]: exact, order-independent, so the
+    * centroids are bit-identical under any partitioning), and every
+    * float reduction is an ordered left fold. DuckDB replays seed
+    * normalize → assignment (argmax dot, ties → lowest cell) → 1 Lloyd
+    * step → re-assignment → nprobe probing → exact cosine re-rank.
+    * The division order (sum→double, /count, /scale) and fold seeds
+    * (prepend 0.0) are frozen to match the Spark side exactly. */
+  def xAnnIvf(nCells: Int = 16, nprobe: Int = 4, dim: Int = 64,
+      k: Int = 10, scale: Long = graft.sim.Ivf.FixedScale): String = {
+    val d1 = dim + 1
+    def fold(v: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform($v, x -> x * x)), (a, b) -> a + b)""".stripMargin
+    def dot(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, $d1), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])),
+         |      (a2, b2) -> a2 + b2)""".stripMargin
+    s"""WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell, v
+       |  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT $nCells)
+       |), c0 AS (
+       |  SELECT cell, CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS c
+       |  FROM (SELECT cell, v, sqrt(${fold("v")}) AS nrm FROM seeds)
+       |), a0 AS (
+       |  SELECT n.vec_id, c0.cell, ${dot("n.v", "c0.c")} AS d FROM n, c0
+       |), asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn FROM a0
+       |  ) WHERE rn = 1
+       |), fx AS (
+       |  SELECT t.cell, u.i AS pos,
+       |    SUM(CAST(round(t.v[CAST(u.i AS INT)] * $scale) AS BIGINT)) AS fxs,
+       |    COUNT(*) AS cnt
+       |  FROM (SELECT asg.cell, n.v FROM asg JOIN n USING (vec_id)) t,
+       |       unnest(range(1, $d1)) AS u(i)
+       |  GROUP BY 1, 2
+       |), mm AS (
+       |  SELECT cell,
+       |    list(CAST(fxs AS DOUBLE) / CAST(cnt AS DOUBLE) / CAST($scale AS DOUBLE) ORDER BY pos) AS mv
+       |  FROM fx GROUP BY cell
+       |), c1 AS (
+       |  SELECT c0.cell, COALESCE(r0.mn, c0.c) AS c
+       |  FROM c0 LEFT JOIN (
+       |    SELECT cell, CASE WHEN nrm = 0 THEN mv ELSE list_transform(mv, x -> x / nrm) END AS mn
+       |    FROM (SELECT cell, mv, sqrt(${fold("mv")}) AS nrm FROM mm)
+       |  ) r0 ON r0.cell = c0.cell
+       |), a1 AS (
+       |  SELECT n.vec_id, c1.cell, ${dot("n.v", "c1.c")} AS d FROM n, c1
+       |), cells AS (
+       |  SELECT s1.vec_id AS nid, s1.cell, n.v AS nv, sqrt(${fold("n.v")}) AS nn
+       |  FROM (SELECT vec_id, cell FROM (
+       |          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn FROM a1
+       |        ) WHERE rn = 1) s1
+       |  JOIN n USING (vec_id)
+       |), qtop AS (
+       |  SELECT vec_id AS qid, cell
+       |  FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+       |        FROM a1 WHERE vec_id < 5)
+       |  WHERE rn <= $nprobe
+       |), q AS (
+       |  SELECT vec_id AS qid, v AS qv, sqrt(${fold("v")}) AS qn FROM n WHERE vec_id < 5
+       |), scored AS (
+       |  SELECT q.qid, cells.nid,
+       |    ROUND(${dot("q.qv", "cells.nv")} / (q.qn * cells.nn), 6) AS sim
+       |  FROM qtop JOIN q USING (qid) JOIN cells USING (cell)
+       |  WHERE cells.nid <> q.qid AND q.qn > 0 AND cells.nn > 0
+       |), r AS (
+       |  SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM scored
        |)
        |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, sim FROM r WHERE rank <= $k""".stripMargin
   }

@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** Fixed-point scale (2^30) for the Lloyd mean. Component values are
+    * rounded to `x * 2^30` LONGS before summing: long addition is
+    * exact and order-independent, so the refined centroids are
+    * bit-identical under ANY partitioning / AQE re-plan (a plain
+    * `avg(double)` is not — float addition reorders), the aggregation
+    * keeps map-side combine (no ordered-fold collect_list needed, so
+    * the refine step stays a two-level shuffle agg at any corpus
+    * size), and the DuckDB oracle replays the exact same integers.
+    * Headroom: |x| ≤ 2^8 per component leaves 2^25 rows per (cell,pos)
+    * before the *double conversion* of the sum could lose a bit
+    * (2^53 mantissa); the long sum itself is exact to 2^63. */
+  val FixedScale: Long = 1L << 30
+
   private def asDouble(c: Column) = transform(c, x => x.cast("double"))
 
   /** `(negsim, cell)` structs of a vector column against the centroid
@@ -51,11 +64,17 @@ object Ivf {
       .map { case (r, i) => (i, normalize(r.getSeq[Double](1))) }.toIndexedSeq
     (1 to iters).foldLeft(c0) { (cents, _) =>
       val assigned = assign(corpus, idCol, vecCol, cents)
+      // mean via fixed-point long sums (see FixedScale): deterministic
+      // and cross-engine reproducible; the division order (sum→double,
+      // /count, /scale) is frozen — the oracle divides in the same order
       val refined = assigned
         .select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell", "pos")
+        .agg(sum(round(col("x") * FixedScale).cast("long")).as("fx"),
+          count(lit(1)).as("n"))
         .groupBy("cell")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .agg(expr(s"""transform(array_sort(collect_list(struct(pos, fx, n))),
+          s -> CAST(s.fx AS DOUBLE) / CAST(s.n AS DOUBLE) / CAST($FixedScale AS DOUBLE))""")
           .as("centroid"))
         .collect().map(r => r.getInt(0) -> normalize(r.getSeq[Double](1))).toMap
       // a cell that received no assignments keeps its previous centroid
