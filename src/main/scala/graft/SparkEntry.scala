@@ -58,6 +58,49 @@ object SparkEntry {
         concat(col("text"), lit(" zz")).as("text")))
   }
 
+  private def rmTree(path: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(path)) {
+      val w = java.nio.file.Files.walk(path)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+      finally w.close()
+    }
+
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Per-corpus, per-JVM scratch dir under java.io.tmpdir for the
+    * queries that need real filesystem fixtures (stream source dirs,
+    * snapshot roots). Per-corpus so different sf dirs don't collide;
+    * per-pid so two concurrent verify/bench JVMs don't clobber each
+    * other. Cleanup is two-sided (ADVICE r5: the pid suffix alone made
+    * "no /tmp accumulation" hold only within one JVM): a shutdown hook
+    * removes THIS JVM's dir, and stale same-prefix siblings whose JVM
+    * is no longer alive are swept on first use. */
+  private def tmpWorkDir(prefix: String, d: String): String = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val mine = s"${prefix}_${java.lang.Integer.toHexString(d.hashCode)}_" +
+      ProcessHandle.current().pid()
+    val ls = java.nio.file.Files.list(tmp)
+    try ls.forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith(prefix + "_") && n != mine) {
+        val pid = n.substring(n.lastIndexOf('_') + 1)
+        val alive = pid.nonEmpty && pid.forall(_.isDigit) && {
+          val h = ProcessHandle.of(pid.toLong)
+          h.isPresent && h.get.isAlive
+        }
+        // a concurrent live JVM keeps its dir; anything else is debris
+        if (!alive) try rmTree(p) catch { case _: java.io.IOException => () }
+      }
+    } finally ls.close()
+    val dir = tmp.resolve(mine)
+    if (cleanupRegistered.add(dir.toString))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try rmTree(dir) catch { case _: Throwable => () }))
+    dir.toString
+  }
+
   /** MinHash-LSH candidates verified at jaccard >= 0.8 over [[augDocs]]. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.withWordShingles(augDocs(s, d), "text")
@@ -103,15 +146,9 @@ object SparkEntry {
       // Trigger.AvailableNow drains the source in several micro-batches
       // (maxFilesPerTrigger=4) and stops; the streamed violation set
       // must hash-match the one-shot batch oracle exactly.
-      // fixed per-corpus locations, overwritten per call: repeated
-      // verify/bench invocations must not accumulate /tmp copies of the
-      // corpus or pinned memory-sink tables
-      // per-corpus AND per-JVM (pid): two concurrent verify/bench JVMs
-      // on the same corpus must not clobber each other's state; within
-      // one JVM the path is stable so repeated passes overwrite
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_src_" +
-        java.lang.Integer.toHexString(d.hashCode) + "_" +
-        ProcessHandle.current().pid()
+      // per-corpus per-JVM scratch (overwritten within a JVM, shutdown
+      // hook + stale-sibling sweep across JVMs — see tmpWorkDir)
+      val dir = tmpWorkDir("graft_stream_src", d)
       FilesTable.files(s, d).write.mode("overwrite").parquet(dir)
       val schema = s.read.parquet(dir).schema
       val stream = graft.streaming.StreamValidate.violationStream(
@@ -123,6 +160,58 @@ object SparkEntry {
       q.awaitTermination()
       s.table(qname)
     }),
+    "v_stream_resume" -> ((s, d) => {
+      // north_star resumability, STREAMING face (VERDICT r5 ask #7):
+      // the checkpointed violation stream drains HALF the corpus and
+      // stops; a crashed task's uncommitted sink file is injected (data
+      // on disk, absent from the sink's _spark_metadata log — exactly
+      // the state a kill mid-micro-batch leaves); the rest of the
+      // corpus arrives and the query RESUMES from the same checkpoint.
+      // The log-visible sink must hash-equal the one-shot batch oracle:
+      // exactly-once across restart, orphan writes invisible. The
+      // require()s certify the resume did NOT reprocess phase-1 files.
+      import org.apache.spark.sql.streaming.Trigger
+      val base = tmpWorkDir("graft_sresume", d)
+      rmTree(java.nio.file.Paths.get(base)) // resume must use THIS run's ckpt
+      val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+      val files = FilesTable.files(s, d)
+      files.filter(col("doc_id") % 2 === 0).repartition(4)
+        .write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val stream = graft.streaming.StreamValidate.violationStream(
+          s, src, schema, FileRules.rowRules, maxFilesPerTrigger = Some(2))
+        val q = stream.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(); q
+      }
+      drain()
+      val committed = s.read.parquet(sink).count()
+      require(committed > 0, "phase 1 committed no violations")
+      // crash injection: a valid data file the log never committed —
+      // if the sink read ignored the log these rows would double-count
+      // and the oracle hash would go red
+      val sinkPath = java.nio.file.Paths.get(sink)
+      val firstPart = {
+        val ls = java.nio.file.Files.list(sinkPath)
+        try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally ls.close()
+      }
+      java.nio.file.Files.copy(firstPart,
+        sinkPath.resolve("part-99999-orphan-of-crashed-task.snappy.parquet"))
+      // phase 2: the other half arrives; resume from the same checkpoint
+      files.filter(col("doc_id") % 2 =!= 0).repartition(4)
+        .write.mode("append").parquet(src)
+      val q2 = drain()
+      val inc = q2.recentProgress.map(_.numInputRows).sum
+      val phase2Rows = files.filter(col("doc_id") % 2 =!= 0).count()
+      require(inc == phase2Rows,
+        s"resume reprocessed drained files: saw $inc source rows, expected $phase2Rows")
+      s.read.parquet(sink)
+    }),
     "v_resume" -> ((s, d) => {
       // north_star resumability, oracle-gated: run the checkpointed
       // validation, CRASH after 2 committed partitions, resume, and
@@ -130,20 +219,11 @@ object SparkEntry {
       // one-shot oracle grid. The require()s certify the resume SKIPPED
       // completed work: exactly 2 lineage records exist before the
       // second run and their bytes' mtimes are untouched by it.
-      // fixed per-corpus root, WIPED before each run: resume semantics
-      // need a clean slate (leftover lineage would satisfy
-      // completedParts), and repeated verify/bench invocations must not
-      // accumulate snapshot trees under /tmp
-      val root: String = s"${System.getProperty("java.io.tmpdir")}/graft_resume_" +
-        java.lang.Integer.toHexString(d.hashCode) + "_" +
-        ProcessHandle.current().pid() // per-JVM: see v_stream_violations
-      val rootPath = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rootPath)) {
-        val walk = java.nio.file.Files.walk(rootPath)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { java.nio.file.Files.delete(p); () })
-        finally walk.close()
-      }
+      // per-corpus per-JVM root, WIPED before each run: resume
+      // semantics need a clean slate (leftover lineage would satisfy
+      // completedParts); cross-JVM cleanup via tmpWorkDir
+      val root: String = tmpWorkDir("graft_resume", d)
+      rmTree(java.nio.file.Paths.get(root))
       // cached by the CALLER so the crash run and the resume share one
       // materialization (run() respects a pre-persisted frame);
       // unpersisted in finally — a require() failure must not leave the
@@ -603,6 +683,8 @@ object SparkEntry {
     "v_resume" -> DuckSql.vVerdicts,
     // incremental (streamed) violations must equal the batch set
     "v_stream_violations" -> DuckSql.vViolations,
+    // kill-and-resume streamed run: log-visible sink ≡ batch set
+    "v_stream_resume" -> DuckSql.vViolations,
     // source oracles re-derive the parse semantics from RAW LINES (this
     // DuckDB predates read_csv's `comment` param): comment lines dropped
     // BEFORE records are numbered, rowSkip counts post-comment records,
