@@ -207,8 +207,17 @@ object RowOps {
   /** `lookup:` with `copy:` — enrich rows from a small reference table via
     * broadcast left join (transform/lookup.go:81-214 builds the whole
     * file into an in-memory map; broadcast is the cluster analog). */
+  /** `tap` (default no-op) sees the joined frame BEFORE projection —
+    * `__lk_key` is null exactly on miss rows and `__lk_src_i` holds the
+    * i-th copy source (in `copies` order): the hook where callers
+    * attach `observe` hit/miss counters without a second pass. */
   def lookupCopy(df: DataFrame, lookup: DataFrame, leftKey: Column,
-      rightKey: Column, copies: (String, String)*): DataFrame = {
+      rightKey: Column, copies: (String, String)*): DataFrame =
+    lookupCopy(df, lookup, leftKey, rightKey, identity[DataFrame] _, copies: _*)
+
+  def lookupCopy(df: DataFrame, lookup: DataFrame, leftKey: Column,
+      rightKey: Column, tap: DataFrame => DataFrame,
+      copies: (String, String)*): DataFrame = {
     // project + rename the lookup side to reserved names BEFORE joining,
     // so lookup columns can never collide with (or silently drop)
     // same-named main-table columns
@@ -233,7 +242,7 @@ object RowOps {
           .select(col("__lk_key") +:
             srcs.indices.map(i => col(s"__lk_row.__lk_src_$i").as(s"__lk_src_$i")): _*)
       }
-    val joined = df.join(broadcast(lk), leftKey === col("__lk_key"), "left")
+    val joined = tap(df.join(broadcast(lk), leftKey === col("__lk_key"), "left"))
     copies.zipWithIndex.foldLeft(joined) { case (d, ((dst, _), i)) =>
       d.withColumn(dst, col(s"__lk_src_$i"))
     }.drop("__lk_key" +: srcs.indices.map(i => s"__lk_src_$i"): _*)
@@ -243,7 +252,8 @@ object RowOps {
     * the original when there is no entry (transform/lookup.go:154-189
     * replace path: hit → mapped value, miss → unchanged). */
   def lookupReplace(df: DataFrame, lookup: DataFrame, field: String,
-      rightKey: String, rightValue: String): DataFrame = {
+      rightKey: String, rightValue: String,
+      tap: DataFrame => DataFrame = identity): DataFrame = {
     val projected = lookup.select(col(rightKey).as("__lk_key"), col(rightValue).as("__lk_val"))
     // map semantics, deterministic winner (greatest value) — see lookupCopy.
     // Unorderable value types (maps) can't go through max(): fall back to
@@ -251,7 +261,8 @@ object RowOps {
     val lk =
       if (hasMap(projected.schema("__lk_val").dataType)) projected.dropDuplicates("__lk_key")
       else projected.groupBy("__lk_key").agg(max(col("__lk_val")).as("__lk_val"))
-    df.join(broadcast(lk), df(field) === col("__lk_key"), "left")
+    // tap contract as in lookupCopy: __lk_key null = miss
+    tap(df.join(broadcast(lk), df(field) === col("__lk_key"), "left"))
       .withColumn(field, coalesce(col("__lk_val"), col(field)))
       .drop("__lk_key", "__lk_val")
   }

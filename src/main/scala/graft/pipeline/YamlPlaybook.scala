@@ -58,7 +58,12 @@ object YamlPlaybook {
     * output-path substitution gap happened). */
   private val ParamRx = "\\{\\{\\s*params\\.([A-Za-z0-9_]+)\\s*\\}\\}".r
 
-  final case class Loaded(playbook: Playbook, name: String, outdir: String)
+  /** `counters` carries the run's operator-level metrics (lookup
+    * hit/miss, objectValidate error/object counts — the reference's
+    * Close()-time log lines, see [[OpCounters]]); populated by the
+    * output actions of `playbook.run`. */
+  final case class Loaded(playbook: Playbook, name: String, outdir: String,
+      counters: OpCounters = new OpCounters)
 
   def loadFile(path: String, params: Map[String, String] = Map.empty): Loaded =
     load(java.nio.file.Files.readString(java.nio.file.Paths.get(path)),
@@ -206,6 +211,7 @@ object YamlPlaybook {
       built.resolve(s, n)
     }
 
+    val counters = new OpCounters
     val pipelines: Map[String, Pipeline] =
       asMap(root.getOrElse("pipelines", null)).map { case (name, raw) =>
         val stepMaps = asSeq(raw).map(asMap)
@@ -213,7 +219,8 @@ object YamlPlaybook {
         val from = str(stepMaps.head.getOrElse("from",
           sys.error(s"pipeline '$name': first step must be `from:` (playbook/execute.go)")))
         val steps = stepMaps.tail.map(m =>
-          stepFn(name, m, resolvePath, subst, colTemplate, resolvePipeline))
+          stepFn(name, m, resolvePath, subst, colTemplate, resolvePipeline,
+            counters))
         name -> Pipeline(from, steps)
       }
 
@@ -250,7 +257,7 @@ object YamlPlaybook {
     }
 
     built = Playbook(inputs, pipelines, outputs)
-    Loaded(built, str(root.getOrElse("name", "")), outdir)
+    Loaded(built, str(root.getOrElse("name", "")), outdir, counters)
   }
 
   // ---------- inputs (extractors/interface.go:16-25) ----------
@@ -380,7 +387,8 @@ object YamlPlaybook {
   private def stepFn(pipe: String, m: Map[String, Any],
       resolvePath: String => String, subst: String => String,
       colTemplate: DataFrame => String => Column,
-      resolvePipeline: (SparkSession, String) => DataFrame): (String, DataFrame => DataFrame) = {
+      resolvePipeline: (SparkSession, String) => DataFrame,
+      counters: OpCounters): (String, DataFrame => DataFrame) = {
     require(m.size == 1 || (m.size == 2 && m.contains("docs")),
       s"pipeline '$pipe': each step must be a single-key map, got ${m.keys.mkString(",")}")
     val (key, raw) = m.view.filterKeys(_ != "docs").head
@@ -508,7 +516,8 @@ object YamlPlaybook {
                   mapping.map { case (dst, tpl) => colTemplate(exploded)(tpl).as(dst) }: _*)
             }
         }
-      case "lookup" => lookupStep(pipe, c, resolvePath, colTemplate, resolvePipeline)
+      case "lookup" =>
+        lookupStep(pipe, c, resolvePath, colTemplate, resolvePipeline, counters)
       case "intervalIntersect" =>
         val j = asMap(c.getOrElse("json", null))
         df => {
@@ -533,7 +542,17 @@ object YamlPlaybook {
             classes.values.find(_.title == title).getOrElse(
               sys.error(s"pipeline '$pipe': objectValidate class '$title' not found in $schemaDir")))
           val rules = graft.rules.SchemaLoader.compileRules(cls, df.columns.toSet)
-          rules.map(_.pass).reduceOption(_ && _).fold(df)(df.filter)
+          rules.map(_.pass).reduceOption(_ && _) match {
+            case None => df
+            case Some(pass) =>
+              // per-class counters (object_validate.go:71-86:
+              // validationCount = rows seen, errorCount = rows dropped)
+              // observed BELOW the filter so they ride the output job
+              counters.attach(df, s"objectValidate:$title", Seq(
+                count(lit(1)).as("validationCount"),
+                sum(when(pass, 0L).otherwise(1L)).as("errorCount")))
+                .filter(pass)
+          }
         }
       case "map" =>
         val code = codeBlock(pipe, "map", c, resolvePath)
@@ -631,7 +650,8 @@ object YamlPlaybook {
   private def lookupStep(pipe: String, c: Map[String, Any],
       resolvePath: String => String,
       colTemplate: DataFrame => String => Column,
-      resolvePipeline: (SparkSession, String) => DataFrame): DataFrame => DataFrame = {
+      resolvePipeline: (SparkSession, String) => DataFrame,
+      counters: OpCounters): DataFrame => DataFrame = {
     val replace = str(c.getOrElse("replace", ""))
     val copy = asMap(c.getOrElse("copy", null)).map { case (k, v) => k -> str(v) }
     def lookupTable(spark: SparkSession): (DataFrame, String, String) =
@@ -663,11 +683,17 @@ object YamlPlaybook {
       val (lk, k, v) = lookupTable(df.sparkSession)
       val valCol = if (v.nonEmpty) v else lk.columns.find(_ != k).getOrElse(v)
       // dispatch on the field's shape like the reference's replace path
-      // (lookup.go:154-214: scalar / []any elements / map keys)
+      // (lookup.go:154-214: scalar / []any elements / map keys).
+      // Scalar replace gets hit/miss counters too (ENGINE EXTENSION:
+      // the reference only counts on the copy path — lookup.go:199-208
+      // — but the numbers are free here, riding the same join)
       df.schema(replace).dataType.typeName match {
         case "array" => RowOps.lookupReplaceArray(df, lk, replace, k, valCol)
         case "map" => RowOps.lookupReplaceMapKeys(df, lk, replace, k, valCol)
-        case _ => RowOps.lookupReplace(df, lk, replace, k, valCol)
+        case _ => RowOps.lookupReplace(df, lk, replace, k, valCol,
+          tap = j => counters.attach(j, s"lookup:$pipe", Seq(
+            sum(when(col("__lk_key").isNotNull, 1L).otherwise(0L)).as("hit"),
+            sum(when(col("__lk_key").isNull, 1L).otherwise(0L)).as("miss"))))
       }
     } else if (copy.nonEmpty) {
       // loud load-time failure: an absent/empty `lookup:` template would
@@ -677,7 +703,20 @@ object YamlPlaybook {
         sys.error(s"pipeline '$pipe': lookup copy needs a non-empty `lookup:` key template")
       df => {
         val (lk, k, _) = lookupTable(df.sparkSession)
-        RowOps.lookupCopy(df, lk, colTemplate(df)(tpl), col(k), copy.toSeq: _*)
+        // reference counter semantics (lookup.go:199-208): hit++ per
+        // (row, copy field) actually attached on a record match —
+        // relationally, matched AND source value present (non-null);
+        // miss++ per row whose key has no record
+        val nCopies = copy.size
+        val tap: DataFrame => DataFrame = j =>
+          counters.attach(j, s"lookup:$pipe", Seq(
+            (0 until nCopies).map(i =>
+              sum(when(col("__lk_key").isNotNull &&
+                col(s"__lk_src_$i").isNotNull, 1L).otherwise(0L)))
+              .reduce(_ + _).as("hit"),
+            sum(when(col("__lk_key").isNull, 1L).otherwise(0L)).as("miss")))
+        RowOps.lookupCopy(df, lk, colTemplate(df)(tpl), col(k), tap,
+          copy.toSeq: _*)
       }
     } else sys.error(s"pipeline '$pipe': lookup needs replace: or copy:")
   }

@@ -134,6 +134,59 @@ class YamlPlaybookSpec extends AnyFunSuite {
     assert(edges.select("_label").distinct().collect()(0).getString(0) === "works_in")
   }
 
+  test("lookup/validate counters surface as a metrics table and commit " +
+    "through IceLite") {
+    val dir = writeFixture()
+    Files.writeString(dir.resolve("codes.json"),
+      """{"code": "d1", "full": "Engineering"}
+        |{"code": "d2", "full": "Sales"}
+        |""".stripMargin)
+    // copy path — the one the reference's hit/miss counters cover
+    // (lookup.go:199-208): 3 of 4 rows match (d1,d2,d1), one copy field
+    // each -> hit=3; p4's dX has no record -> miss=1
+    val yaml =
+      """inputs:
+        |  people:
+        |    json:
+        |      path: people.json
+        |  codes:
+        |    json:
+        |      path: codes.json
+        |pipelines:
+        |  xform:
+        |    - from: people
+        |    - lookup:
+        |        lookup: "{{row.dept}}"
+        |        json:
+        |          input: codes.json
+        |          key: code
+        |        copy:
+        |          deptFull: full
+        |outputs: {}
+        |""".stripMargin
+    val loaded = YamlPlaybook.load(yaml, dir.toString)
+    val out = loaded.playbook.resolve(spark, "xform")
+    assert(out.count() === 4)
+    assert(loaded.counters.snapshot().get("lookup:xform") ===
+      Some(Map("hit" -> 3L, "miss" -> 1L)))
+    // the replace path counts too (engine extension; same join)
+    val e2e = YamlPlaybook.loadFile(dir.resolve("pb.yaml").toString)
+    e2e.playbook.resolve(spark, "transform").count()
+    assert(e2e.counters.snapshot().get("lookup:transform") ===
+      Some(Map("hit" -> 3L, "miss" -> 1L)))
+    // counters commit as a real IceLite metrics table and read back
+    val root = Files.createTempDirectory("graft_opmetrics").toString
+    val ice = new graft.io.IceLite(root)
+    val mdf = loaded.counters.toDF(spark)
+    ice.commitPartition(1L, "playbook", mdf.count(), Map("op_metrics" -> mdf))
+    ice.commitSnapshot(1L, Seq("playbook"))
+    val back = ice.readTable(spark, 1L, "op_metrics")
+      .select("op", "metric", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(back === Set(
+      ("lookup:xform", "hit", 3L), ("lookup:xform", "miss", 1L)))
+  }
+
   test("param overrides replace YAML defaults; undefined params fail loudly") {
     val dir = writeFixture()
     // point the people param at a different file via the override path
@@ -546,6 +599,11 @@ class YamlPlaybookSpec extends AnyFunSuite {
     // EdgeFix (test.py) ran over every edge
     val edges = spark.read.json(s"${loaded.outdir}/gdc.caseGraph/edge.json")
     assert(edges.filter(col("TEST") === "test_string").count() === 128222L)
+    // operator counters = the reference's Close()-time Validation
+    // Summary (object_validate.go:86): 106,521 objects seen, 0 dropped
+    // (its golden output keeps every case)
+    assert(loaded.counters.snapshot().get("objectValidate:Case") ===
+      Some(Map("validationCount" -> 106521L, "errorCount" -> 0L)))
   }
 
   test("the reference's own code-ref playbooks run UNMODIFIED (incl. $ref python files)") {
