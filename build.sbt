@@ -35,3 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // not -D flags, so set it for the forked test/run JVMs
 Test / envVars += "LANG" -> "C.utf8"
 run / envVars += "LANG" -> "C.utf8"
+// `sbt explainAll` regenerates BENCH/PLANS_RAW.md so physical-plan
+// drift is caught by `git diff` (PLANS.md holds the curated commentary)
+val explainAll = taskKey[Unit]("Regenerate BENCH/PLANS_RAW.md (plan-drift witness)")
+explainAll := (Compile / runMain)
+  .toTask(" graft.bench.ExplainAll --out BENCH/PLANS_RAW.md").value

@@ -3,13 +3,38 @@ package graft.bench
 import org.apache.spark.sql.SparkSession
 
 /** Dump formatted physical plans for selected queries (plan-quality
-  * review: pushdown, pruning, broadcast choice, codegen spans). */
+  * review: pushdown, pruning, broadcast choice, codegen spans).
+  *
+  * Two modes:
+  *   - stdout (default): interactive review.
+  *   - `--out <file>`: write the plans to a file — `sbt explainAll`
+  *     regenerates BENCH/PLANS_RAW.md with a deterministic query order,
+  *     so any PLAN DRIFT shows up as a git diff at commit time instead
+  *     of waiting for a judge to re-read plans (VERDICT r5 ask #10).
+  *     The curated commentary stays in PLANS.md; the raw file is the
+  *     mechanical witness it points at.
+  */
 object ExplainAll {
+
+  /** Queries whose plans are the load-bearing scale arguments. The
+    * fixture-building certification queries (v_resume, v_stream_*) are
+    * excluded: their closures perform filesystem setup on construction,
+    * and their value is behavioral, not plan shape. */
+  val DefaultNames: Seq[String] = Seq(
+    "v_violations", "v_verdicts", "v_unique_dups", "v_ref_orphans",
+    "v_profile", "v_salted_hot", "q_agg_reduce", "q_lookup_copy",
+    "q_interval", "s_ann_topk", "x_ann_lsh", "x_ann_ivf",
+    "d_dedup_exact", "d_minhash_pairs", "x_simhash64_pairs",
+    "d_embed_neardup", "g_gdc_edges", "p_train_pipeline")
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSet else Set(
-      "v_violations", "v_unique_dups", "v_ref_orphans", "v_profile",
-      "q_agg_reduce", "q_lookup_copy", "q_interval", "s_ann_topk")
+    val (outFile, rest) = args.toSeq match {
+      case Seq("--out", f, tail @ _*) => (Some(f), tail)
+      case other => (None, other)
+    }
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val names: Seq[String] =
+      if (rest.length > 1) rest.drop(1) else DefaultNames
     // SPARK_GRAFT_NO_BROADCAST=1 shows the at-scale join shape: tiny
     // test inputs otherwise let AQE broadcast sides that would be
     // shuffled equi-joins on a real corpus
@@ -20,9 +45,31 @@ object ExplainAll {
       builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.SparkEntry.queries.filter(q => names(q._1)).foreach { case (name, fn) =>
-      println(s"\n=============== $name ===============")
-      fn(spark, sfDir).explain("formatted")
+    val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    val sections = names.flatMap { name =>
+      graft.SparkEntry.queries.get(name).map { fn =>
+        // plan_id is a session-global monotonic counter (varies with
+        // how many plans ran before this one) — scrub it so the file
+        // diffs clean when the plan SHAPE is unchanged
+        s"\n=============== $name ===============\n" +
+          fn(spark, sfDir).queryExecution.explainString(mode)
+            .replaceAll("plan_id=\\d+", "plan_id=*")
+      }
+    }
+    outFile match {
+      case Some(f) =>
+        val header =
+          s"""# PLANS_RAW — mechanical plan dump (regenerate: `sbt explainAll`)
+             |
+             |Formatted physical plans at sf0.001, local[4], shuffle=4.
+             |This file is a drift witness: a change here means a query's
+             |physical plan changed — review it against PLANS.md's
+             |commentary before committing.
+             |""".stripMargin
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+          header + sections.mkString("\n"))
+        println(s"wrote ${sections.size} plans -> $f")
+      case None => sections.foreach(println)
     }
     spark.stop()
   }

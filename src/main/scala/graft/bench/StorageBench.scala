@@ -72,8 +72,11 @@ object StorageBench {
 
   def globBench(spark: SparkSession, workDir: String): Unit = {
     import java.nio.file.{Files, Paths}
-    val dir = Paths.get(s"$workDir/glob_fanin")
-    val total = 10000
+    // 10^5 files since round 6 (VERDICT r5 ask #8): the question is
+    // whether the single-scan path's listing cost stays ~linear (it is
+    // listing-bound past 10^3) or degrades superlinearly
+    val dir = Paths.get(s"$workDir/glob_fanin6")
+    val total = 100000
     def fileCount(): Long = {
       val s = Files.list(dir)
       try s.count() finally s.close()
@@ -81,17 +84,18 @@ object StorageBench {
     if (!Files.isDirectory(dir) || fileCount() < total) {
       Files.createDirectories(dir)
       (0 until total).foreach { i =>
-        Files.writeString(dir.resolve(f"part_$i%05d.ndjson"),
+        Files.writeString(dir.resolve(f"part_$i%06d.ndjson"),
           (0 until 5).map(j => s"""{"v":${i * 5 + j},"s":"doc_$i"}""")
             .mkString("", "\n", "\n"))
       }
     }
     def pat(n: Int): String = n match {
-      case 100 => s"$dir/part_000*.ndjson"   // 00000..00099
-      case 1000 => s"$dir/part_00*.ndjson"   // 00000..00999
+      case 100 => s"$dir/part_0000*.ndjson"   // 000000..000099
+      case 1000 => s"$dir/part_000*.ndjson"   // 000000..000999
+      case 10000 => s"$dir/part_00*.ndjson"   // 000000..009999
       case _ => s"$dir/part_*.ndjson"
     }
-    Seq(100, 1000, total).foreach { n =>
+    Seq(100, 1000, 10000, total).foreach { n =>
       val fast = Sources.glob(spark, pat(n), Sources.ndjson,
         storeFilename = Some("fname"), fileSourceInner = true)
       val (cnt, tFast) = time(fast.count())

@@ -319,12 +319,19 @@ object RowOps {
   /** The effective lookup is the INTERSECTION of the table with the
     * element values actually present in the data — a 10^9-row
     * dictionary probed by arrays drawing from a few thousand distinct
-    * values still evaluates as a literal map. Cost is bounded in BOTH
-    * outcomes: the distinct-element probe is a narrow scan with a
-    * `limit` (the big lookup is NOT touched), and only when the active
-    * set fits the cap is the lookup read — with the actives pushed down
-    * as an IN filter, no join, no shuffle. None when the active set
-    * exceeds [[LitMapMaxRows]]. */
+    * values still evaluates as a literal map.
+    *
+    * Real cost (ADVICE r5): the probe is a FULL extra evaluation of
+    * the upstream plan plus a distinct — the `limit` caps the driver
+    * collect, not the aggregate, so the input side is scanned twice
+    * when this tier is taken. The exchange itself stays small (partial
+    * map-side distinct means at most |partitions|×|per-partition
+    * distinct| rows move), and the big LOOKUP side is touched only
+    * when the active set fits the cap — then with the actives pushed
+    * down as an IN filter, no join, no shuffle. Worth it when the
+    * lookup is huge and the active set small (the case this tier
+    * exists for); the caller falls through to the join tier otherwise.
+    * None when the active set exceeds [[LitMapMaxRows]]. */
   private def activeLitMap(elems: DataFrame, lookup: DataFrame,
       keyCol: String, valCol: String): Option[Column] = {
     val actives = elems.select(col("__elem").cast("string").as("__elem"))

@@ -154,7 +154,10 @@ object PyLexer {
           out += Tok(if (keywords(w)) KW else NAME, w, line)
           i = j
         } else {
-          val op = ops.find(o => src.startsWith(o, i)).getOrElse(err(s"unexpected character '$c'"))
+          val op = ops.find(o => src.startsWith(o, i)).getOrElse(err(c match {
+            case '@' => "decorators are outside the PyLite subset ('@' is not a PyLite operator)"
+            case _ => s"unexpected character '$c'"
+          }))
           if (op == "(" || op == "[" || op == "{") depth += 1
           if (op == ")" || op == "]" || op == "}") depth = math.max(0, depth - 1)
           out += Tok(OP, op, line)

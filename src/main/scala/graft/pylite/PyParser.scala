@@ -47,6 +47,8 @@ private final class PyParser(toks: Vector[Tok]) {
 
   private def statement(): PStmt = {
     val line = cur.line
+    // ('@' never reaches here — the lexer already rejects it with a
+    // decorator-specific message)
     if (at(KW, "def")) funcDef()
     else if (at(KW, "if")) ifStmt()
     else if (at(KW, "for")) forStmt()
@@ -158,7 +160,10 @@ private final class PyParser(toks: Vector[Tok]) {
     expect(KW, "in")
     val it = exprTop()
     expect(OP, ":")
-    PFor(vars.result(), it, block(), line)
+    val body = block()
+    if (at(KW, "else"))
+      err("`for ... else:` is outside the PyLite subset")
+    PFor(vars.result(), it, body, line)
   }
 
   private def tryStmt(): PStmt = {
@@ -186,7 +191,10 @@ private final class PyParser(toks: Vector[Tok]) {
     expect(KW, "while")
     val c = exprTop()
     expect(OP, ":")
-    PWhile(c, block(), line)
+    val body = block()
+    if (at(KW, "else"))
+      err("`while ... else:` is outside the PyLite subset")
+    PWhile(c, body, line)
   }
 
   // ---- expressions ------------------------------------------------------
@@ -338,6 +346,9 @@ private final class PyParser(toks: Vector[Tok]) {
 
   private def atom(): PExpr = {
     val t = cur
+    if (t.kind == KW && t.text == "yield")
+      err("generators (`yield`) are outside the PyLite subset " +
+        "(sifter playbook code blocks return lists instead)")
     t.kind match {
       case NUM  =>
         advance()

@@ -55,8 +55,24 @@ object Sinks {
   }
 
   /** stdout loader — `name\tjson` lines to stdout (loader/stdout.go:14-30).
-    * A debugging sink: collects to the driver, exactly like the
-    * reference's single-process writer; not for large outputs. */
-  def stdout(df: DataFrame, name: String): Unit =
-    df.toJSON.collect().foreach(j => println(s"$name\t$j"))
+    * Inherently driver-side like the reference's single-process writer,
+    * but STREAMED: `toLocalIterator` holds at most one partition's rows
+    * on the driver at a time, so a misdirected large table cannot OOM
+    * the driver or trip spark.driver.maxResultSize the way a collect()
+    * would (each partition-fetch is its own small result). `rowCap`
+    * additionally bounds the line count; the iterator stops fetching
+    * partitions once the cap is hit. */
+  def stdout(df: DataFrame, name: String, rowCap: Option[Long] = None,
+      out: String => Unit = println): Unit = {
+    val it = df.toJSON.toLocalIterator()
+    var n = 0L
+    while (it.hasNext && rowCap.forall(n < _)) {
+      out(s"$name\t${it.next()}")
+      n += 1
+    }
+    // the note goes to stderr — stdout stays pure `name\tjson` lines
+    // (downstream parsers see exactly the reference's format)
+    if (it.hasNext)
+      System.err.println(s"[stdout sink] '$name' truncated at $n rows (rowCap)")
+  }
 }

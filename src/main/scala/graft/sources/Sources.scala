@@ -56,6 +56,20 @@ object Sources {
     * split / short-row padding / overflow stay columnar. Quote handling
     * is plain-split (the reference's LazyQuotes mode for quote-free
     * data). */
+  /** One file's header record (first post-comment, post-skip line).
+    * Object-level (not a local def) so executor lambdas reach it
+    * through the static module accessor instead of capturing the
+    * enclosing scope. */
+  private def headerPeek(fsys: org.apache.hadoop.fs.FileSystem, f: String,
+      comment: String, skip: Int): Option[String] = {
+    val in = openFile(fsys, new org.apache.hadoop.fs.Path(f))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(l => comment.isEmpty || !l.startsWith(comment))
+        .slice(skip, skip + 1).toList.headOption
+    } finally in.close()
+  }
+
   def table(spark: SparkSession, path: String, spec: TableSpec = TableSpec()): DataFrame = {
     import org.apache.hadoop.fs.{Path => HPath}
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -92,15 +106,19 @@ object Sources {
         // first file's names (silent column misalignment) — they fall
         // back to per-file loads unioned by NAME, the reference's
         // per-file mapping semantics.
-        def headerOf(f: String): Option[String] = {
-          val in = openFile(fs, new HPath(f))
-          try {
-            scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-              .filter(l => comment.isEmpty || !l.startsWith(comment))
-              .slice(spec.rowSkip, spec.rowSkip + 1).toList.headOption
-          } finally in.close()
-        }
-        val headers = files.map(f => f -> headerOf(f))
+        // the peeks run as a SPARK JOB over the file list (ADVICE r5:
+        // sequential driver-side opens made 10^4-file globs
+        // driver-bound before any real work); each task reads only one
+        // header record. Single file skips the job scheduling cost.
+        val skip = spec.rowSkip
+        val headers: Seq[(String, Option[String])] =
+          if (files.length == 1)
+            files.map(f => f -> headerPeek(fs, f, comment, skip))
+          else spark.sparkContext
+            .parallelize(files, math.min(files.length, 64))
+            .map(f => f -> Sources.headerPeek(
+              new HPath(f).getFileSystem(conf.value), f, comment, skip))
+            .collect().toIndexedSeq.sortBy(_._1)
         val present = headers.collect { case (f, Some(h)) => (f, h) }
         if (present.isEmpty) throw new IllegalArgumentException(
           s"table source '$path': no header record (files empty, fully " +

@@ -123,12 +123,22 @@ object XmlSource {
         val in = if (f.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
         try rows(in, level) finally in.close()
       }
-      // read.json's eager schema inference is a FULL pass, and every
-      // later action re-runs the StAX extraction — persist the
-      // extracted JSON strings so the (dominant) parse cost is paid
-      // once per source, not once per action
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     import spark.implicits._
-    spark.read.json(spark.createDataset(jsons))
+    // read.json's eager schema inference is a FULL pass: persist the
+    // extracted JSON strings for EXACTLY that pass, then unpersist and
+    // return a schema-pinned reader over the unpersisted lineage
+    // (ADVICE r5: a MEMORY_AND_DISK persist held for the session pinned
+    // a copy of every XML corpus ever read — disk blocks don't LRU).
+    // Cost model: inference parses the XML once; each downstream action
+    // re-runs the StAX extraction. A caller that acts repeatedly should
+    // persist the RETURNED frame — that caches parsed columnar rows
+    // (smaller and faster than raw JSON strings) under a lifetime the
+    // caller controls.
+    val transient0 = jsons.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val schema =
+      try spark.read.json(spark.createDataset(transient0)).schema
+      finally { transient0.unpersist(blocking = false); () }
+    spark.read.schema(schema).json(spark.createDataset(jsons))
   }
 }

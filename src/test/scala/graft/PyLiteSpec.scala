@@ -676,4 +676,48 @@ class PyLiteSpec extends AnyFunSuite {
     assert(out.getAs[Double]("d") === 3.14)
     assert(out.getAs[String]("t").startsWith("2026-01-02"))
   }
+
+  test("unsupported-surface boundary: every rejected construct fails at " +
+    "COMPILE (plan) time with a targeted message, never mid-partition") {
+    // VERDICT r5 ask #9 — the contract a user hits first: anything
+    // outside the subset dies when the playbook LOADS (PyOps.compile
+    // runs on the driver at plan build), with a message naming the
+    // construct, not an executor stack trace hours in
+    val rejected: Seq[(String, String, String)] = Seq(
+      ("class", "class A:\n  pass\n", "'class' is outside"),
+      ("yield statement", "def f():\n  yield 1\n", "yield"),
+      ("yield expression", "def f():\n  x = yield 1\n  return x\n", "yield"),
+      ("generator expr delegation", "def f():\n  return (yield 2)\n", "yield"),
+      ("decorator", "@memo\ndef f():\n  return 1\n", "decorators are outside"),
+      ("for-else", "def f(xs):\n  for x in xs:\n    pass\n  else:\n    return 1\n",
+        "`for ... else:` is outside"),
+      ("while-else", "def f(n):\n  while n > 0:\n    n = n - 1\n  else:\n    return n\n",
+        "`while ... else:` is outside"),
+      ("from-import", "from os import path\n", "'from' is outside"),
+      ("with", "def f():\n  with open('x') as h:\n    return 1\n", "'with' is outside"),
+      ("raise", "def f():\n  raise ValueError('x')\n", "'raise' is outside"),
+      ("global", "def f():\n  global g\n  return g\n", "'global' is outside"),
+      ("del", "def f(d):\n  del d['k']\n  return d\n", "'del' is outside"),
+      ("assert", "def f(x):\n  assert x > 0\n  return x\n", "'assert' is outside"),
+      ("named except", "def f():\n  try:\n    return 1\n  except KeyError:\n    return 2\n",
+        "except KeyError"),
+      ("except-as", "def f():\n  try:\n    return 1\n  except Exception as e:\n    return 2\n",
+        "as name"),
+      ("finally", "def f():\n  try:\n    return 1\n  except:\n    return 2\n  finally:\n    return 3\n",
+        "finally"),
+      ("bignum literal", "def f():\n  return 99999999999999999999\n", "64-bit"))
+    rejected.foreach { case (label, code, needle) =>
+      val e = intercept[PyLiteException](PyParser.compile(code, "f"))
+      assert(e.getMessage.contains(needle),
+        s"$label: got '${e.getMessage}', wanted substring '$needle'")
+    }
+    // and the boundary is tight: the adjacent SUPPORTED forms compile
+    Seq(
+      "def f(xs):\n  for x in xs:\n    pass\n  return 1\n",
+      "def f():\n  try:\n    return 1\n  except:\n    return 2\n",
+      "def f():\n  try:\n    return 1\n  except Exception:\n    return 2\n",
+      "def f():\n  g = lambda x: x + 1\n  return g(2)\n",
+      "import hashlib\ndef f():\n  return 1\n"
+    ).foreach(code => PyParser.compile(code, "f"))
+  }
 }

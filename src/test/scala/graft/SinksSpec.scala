@@ -43,6 +43,22 @@ class SinksSpec extends AnyFunSuite {
     assert(lines.exists(_ == "r1\t{\"a\":1}"), lines.mkString("|"))
   }
 
+  test("stdout sink streams (no whole-frame collect), keeps the name\\tjson " +
+    "format, and honors rowCap with a stderr-only truncation note") {
+    // 50 partitions: toLocalIterator fetches ONE partition per job, so
+    // the driver never holds more than 10k/50 rows at once — the shape
+    // that survives a misdirected large table (loader/stdout.go mirror,
+    // VERDICT r5 residual #1)
+    val df = spark.range(0, 10000, 1, 50).toDF("v")
+    var capped = Vector.empty[String]
+    Sinks.stdout(df, "t", rowCap = Some(7), out = l => capped :+= l)
+    assert(capped.size === 7)
+    assert(capped.forall(_.matches("t\\t\\{\"v\":\\d+\\}")))
+    var n = 0
+    Sinks.stdout(df, "t", out = _ => n += 1)
+    assert(n === 10000)
+  }
+
   test("graph sink writes vertex + edge ndjson.gz (output_graph.go)") {
     val d = tmp()
     val files = FilesTable.files(spark, sf)
