@@ -112,8 +112,38 @@ object StorageBench {
           val foldLines = fold.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
           f""","sec_fold":$tFold%.3f,"plan_lines_fold":$foldLines"""
         } else ""
+      // at 10^5 files the hidden cost is eager JSON schema INFERENCE —
+      // a full extra read of the corpus at plan build (probed: 77s
+      // build vs 26s scan at 10^5; packing tasks via openCostInBytes
+      // moved nothing — the per-file open is the floor, compaction the
+      // real fix). Measure the schema-pinned inner: build + scan with
+      // inference skipped.
+      val pinnedTimes =
+        if (n >= 100000) {
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("s",
+              org.apache.spark.sql.types.StringType)))
+          // sec_fast times only the scan (build untimed, historical
+          // field); these two time BUILD+SCAN so the inference cost is
+          // visible and comparable
+          val (c3, tPinned) = time {
+            Sources.glob(spark, pat(n), Sources.ndjsonWithSchema(schema),
+              storeFilename = Some("fname"), fileSourceInner = true).count()
+          }
+          require(c3 == cnt)
+          val (c4, tInfer) = time {
+            Sources.glob(spark, pat(n), Sources.ndjson,
+              storeFilename = Some("fname"), fileSourceInner = true).count()
+          }
+          require(c4 == cnt)
+          f""","sec_inferred_build_and_scan":$tInfer%.3f""" +
+            f""","sec_pinned_build_and_scan":$tPinned%.3f"""
+        } else ""
       println(f"""{"metric":"glob_fanin","files":$n,"rows":$cnt,""" +
-        f""""sec_fast":$tFast%.3f,"plan_lines_fast":$planLines$foldTimes}""")
+        f""""sec_fast":$tFast%.3f,"tasks_fast":${fast.rdd.getNumPartitions},""" +
+        f""""plan_lines_fast":$planLines$foldTimes$pinnedTimes}""")
     }
   }
 

@@ -194,6 +194,18 @@ object Sources {
   def ndjson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** [[ndjson]] with a caller-pinned schema: skips eager schema
+    * inference, which is a FULL extra read of every matched file —
+    * at 10^5 tiny files the inference pass costs ~3x one scan
+    * (StorageBench glob_fanin). Curried so it drops into
+    * [[glob]]'s `inner` seam: `glob(s, pat, ndjsonWithSchema(sch))`.
+    * The caller owns the contract that files conform (fields absent
+    * from the schema are dropped, absent from the data are null —
+    * Spark JSON semantics). */
+  def ndjsonWithSchema(schema: org.apache.spark.sql.types.StructType)(
+      spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Single multiline JSON document — json_load.go:47-68. */
   def jsonDoc(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", value = true).json(path)
