@@ -13,6 +13,7 @@ import graft.validate._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import scala.jdk.CollectionConverters._
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB oracle in [[oracleSql]] computing the
@@ -211,6 +212,74 @@ object SparkEntry {
       require(inc == phase2Rows,
         s"resume reprocessed drained files: saw $inc source rows, expected $phase2Rows")
       s.read.parquet(sink)
+    }),
+    "v_stream_window" -> ((s, d) => {
+      // watermarked event-time windowed aggregation, the STREAMING face
+      // of q_window_agg, in APPEND mode — the strict semantics where a
+      // window row is emitted exactly once, when the watermark passes
+      // its end (state is bounded by the watermark horizon; this is the
+      // 100 TB shape of continuous event monitoring). The corpus drains
+      // in several micro-batches (maxFilesPerTrigger), then ONE
+      // far-future sentinel event in a file with a strictly later
+      // mtime (FileStreamSource drains oldest-first) advances the
+      // watermark past every real window; the post-sentinel no-data
+      // flush batch (SPARK-24156) emits them. The sentinel's own window
+      // is never finalized (the watermark can't pass it), so the
+      // emitted set must hash-equal the batch oracle over the real rows
+      // — no filtering, no complete-mode state crutch.
+      import org.apache.spark.sql.streaming.Trigger
+      val dir = tmpWorkDir("graft_stream_win", d)
+      rmTree(java.nio.file.Paths.get(dir))
+      // the parquet ts is TIMESTAMP_NTZ; watermarks are defined on
+      // instants (TIMESTAMP) — cast on write, cast the window bounds
+      // back after the agg (identity under the session's UTC timezone,
+      // which GraftSession pins for exactly this oracle parity)
+      val ev = t(s, d, "events").select(col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+      // files must arrive in EVENT-TIME order or the watermark drops
+      // later files' rows as late (the drain is several micro-batches,
+      // and the watermark advances batch-over-batch): range-partition on
+      // ts — each part file covers a contiguous, non-overlapping time
+      // range, part-NNNNN in range order — and stamp ascending mtimes so
+      // FileStreamSource (oldest-first) replays the stream in order.
+      // This is the realistic shape: a continuous source lands files in
+      // arrival order.
+      ev.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(dir)
+      val dp = java.nio.file.Paths.get(dir)
+      def partFiles(): Set[java.nio.file.Path] = {
+        val ls = java.nio.file.Files.list(dp)
+        try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .iterator().asScala.toSet
+        finally ls.close()
+      }
+      val dataParts = partFiles()
+      val base = System.currentTimeMillis()
+      dataParts.toSeq.sortBy(_.getFileName.toString).zipWithIndex.foreach {
+        case (p, i) => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+      }
+      ev.agg(max(col("ts")).as("ts"))
+        .select((col("ts") + expr("INTERVAL 7 DAYS")).as("ts"),
+          lit("___sentinel___").as("event_type"), lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      // the sentinel must be the LAST file the source picks up: stamp it
+      // past the whole ascending data sequence
+      (partFiles() -- dataParts).foreach(p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(base + 1000 * 10000L)))
+      val schema = s.read.parquet(dir).schema
+      val stream = graft.streaming.StreamValidate.windowedEventAgg(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "3").parquet(dir),
+        "1 hour", "1 hour", "10 minutes")
+      val qname = "v_stream_window_sink"
+      s.catalog.dropTempView(qname)
+      val q = graft.streaming.StreamValidate.toMemorySink(stream, qname, "append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("w_start").cast("timestamp_ntz").as("w_start"),
+          col("w_end").cast("timestamp_ntz").as("w_end"),
+          col("event_type"), col("n"), col("value_sum"))
     }),
     "v_resume" -> ((s, d) => {
       // north_star resumability, oracle-gated: run the checkpointed
@@ -685,6 +754,14 @@ object SparkEntry {
     "v_stream_violations" -> DuckSql.vViolations,
     // kill-and-resume streamed run: log-visible sink ≡ batch set
     "v_stream_resume" -> DuckSql.vViolations,
+    // the streamed windowed agg must equal the batch hour buckets over
+    // the REAL events (the sentinel's window is never watermark-finalized)
+    "v_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS w_start,
+        |date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     // source oracles re-derive the parse semantics from RAW LINES (this
     // DuckDB predates read_csv's `comment` param): comment lines dropped
     // BEFORE records are numbered, rowSkip counts post-comment records,

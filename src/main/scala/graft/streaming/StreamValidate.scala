@@ -40,7 +40,10 @@ object StreamValidate {
 
   /** Windowed event-rate monitoring (the ops-side health signal):
     * per event_type counts + value sums over sliding windows with a
-    * watermark bounding state. */
+    * watermark bounding state. The sum runs in decimal(18,2) and is
+    * cast back to double so the result is exact (bit-stable across
+    * partition orderings and engines — the same move q_window_agg's
+    * batch face makes for its DuckDB oracle). */
   def windowedEventAgg(events: DataFrame,
       window_ : String = "5 minutes", slide: String = "5 minutes",
       watermark: String = "10 minutes"): DataFrame =
@@ -48,7 +51,7 @@ object StreamValidate {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value")).as("value_sum"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("value_sum"))
 

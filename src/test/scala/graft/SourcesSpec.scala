@@ -357,6 +357,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(!fast.queryExecution.optimizedPlan.toString.contains("Union"))
   }
 
+  test("glob + ndjsonWithSchema: pinned schema skips inference, same rows, " +
+    "absent fields null / extra fields dropped") {
+    val d = Files.createTempDirectory("globpin")
+    Files.writeString(d.resolve("a.ndjson"), """{"v":1,"s":"x"}""" + "\n")
+    Files.writeString(d.resolve("b.ndjson"), """{"v":2,"extra":"y"}""" + "\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val df = Sources.glob(spark, d.toString + "/*.ndjson",
+      Sources.ndjsonWithSchema(schema),
+      storeFilename = Some("fname"), fileSourceInner = true)
+    assert(df.schema.fieldNames.toSeq === Seq("v", "s", "fname"))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)), r.getString(2))).sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (1L, Some("x"), "a.ndjson"), (2L, None, "b.ndjson")))
+  }
+
   test("uuid5/uuid3 match RFC 4122 test vectors") {
     UuidExprs.register(spark)
     val df = Seq(("www.example.com")).toDF("name")
