@@ -229,44 +229,53 @@ object SparkEntry {
       // — no filtering, no complete-mode state crutch.
       import org.apache.spark.sql.streaming.Trigger
       val dir = tmpWorkDir("graft_stream_win", d)
-      rmTree(java.nio.file.Paths.get(dir))
-      // the parquet ts is TIMESTAMP_NTZ; watermarks are defined on
-      // instants (TIMESTAMP) — cast on write, cast the window bounds
-      // back after the agg (identity under the session's UTC timezone,
-      // which GraftSession pins for exactly this oracle parity)
-      val ev = t(s, d, "events").select(col("ts").cast("timestamp").as("ts"),
-        col("event_type"), col("value"))
-      // files must arrive in EVENT-TIME order or the watermark drops
-      // later files' rows as late (the drain is several micro-batches,
-      // and the watermark advances batch-over-batch): range-partition on
-      // ts — each part file covers a contiguous, non-overlapping time
-      // range, part-NNNNN in range order — and stamp ascending mtimes so
-      // FileStreamSource (oldest-first) replays the stream in order.
-      // This is the realistic shape: a continuous source lands files in
-      // arrival order.
-      ev.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(dir)
       val dp = java.nio.file.Paths.get(dir)
-      def partFiles(): Set[java.nio.file.Path] = {
-        val ls = java.nio.file.Files.list(dp)
-        try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .iterator().asScala.toSet
-        finally ls.close()
+      // the fixture (corpus + sentinel, mtime-ordered) is deterministic
+      // per corpus dir, so later calls in the same JVM (bench passes
+      // 2..n) reuse it and time the STREAM, not the fixture write; the
+      // marker is written only after the mtime stamps, so a crashed
+      // half-built dir is rebuilt, not trusted
+      val marker = dp.resolve("_FIXTURE_READY")
+      if (!java.nio.file.Files.exists(marker)) {
+        rmTree(dp)
+        // the parquet ts is TIMESTAMP_NTZ; watermarks are defined on
+        // instants (TIMESTAMP) — cast on write, cast the window bounds
+        // back after the agg (identity under the session's UTC timezone,
+        // which GraftSession pins for exactly this oracle parity)
+        val ev = t(s, d, "events").select(col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("value"))
+        // files must arrive in EVENT-TIME order or the watermark drops
+        // later files' rows as late (the drain is several micro-batches,
+        // and the watermark advances batch-over-batch): range-partition on
+        // ts — each part file covers a contiguous, non-overlapping time
+        // range, part-NNNNN in range order — and stamp ascending mtimes so
+        // FileStreamSource (oldest-first) replays the stream in order.
+        // This is the realistic shape: a continuous source lands files in
+        // arrival order.
+        ev.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(dir)
+        def partFiles(): Set[java.nio.file.Path] = {
+          val ls = java.nio.file.Files.list(dp)
+          try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .iterator().asScala.toSet
+          finally ls.close()
+        }
+        val dataParts = partFiles()
+        val base = System.currentTimeMillis()
+        dataParts.toSeq.sortBy(_.getFileName.toString).zipWithIndex.foreach {
+          case (p, i) => java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+        }
+        ev.agg(max(col("ts")).as("ts"))
+          .select((col("ts") + expr("INTERVAL 7 DAYS")).as("ts"),
+            lit("___sentinel___").as("event_type"), lit(0.0).as("value"))
+          .coalesce(1).write.mode("append").parquet(dir)
+        // the sentinel must be the LAST file the source picks up: stamp it
+        // past the whole ascending data sequence
+        (partFiles() -- dataParts).foreach(p =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base + 1000 * 10000L)))
+        java.nio.file.Files.createFile(marker)
       }
-      val dataParts = partFiles()
-      val base = System.currentTimeMillis()
-      dataParts.toSeq.sortBy(_.getFileName.toString).zipWithIndex.foreach {
-        case (p, i) => java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
-      }
-      ev.agg(max(col("ts")).as("ts"))
-        .select((col("ts") + expr("INTERVAL 7 DAYS")).as("ts"),
-          lit("___sentinel___").as("event_type"), lit(0.0).as("value"))
-        .coalesce(1).write.mode("append").parquet(dir)
-      // the sentinel must be the LAST file the source picks up: stamp it
-      // past the whole ascending data sequence
-      (partFiles() -- dataParts).foreach(p =>
-        java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(base + 1000 * 10000L)))
       val schema = s.read.parquet(dir).schema
       val stream = graft.streaming.StreamValidate.windowedEventAgg(
         s.readStream.schema(schema).option("maxFilesPerTrigger", "3").parquet(dir),
