@@ -213,6 +213,43 @@ object SparkEntry {
         s"resume reprocessed drained files: saw $inc source rows, expected $phase2Rows")
       s.read.parquet(sink)
     }),
+    "v_stream_totals" -> ((s, d) => {
+      // custom streaming state via mapGroupsWithState — the escape
+      // hatch when the running metric isn't a built-in aggregate (the
+      // state row carries BOTH the cumulative total and the per-batch
+      // increment). The violation stream drains in several
+      // micro-batches; the memory sink (update mode) accumulates one
+      // update row per (rule, batch); the FINAL state per rule — the
+      // max of a monotone total — must equal the batch oracle's
+      // GROUP BY count, and the increments must sum to it (certified
+      // by the require, not just the final snapshot).
+      import org.apache.spark.sql.streaming.Trigger
+      val dir = tmpWorkDir("graft_stream_tot", d)
+      val marker = java.nio.file.Paths.get(dir).resolve("_FIXTURE_READY")
+      if (!java.nio.file.Files.exists(marker)) {
+        rmTree(java.nio.file.Paths.get(dir))
+        FilesTable.files(s, d).write.mode("overwrite").parquet(dir)
+        java.nio.file.Files.createFile(marker)
+      }
+      val schema = s.read.parquet(dir).schema
+      val stream = graft.streaming.StreamValidate.violationStream(
+        s, dir, schema, FileRules.rowRules, maxFilesPerTrigger = Some(4))
+      val totals = graft.streaming.StreamValidate.statefulRuleTotals(stream)
+      val qname = "v_stream_totals_sink"
+      s.catalog.dropTempView(qname)
+      val q = totals.writeStream.format("memory").queryName(qname)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sink = s.table(qname)
+      val bad = sink.groupBy(col("rule_id"))
+        .agg(max(col("total")).as("final_total"),
+          sum(col("batch_inc")).as("inc_sum"))
+        .filter(col("final_total") =!= col("inc_sum")).count()
+      require(bad == 0,
+        s"$bad rules' batch increments do not sum to their final state")
+      sink.groupBy(col("rule_id")).agg(max(col("total")).as("total"))
+    }),
     "v_stream_window" -> ((s, d) => {
       // watermarked event-time windowed aggregation, the STREAMING face
       // of q_window_agg, in APPEND mode — the strict semantics where a
@@ -763,6 +800,8 @@ object SparkEntry {
     "v_stream_violations" -> DuckSql.vViolations,
     // kill-and-resume streamed run: log-visible sink ≡ batch set
     "v_stream_resume" -> DuckSql.vViolations,
+    // mapGroupsWithState running totals: final state per rule ≡ batch count
+    "v_stream_totals" -> DuckSql.vRuleTotals,
     // the streamed windowed agg must equal the batch hour buckets over
     // the REAL events (the sentinel's window is never watermark-finalized)
     "v_stream_window" ->

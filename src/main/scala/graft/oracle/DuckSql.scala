@@ -45,6 +45,14 @@ object DuckSql {
 
   def vViolations: String = cte + violationsUnion(FileRules.rowRules)
 
+  /** Oracle for the mapGroupsWithState stream (v_stream_totals): the
+    * final cumulative state per rule must equal the batch violation
+    * count. Rules with zero violations appear on neither side. */
+  def vRuleTotals: String =
+    cte + s""", v AS (${violationsUnion(FileRules.rowRules)})
+       |SELECT rule_id, CAST(COUNT(*) AS BIGINT) AS total
+       |FROM v GROUP BY 1""".stripMargin
+
   def vVerdicts: String = {
     val ruleValues = FileRules.rowRules.map(r => s"('${r.id}')").mkString(", ")
     cte +
