@@ -237,6 +237,50 @@ object StorageBench {
     }
   }
 
+  /** Small-file compaction (round 6): 64 partitions × 8 tiny files is
+    * the debris shape incremental commits leave behind; at 10^5
+    * partitions the FILE COUNT (listing + footer reads + task setup),
+    * not the byte count, is what degrades every later scan. Measures
+    * the same full-table aggregate before and after
+    * [[IceLite.compactSnapshot]], plus the compaction cost itself and
+    * the file counts, on a fresh table each run (compaction mutates the
+    * table, so reuse would skew repeat runs). */
+  def compactBench(spark: SparkSession, workDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = s"$workDir/icelite_compact_${ProcessHandle.current().pid()}"
+    val parts = 64
+    val filesPerPart = 8
+    val rowsPerPart = 20000
+    val ice = new IceLite(root)
+    val snap = ice.nextSnapshotId
+    val names = (0 until parts).map(p => f"p$p%03d")
+    names.zipWithIndex.foreach { case (part, p) =>
+      val lo = p.toLong * rowsPerPart
+      ice.commitPartition(snap, part, rowsPerPart.toLong, Map("files" ->
+        spark.range(lo, lo + rowsPerPart).toDF("doc_id")
+          .withColumn("content", md5(col("doc_id").cast("string")))
+          .repartition(filesPerPart)))
+    }
+    ice.commitSnapshot(snap, names)
+    def scan(s: Long): Long =
+      ice.readTable(spark, s, "files").agg(count(col("content"))).collect()(0).getLong(0)
+    scan(snap) // warm-up
+    val before = ice.readTable(spark, snap, "files").inputFiles.length
+    val (n0, tBefore) = time(scan(snap))
+    val (compacted, tCompact) = time(ice.compactSnapshot(spark))
+    val after = ice.readTable(spark, compacted, "files").inputFiles.length
+    val (n1, tAfter) = time(scan(compacted))
+    require(n0 == n1 && n0 == parts.toLong * rowsPerPart,
+      s"compaction changed the answer: $n0 vs $n1")
+    ice.expireSnapshots(retain = 1)
+    val reclaimed = !Files.exists(
+      Paths.get(root, "data", s"snap=$snap", "files", "part=p000"))
+    println(f"""{"metric":"icelite_compact","partitions":$parts,""" +
+      f""""files_before":$before,"files_after":$after,""" +
+      f""""sec_scan_before":$tBefore%.3f,"sec_scan_after":$tAfter%.3f,""" +
+      f""""sec_compact":$tCompact%.3f,"expire_reclaimed":$reclaimed}""")
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT) // f"%.2f" JSON must not localize
     val workDir = args.headOption.getOrElse("/tmp/graft_bench")
@@ -245,6 +289,7 @@ object StorageBench {
     spark.sparkContext.setLogLevel("WARN")
     try {
       manifestBench(workDir)
+      compactBench(spark, workDir)
       pruneBench(spark, workDir)
       globBench(spark, workDir)
       sqliteBench(spark, workDir)

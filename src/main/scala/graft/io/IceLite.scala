@@ -38,6 +38,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class IceLite(val root: String) extends TableIO {
   import org.json4s._
   import org.json4s.jackson.JsonMethods
+  import IceLite.TableFooter
   private implicit val fmts: Formats = DefaultFormats
 
   private def p(parts: String*): Path = Paths.get(root, parts: _*)
@@ -173,18 +174,37 @@ class IceLite(val root: String) extends TableIO {
     }
     val stats = Await.result(statsF, Duration.Inf).toMap
     val nRows = Await.result(countF, Duration.Inf)
-    val doc = JObject(
+    atomicWrite(lineageDir(snap).resolve(s"${enc(part)}.json"),
+      JsonMethods.compact(JsonMethods.render(
+        lineageJson(snap, part, nRows, stats, Map.empty))))
+  }
+
+  /** One partition's lineage record. `dataSnap` maps each table whose
+    * data lives under a DIFFERENT snapshot's directory (the compaction
+    * copy-on-write indirection) to that snapshot id; tables absent from
+    * it live under `snap` itself. `tableRows` carries the exact
+    * footer-derived per-table row counts — the cardinality stats that
+    * let join planning ([[graft.validate.Referential]]) pick broadcast
+    * vs shuffle from ONE manifest read, zero probe jobs. */
+  private def lineageJson(snap: Long, part: String, nRows: Long,
+      stats: Map[String, TableFooter],
+      dataSnap: Map[String, Long]): JObject = JObject(
+    List(
       "snapshot" -> JLong(snap), "part" -> JString(part),
       "rows" -> JLong(nRows),
-      "tables" -> JArray(tables.keys.toList.sorted.map(JString(_))),
-      "stats" -> JObject(stats.toList.sortBy(_._1).map { case (t, cols) =>
-        t -> JObject(cols.toList.sortBy(_._1).map { case (c, (mn, mx)) =>
+      "tables" -> JArray(stats.keys.toList.sorted.map(JString(_))),
+      "tableRows" -> JObject(stats.toList.sortBy(_._1).map { case (t, tf) =>
+        t -> JLong(tf.rows)
+      }),
+      "stats" -> JObject(stats.toList.sortBy(_._1).map { case (t, tf) =>
+        t -> JObject(tf.colRanges.toList.sortBy(_._1).map { case (c, (mn, mx)) =>
           c -> JObject("min" -> JDouble(mn), "max" -> JDouble(mx))
         })
-      }))
-    atomicWrite(lineageDir(snap).resolve(s"${enc(part)}.json"),
-      JsonMethods.compact(JsonMethods.render(doc)))
-  }
+      })) ++
+      (if (dataSnap.isEmpty) Nil
+       else List("dataSnap" -> JObject(dataSnap.toList.sortBy(_._1).map {
+         case (t, s) => t -> JLong(s)
+       }))))
 
   /** Integral footer bounds above 2^53 can round toward the INTERIOR
     * when narrowed to Double (min up / max down), which would let
@@ -212,19 +232,26 @@ class IceLite(val root: String) extends TableIO {
   }
 
   /** Min/max per NUMERIC column across every row group of every parquet
-    * file in `dir`, read from footers only. Non-numeric and statless
-    * columns are absent (⇒ never pruned on). */
+    * file in `dir`, plus the exact ROW COUNT and total byte size, all
+    * read from footers only (no data scan). Non-numeric and statless
+    * columns are absent from the map (⇒ never pruned on). */
   private def footerStats(spark: SparkSession,
-      dir: String): Map[String, (Double, Double)] = {
+      dir: String): TableFooter = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val hconf = spark.sessionState.newHadoopConf()
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fs = hp.getFileSystem(hconf)
     val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    var rows = 0L
+    var bytes = 0L
+    var nFiles = 0
     fs.listStatus(hp).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+      bytes += f.getLen
+      nFiles += 1
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, hconf))
       try r.getFooter.getBlocks.asScala.foreach { block =>
+        rows += block.getRowCount
         block.getColumns.asScala.foreach { col =>
           val st = col.getStatistics
           // decimal columns store UNSCALED integers in parquet (12.34 at
@@ -249,7 +276,7 @@ class IceLite(val root: String) extends TableIO {
         }
       } finally r.close()
     }
-    acc.toMap
+    TableFooter(acc.toMap, rows, bytes, nFiles)
   }
 
   /** Parsed per-part lineage docs embedded in a committed snapshot's
@@ -282,6 +309,26 @@ class IceLite(val root: String) extends TableIO {
       if (!Files.exists(f)) None
       else Some(JsonMethods.parse(Files.readString(f)))
     }
+
+  /** Where one table of one partition's DATA lives: the snapshot dir
+    * recorded by the compaction indirection, or the partition's own
+    * snapshot when none is recorded (the normal commit path). */
+  private def dataSnapOf(snap: Long, part: String, table: String): Long =
+    lineageDoc(snap, part)
+      .flatMap(doc => (doc \ "dataSnap" \ table).extractOpt[Long])
+      .getOrElse(snap)
+
+  /** Exact row count of `table` across the snapshot, summed from the
+    * per-partition footer counts in ONE manifest read — the cardinality
+    * stat that picks broadcast vs shuffle joins without a probe job.
+    * None when any partition's record predates tableRows collection
+    * (callers then probe with a count job). */
+  def tableRowCount(snap: Long, table: String): Option[Long] = {
+    val counts = snapshotParts(snap).map(part =>
+      lineageDoc(snap, part).flatMap(doc =>
+        (doc \ "tableRows" \ table).extractOpt[Long]))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
 
   /** Committed column ranges of one partition (from the consolidated
     * manifest, falling back to its lineage record); empty when the
@@ -372,8 +419,12 @@ class IceLite(val root: String) extends TableIO {
     * diff — Iceberg proper diffs manifests at file granularity). */
   private def partFingerprint(snap: Long, part: String): Option[String] =
     lineageDoc(snap, part).collect {
+      // "dataSnap" is excluded with "snapshot": compaction relocates
+      // bytes without changing logical content, so a compacted snapshot
+      // must not read as "everything changed" to readTableAppended
       case JObject(fields) => JsonMethods.compact(JsonMethods.render(
-        JObject(fields.filterNot(_._1 == "snapshot").sortBy(_._1))))
+        JObject(fields.filterNot(f =>
+          f._1 == "snapshot" || f._1 == "dataSnap").sortBy(_._1))))
     }
 
   /** Partitions APPENDED OR RECOMMITTED between `fromSnap` and `toSnap`
@@ -399,13 +450,25 @@ class IceLite(val root: String) extends TableIO {
 
   private def readDirs(spark: SparkSession, snap: Long, table: String,
       parts: Seq[String]): DataFrame = {
-    val dirs = parts.map(partDataDir(snap, table, _))
     // an empty input commits a VALID snapshot with zero partitions;
     // spark.read.parquet() with no paths throws UNABLE_TO_INFER_SCHEMA,
     // so surface the actual situation instead
-    require(dirs.nonEmpty,
+    require(parts.nonEmpty,
       s"snapshot $snap of '$table' has no partitions (empty input run); " +
         "nothing to read")
+    // compaction indirection: a partition's bytes may live under an
+    // older snapshot's dir. basePath must stay a SINGLE table dir (a
+    // cross-snapshot ancestor would put snap=N into partition
+    // discovery), so group by data location and union the groups —
+    // one read per distinct location snapshot, almost always one total.
+    parts.groupBy(dataSnapOf(snap, _, table)).toSeq.sortBy(_._1)
+      .map { case (ds, ps) => readDirsAt(spark, ds, table, ps) }
+      .reduce(_.unionByName(_))
+  }
+
+  private def readDirsAt(spark: SparkSession, snap: Long, table: String,
+      parts: Seq[String]): DataFrame = {
+    val dirs = parts.map(partDataDir(snap, table, _))
     // basePath must be the ENCODED table dir (an ancestor of the data
     // paths partDataDir wrote), or encoded table names become unreadable.
     // Partition type inference is disabled for the read: part names are
@@ -423,6 +486,57 @@ class IceLite(val root: String) extends TableIO {
         .parquet(dirs: _*)
       finally prev.fold(spark.conf.unset(inferKey))(spark.conf.set(inferKey, _))
     }
+  }
+
+  /** Copy-on-write small-file compaction (Iceberg's
+    * `rewrite_data_files`): bin-pack every (partition, table) whose
+    * parquet files could pack into fewer `targetFileBytes`-sized files,
+    * committing the result as a NEW snapshot. This is the maintenance
+    * op a long-lived validated table needs at scale — incremental /
+    * streaming commits each land a few small files per partition, and
+    * at 10^5 partitions the accumulated file count (not byte count) is
+    * what kills scan planning.
+    *
+    * Cost model: IO proportional to the SMALL files only. A
+    * (part, table) already at its packed file count is NOT rewritten —
+    * the new snapshot's lineage record points at the existing bytes
+    * (`dataSnap` indirection, resolved flat so chains never form), so
+    * readers of the old snapshot are unaffected and [[expireSnapshots]]
+    * keeps still-referenced directories alive. Logical content is
+    * unchanged: row counts and footer column ranges survive the
+    * rewrite, so fingerprints match and [[readTableAppended]] reports
+    * an empty diff across a compaction. Returns the new snapshot id. */
+  def compactSnapshot(spark: SparkSession,
+      targetFileBytes: Long = 128L << 20): Long = {
+    val snap = currentSnapshotId.getOrElse(
+      sys.error("compactSnapshot needs a committed snapshot"))
+    val newSnap = nextSnapshotId
+    snapshotParts(snap).foreach { part =>
+      val doc = lineageDoc(snap, part).getOrElse(
+        sys.error(s"snapshot $snap part '$part' has no lineage record"))
+      val tables = (doc \ "tables").extract[Seq[String]]
+      val footers = tables.map { table =>
+        val src = dataSnapOf(snap, part, table)
+        val dir = partDataDir(src, table, part)
+        val before = footerStats(spark, dir)
+        val packed = math.max(1L,
+          (before.bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        if (packed < before.files) {
+          val dst = partDataDir(newSnap, table, part)
+          spark.read.parquet(dir).coalesce(packed)
+            .write.mode("overwrite").parquet(dst)
+          (table, footerStats(spark, dst), newSnap)
+        } else (table, before, src)
+      }
+      val stats = footers.map { case (t, tf, _) => t -> tf }.toMap
+      val dataSnap =
+        footers.collect { case (t, _, s) if s != newSnap => t -> s }.toMap
+      atomicWrite(lineageDir(newSnap).resolve(s"${enc(part)}.json"),
+        JsonMethods.compact(JsonMethods.render(lineageJson(
+          newSnap, part, (doc \ "rows").extract[Long], stats, dataSnap))))
+    }
+    commitSnapshot(newSnap, snapshotParts(snap))
+    newSnap
   }
 
   /** Lineage across all snapshots as a DataFrame (metrics/audit table). */
@@ -452,8 +566,30 @@ class IceLite(val root: String) extends TableIO {
     val committed = committedSnapshotIds
     val keep = committed.takeRight(retain).toSet ++ currentSnapshotId
     val expire = committed.filterNot(keep)
+    // data an expired snapshot OWNS may still back a retained snapshot
+    // through the compaction indirection — collect every retained
+    // (location, table, part) reference before deleting anything
+    val referenced: Set[(Long, String, String)] = keep.flatMap { id =>
+      scala.util.Try(snapshotParts(id)).toOption.toSeq.flatten.flatMap {
+        part =>
+          lineageDoc(id, part).toSeq.flatMap(doc =>
+            (doc \ "tables").extract[Seq[String]].map(t =>
+              (dataSnapOf(id, part, t), t, part)))
+      }
+    }
     expire.foreach { id =>
-      deleteRecursively(p("data", s"snap=$id"))
+      val dataRoot = p("data", s"snap=$id")
+      if (Files.exists(dataRoot)) {
+        withList(dataRoot)(_.toSeq).foreach { tdir =>
+          val table = dec(tdir.getFileName.toString)
+          withList(tdir)(_.toSeq).foreach { pdir =>
+            val part = dec(pdir.getFileName.toString.stripPrefix("part="))
+            if (!referenced((id, table, part))) deleteRecursively(pdir)
+          }
+          if (withList(tdir)(_.isEmpty)) Files.delete(tdir)
+        }
+        if (withList(dataRoot)(_.isEmpty)) Files.delete(dataRoot)
+      }
       deleteRecursively(lineageDir(id))
       Files.deleteIfExists(p("snapshots", s"v$id.json"))
       manifestCache.remove(id)
@@ -474,4 +610,10 @@ class IceLite(val root: String) extends TableIO {
 object IceLite {
   /** Guards the session-conf toggle in readDirs (see there). */
   private[io] val readLock = new Object
+
+  /** Facts about one table dir harvested from parquet footers alone:
+    * numeric column ranges, exact row count, byte size, file count. */
+  private[io] final case class TableFooter(
+      colRanges: Map[String, (Double, Double)],
+      rows: Long, bytes: Long, files: Int)
 }

@@ -151,6 +151,24 @@ object Referential {
     orphansJoin(files, manifest.select(col(refKey).as("__ref_key")).distinct(),
       column, broadcastDim)
 
+  /** The north rule's "broadcast or sort-merge chosen by cardinality
+    * stats", end-to-end: the dimension is an IceLite-committed table
+    * and the broadcast decision comes from the snapshot manifest's
+    * footer-derived row counts — ONE driver file read, zero probe jobs,
+    * no reliance on AQE observing the shuffle first. Falls back to the
+    * probe count only for pre-tableRows snapshots. */
+  def orphansFromManifest(spark: org.apache.spark.sql.SparkSession,
+      ice: graft.io.IceLite, snap: Long, files: DataFrame,
+      dimTable: String, column: String, refKey: String): DataFrame = {
+    val dim = ice.readTable(spark, snap, dimTable)
+    ice.tableRowCount(snap, dimTable) match {
+      case Some(rows) =>
+        orphansKnownSize(files, dim, column, refKey,
+          broadcastDim = rows <= BroadcastMaxRows)
+      case None => orphans(files, dim, column, refKey)
+    }
+  }
+
   private def orphansJoin(files: DataFrame, dim: DataFrame,
       column: String, broadcastDim: Boolean): DataFrame = {
     val right = if (broadcastDim) broadcast(dim) else dim

@@ -154,6 +154,51 @@ class IceLiteSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(root, "data", "snap=1")))
   }
 
+  test("compaction bin-packs small files copy-on-write; expiry keeps " +
+    "referenced bytes") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    val snap = ice.nextSnapshotId
+    // p0: 8 tiny files (the shape incremental/streaming commits leave
+    // behind); p1: already packed — must NOT be rewritten
+    ice.commitPartition(snap, "p0", 400L, Map("t" ->
+      (0L until 400L).map(i => (i, s"d$i")).toDF("doc_id", "name")
+        .repartition(8)))
+    ice.commitPartition(snap, "p1", 100L, Map("t" ->
+      (400L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "name")
+        .coalesce(1)))
+    ice.commitSnapshot(snap, Seq("p0", "p1"))
+    val before = ice.readTable(spark, snap, "t")
+    assert(before.inputFiles.length === 9)
+    val c = ice.compactSnapshot(spark)
+    val after = ice.readTable(spark, c, "t")
+    // p0 packed into one file; p1 served BY REFERENCE from snap's dir
+    assert(after.inputFiles.length === 2)
+    assert(after.inputFiles.count(_.contains(s"snap=$snap/")) === 1)
+    assert(after.count() === 500L)
+    assert(after.agg(sum("doc_id")).collect()(0).getLong(0) ===
+      before.agg(sum("doc_id")).collect()(0).getLong(0))
+    // the old snapshot is untouched and the logical diff is EMPTY —
+    // compaction moved bytes, not content
+    assert(ice.readTable(spark, snap, "t").count() === 500L)
+    assert(ice.readTableAppended(spark, snap, c, "t").count() === 0L)
+    // footer stats survived the rewrite: pruning still works
+    val pruned = ice.readTablePruned(spark, c, "t", "doc_id", 450, 460)
+    assert(pruned.inputFiles.nonEmpty)
+    assert(pruned.inputFiles.forall(_.contains("part=p1")))
+    // manifest row counts: one driver read, exact
+    assert(ice.tableRowCount(c, "t") === Some(500L))
+    assert(ice.tableRowCount(c, "no_such_table") === None)
+    // expiring the pre-compaction snapshot reclaims p0's small files
+    // but keeps p1's still-referenced bytes alive
+    assert(ice.expireSnapshots(retain = 1) === Seq(snap))
+    val dataDir = java.nio.file.Paths.get(root, "data", s"snap=$snap", "t")
+    assert(Files.exists(dataDir.resolve("part=p1")))
+    assert(!Files.exists(dataDir.resolve("part=p0")))
+    assert(ice.readTable(spark, c, "t").count() === 500L)
+  }
+
   test("snapshot GC never touches an in-progress uncommitted snapshot") {
     import spark.implicits._
     val root = freshRoot()

@@ -41,6 +41,22 @@ class JoinStrategySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("manifest cardinality stats pick the broadcast side, zero probe jobs") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ice_join").toString
+    val ice = new graft.io.IceLite(root)
+    val snap = ice.nextSnapshotId
+    ice.commitPartition(snap, "p0", 3L,
+      Map("repos" -> Seq("r1", "r2", "r3").toDF("repo")))
+    ice.commitSnapshot(snap, Seq("p0"))
+    // the row count comes from the snapshot manifest (footer-derived),
+    // not from a count() probe over the dimension
+    assert(ice.tableRowCount(snap, "repos") === Some(3L))
+    val plan = planOf(Referential.orphansFromManifest(
+      spark, ice, snap, files, "repos", "repo", "repo"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
   test("GraftSession applies the engine configuration") {
     // the shared test session isn't built by GraftSession; check the
     // builder's settings land on a session it does build
