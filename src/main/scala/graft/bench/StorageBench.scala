@@ -264,21 +264,31 @@ object StorageBench {
     ice.commitSnapshot(snap, names)
     def scan(s: Long): Long =
       ice.readTable(spark, s, "files").agg(count(col("content"))).collect()(0).getLong(0)
-    scan(snap) // warm-up
-    val before = ice.readTable(spark, snap, "files").inputFiles.length
-    val (n0, tBefore) = time(scan(snap))
-    val (compacted, tCompact) = time(ice.compactSnapshot(spark))
-    val after = ice.readTable(spark, compacted, "files").inputFiles.length
-    val (n1, tAfter) = time(scan(compacted))
-    require(n0 == n1 && n0 == parts.toLong * rowsPerPart,
-      s"compaction changed the answer: $n0 vs $n1")
-    ice.expireSnapshots(retain = 1)
-    val reclaimed = !Files.exists(
-      Paths.get(root, "data", s"snap=$snap", "files", "part=p000"))
-    println(f"""{"metric":"icelite_compact","partitions":$parts,""" +
-      f""""files_before":$before,"files_after":$after,""" +
-      f""""sec_scan_before":$tBefore%.3f,"sec_scan_after":$tAfter%.3f,""" +
-      f""""sec_compact":$tCompact%.3f,"expire_reclaimed":$reclaimed}""")
+    try {
+      scan(snap) // warm-up
+      val before = ice.readTable(spark, snap, "files").inputFiles.length
+      val (n0, tBefore) = time(scan(snap))
+      val (compacted, tCompact) = time(ice.compactSnapshot(spark))
+      val after = ice.readTable(spark, compacted, "files").inputFiles.length
+      val (n1, tAfter) = time(scan(compacted))
+      require(n0 == n1 && n0 == parts.toLong * rowsPerPart,
+        s"compaction changed the answer: $n0 vs $n1")
+      ice.expireSnapshots(retain = 1)
+      val reclaimed = !Files.exists(
+        Paths.get(root, "data", s"snap=$snap", "files", "part=p000"))
+      println(f"""{"metric":"icelite_compact","partitions":$parts,""" +
+        f""""files_before":$before,"files_after":$after,""" +
+        f""""sec_scan_before":$tBefore%.3f,"sec_scan_after":$tAfter%.3f,""" +
+        f""""sec_compact":$tCompact%.3f,"expire_reclaimed":$reclaimed}""")
+    } finally {
+      // self-contained fixture, fresh per run (compaction mutates the
+      // table): remove it, or repeated bench JVMs accumulate one full
+      // pid-suffixed table tree each under workDir
+      val w = java.nio.file.Files.walk(Paths.get(root))
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+      finally w.close()
+    }
   }
 
   def main(args: Array[String]): Unit = {

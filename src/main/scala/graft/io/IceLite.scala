@@ -155,8 +155,11 @@ class IceLite(val root: String) extends TableIO {
     val propKeys = Seq("spark.jobGroup.id", "spark.job.description",
       "spark.job.interruptOnCancel", "spark.scheduler.pool")
     val props = sc.toSeq.flatMap(c =>
-      propKeys.flatMap(k => Option(c.getLocalProperty(k)).map(k -> _)))
+      propKeys.map(k => k -> c.getLocalProperty(k)))
     def withProps[A](f: => A): A = {
+      // set absent keys to null too (null CLEARS): a reused pool thread
+      // may still carry a PREVIOUS caller's job group, and a later
+      // cancelJobGroup for that stale group would kill this commit's jobs
       sc.foreach(c => props.foreach { case (k, v) => c.setLocalProperty(k, v) })
       f
     }
@@ -511,6 +514,13 @@ class IceLite(val root: String) extends TableIO {
     val snap = currentSnapshotId.getOrElse(
       sys.error("compactSnapshot needs a committed snapshot"))
     val newSnap = nextSnapshotId
+    // nextSnapshotId is also the id a CRASHED ingest run resumes under:
+    // its lineage records (without a manifest) ARE the checkpoint.
+    // Compacting over it would overwrite the crashed run's data and
+    // publish stale content under its id — refuse instead.
+    require(!Files.exists(lineageDir(newSnap)),
+      s"snapshot $newSnap is in progress (uncommitted lineage exists); " +
+        "resume or discard it before compacting")
     snapshotParts(snap).foreach { part =>
       val doc = lineageDoc(snap, part).getOrElse(
         sys.error(s"snapshot $snap part '$part' has no lineage record"))
@@ -577,19 +587,42 @@ class IceLite(val root: String) extends TableIO {
               (dataSnapOf(id, part, t), t, part)))
       }
     }
-    expire.foreach { id =>
+    // Sweep EVERY non-retained data root, not just this call's expired
+    // ids: a dir kept alive by a compaction reference outlives its own
+    // snapshot's manifest, so once the REFERENCING snapshot is later
+    // expired the bytes would otherwise never be revisited (their owner
+    // id is no longer in committedSnapshotIds) and would leak forever.
+    // The uncommitted in-progress id (lineage, no manifest) is left
+    // alone as ever — it is the resume checkpoint, not history.
+    val inProgress: Set[Long] = {
+      val ld = p("lineage")
+      if (!Files.exists(ld)) Set.empty
+      else withList(ld)(_.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("snap=") =>
+          n.stripPrefix("snap=").toLong
+        }.toSet) -- committed
+    }
+    val dataRoots = {
+      val d = p("data")
+      if (!Files.exists(d)) Seq.empty
+      else withList(d)(_.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("snap=") =>
+          n.stripPrefix("snap=").toLong
+        }.toSeq)
+    }
+    dataRoots.filterNot(keep).filterNot(inProgress).foreach { id =>
       val dataRoot = p("data", s"snap=$id")
-      if (Files.exists(dataRoot)) {
-        withList(dataRoot)(_.toSeq).foreach { tdir =>
-          val table = dec(tdir.getFileName.toString)
-          withList(tdir)(_.toSeq).foreach { pdir =>
-            val part = dec(pdir.getFileName.toString.stripPrefix("part="))
-            if (!referenced((id, table, part))) deleteRecursively(pdir)
-          }
-          if (withList(tdir)(_.isEmpty)) Files.delete(tdir)
+      withList(dataRoot)(_.toSeq).foreach { tdir =>
+        val table = dec(tdir.getFileName.toString)
+        withList(tdir)(_.toSeq).foreach { pdir =>
+          val part = dec(pdir.getFileName.toString.stripPrefix("part="))
+          if (!referenced((id, table, part))) deleteRecursively(pdir)
         }
-        if (withList(dataRoot)(_.isEmpty)) Files.delete(dataRoot)
+        if (withList(tdir)(_.isEmpty)) Files.delete(tdir)
       }
+      if (withList(dataRoot)(_.isEmpty)) Files.delete(dataRoot)
+    }
+    expire.foreach { id =>
       deleteRecursively(lineageDir(id))
       Files.deleteIfExists(p("snapshots", s"v$id.json"))
       manifestCache.remove(id)

@@ -218,9 +218,13 @@ object YamlPlaybook {
         require(stepMaps.nonEmpty, s"pipeline '$name' has no steps")
         val from = str(stepMaps.head.getOrElse("from",
           sys.error(s"pipeline '$name': first step must be `from:` (playbook/execute.go)")))
-        val steps = stepMaps.tail.map(m =>
+        // 1-based step ordinal (after `from:`) disambiguates counter
+        // labels — two lookup steps in one pipeline must not share an
+        // OpCounters key (first-completed-wins would drop one silently)
+        val steps = stepMaps.tail.zipWithIndex.map { case (m, i) =>
           stepFn(name, m, resolvePath, subst, colTemplate, resolvePipeline,
-            counters))
+            counters, i + 1)
+        }
         name -> Pipeline(from, steps)
       }
 
@@ -388,7 +392,7 @@ object YamlPlaybook {
       resolvePath: String => String, subst: String => String,
       colTemplate: DataFrame => String => Column,
       resolvePipeline: (SparkSession, String) => DataFrame,
-      counters: OpCounters): (String, DataFrame => DataFrame) = {
+      counters: OpCounters, stepIdx: Int): (String, DataFrame => DataFrame) = {
     require(m.size == 1 || (m.size == 2 && m.contains("docs")),
       s"pipeline '$pipe': each step must be a single-key map, got ${m.keys.mkString(",")}")
     val (key, raw) = m.view.filterKeys(_ != "docs").head
@@ -517,7 +521,8 @@ object YamlPlaybook {
             }
         }
       case "lookup" =>
-        lookupStep(pipe, c, resolvePath, colTemplate, resolvePipeline, counters)
+        lookupStep(pipe, c, resolvePath, colTemplate, resolvePipeline,
+          counters, stepIdx)
       case "intervalIntersect" =>
         val j = asMap(c.getOrElse("json", null))
         df => {
@@ -548,7 +553,7 @@ object YamlPlaybook {
               // per-class counters (object_validate.go:71-86:
               // validationCount = rows seen, errorCount = rows dropped)
               // observed BELOW the filter so they ride the output job
-              counters.attach(df, s"objectValidate:$title", Seq(
+              counters.attach(df, s"objectValidate:$pipe[$stepIdx]:$title", Seq(
                 count(lit(1)).as("validationCount"),
                 sum(when(pass, 0L).otherwise(1L)).as("errorCount")))
                 .filter(pass)
@@ -651,7 +656,7 @@ object YamlPlaybook {
       resolvePath: String => String,
       colTemplate: DataFrame => String => Column,
       resolvePipeline: (SparkSession, String) => DataFrame,
-      counters: OpCounters): DataFrame => DataFrame = {
+      counters: OpCounters, stepIdx: Int): DataFrame => DataFrame = {
     val replace = str(c.getOrElse("replace", ""))
     val copy = asMap(c.getOrElse("copy", null)).map { case (k, v) => k -> str(v) }
     def lookupTable(spark: SparkSession): (DataFrame, String, String) =
@@ -691,7 +696,7 @@ object YamlPlaybook {
         case "array" => RowOps.lookupReplaceArray(df, lk, replace, k, valCol)
         case "map" => RowOps.lookupReplaceMapKeys(df, lk, replace, k, valCol)
         case _ => RowOps.lookupReplace(df, lk, replace, k, valCol,
-          tap = j => counters.attach(j, s"lookup:$pipe", Seq(
+          tap = j => counters.attach(j, s"lookup:$pipe[$stepIdx]", Seq(
             sum(when(col("__lk_key").isNotNull, 1L).otherwise(0L)).as("hit"),
             sum(when(col("__lk_key").isNull, 1L).otherwise(0L)).as("miss"))))
       }
@@ -709,7 +714,7 @@ object YamlPlaybook {
         // miss++ per row whose key has no record
         val nCopies = copy.size
         val tap: DataFrame => DataFrame = j =>
-          counters.attach(j, s"lookup:$pipe", Seq(
+          counters.attach(j, s"lookup:$pipe[$stepIdx]", Seq(
             (0 until nCopies).map(i =>
               sum(when(col("__lk_key").isNotNull &&
                 col(s"__lk_src_$i").isNotNull, 1L).otherwise(0L)))

@@ -124,21 +124,17 @@ object XmlSource {
         try rows(in, level) finally in.close()
       }
     import spark.implicits._
-    // read.json's eager schema inference is a FULL pass: persist the
-    // extracted JSON strings for EXACTLY that pass, then unpersist and
-    // return a schema-pinned reader over the unpersisted lineage
-    // (ADVICE r5: a MEMORY_AND_DISK persist held for the session pinned
-    // a copy of every XML corpus ever read — disk blocks don't LRU).
-    // Cost model: inference parses the XML once; each downstream action
-    // re-runs the StAX extraction. A caller that acts repeatedly should
-    // persist the RETURNED frame — that caches parsed columnar rows
-    // (smaller and faster than raw JSON strings) under a lifetime the
-    // caller controls.
-    val transient0 = jsons.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val schema =
-      try spark.read.json(spark.createDataset(transient0)).schema
-      finally { transient0.unpersist(blocking = false); () }
+    // read.json's eager schema inference is ONE full pass over the
+    // extracted JSON, and nothing re-reads that pass's rows (only the
+    // .schema survives) — so no persist: caching blocks for a single
+    // producer-consumer pass is pure write overhead (ADVICE r5's
+    // session-pinned MEMORY_AND_DISK persist, and its short-lived
+    // replacement, both removed). Cost model: inference parses the XML
+    // once; each downstream action re-runs the StAX extraction. A
+    // caller that acts repeatedly should persist the RETURNED frame —
+    // parsed columnar rows, smaller and faster than raw JSON strings,
+    // under a lifetime the caller controls.
+    val schema = spark.read.json(spark.createDataset(jsons)).schema
     spark.read.schema(schema).json(spark.createDataset(jsons))
   }
 }

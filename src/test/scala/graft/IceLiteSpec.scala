@@ -199,6 +199,46 @@ class IceLiteSpec extends AnyFunSuite {
     assert(ice.readTable(spark, c, "t").count() === 500L)
   }
 
+  test("compaction-referenced bytes are reclaimed once the referencing " +
+    "snapshot itself expires; compaction refuses an in-progress id") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    // snap 1: one already-packed partition -> compaction (snap 2) keeps
+    // it by reference
+    val s1 = ice.nextSnapshotId
+    ice.commitPartition(s1, "p1", 100L, Map("t" ->
+      (0L until 100L).map(i => (i, s"d$i")).toDF("doc_id", "name").coalesce(1)))
+    ice.commitSnapshot(s1, Seq("p1"))
+    val s2 = ice.compactSnapshot(spark)
+    val p1Dir = java.nio.file.Paths.get(root, "data", s"snap=$s1", "t", "part=p1")
+    // expire s1: its bytes survive (s2 references them)
+    assert(ice.expireSnapshots(retain = 1) === Seq(s1))
+    assert(Files.exists(p1Dir))
+    // a NEW snapshot with its own data supersedes s2; expiring s2 must
+    // also sweep the s1 bytes it alone kept alive — even though s1 is
+    // no longer a committed snapshot by then (the leak regression)
+    val s3 = ice.nextSnapshotId
+    ice.commitPartition(s3, "p1", 50L, Map("t" ->
+      (0L until 50L).map(i => (i, s"x$i")).toDF("doc_id", "name")))
+    ice.commitSnapshot(s3, Seq("p1"))
+    assert(ice.expireSnapshots(retain = 1) === Seq(s2))
+    assert(!Files.exists(p1Dir))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "data", s"snap=$s1")))
+    assert(ice.readTable(spark, s3, "t").count() === 50L)
+    // in-progress guard: uncommitted lineage under the next id means a
+    // crashed run's checkpoint — compaction must refuse, not overwrite
+    val s4 = ice.nextSnapshotId
+    ice.commitPartition(s4, "p1", 10L, Map("t" ->
+      (0L until 10L).map(i => (i, s"y$i")).toDF("doc_id", "name")))
+    val e = intercept[IllegalArgumentException] { ice.compactSnapshot(spark) }
+    assert(e.getMessage.contains("in progress"))
+    // the checkpoint is intact; the run resumes and commits normally
+    assert(ice.completedParts(s4) === Set("p1"))
+    ice.commitSnapshot(s4, Seq("p1"))
+    assert(ice.readTable(spark, s4, "t").count() === 10L)
+  }
+
   test("snapshot GC never touches an in-progress uncommitted snapshot") {
     import spark.implicits._
     val root = freshRoot()

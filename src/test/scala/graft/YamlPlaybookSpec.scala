@@ -162,18 +162,34 @@ class YamlPlaybookSpec extends AnyFunSuite {
         |          key: code
         |        copy:
         |          deptFull: full
+        |    - lookup:
+        |        lookup: "{{row.dept}}"
+        |        json:
+        |          input: codes.json
+        |          key: code
+        |        copy:
+        |          deptAgain: full
         |outputs: {}
         |""".stripMargin
     val loaded = YamlPlaybook.load(yaml, dir.toString)
     val out = loaded.playbook.resolve(spark, "xform")
     assert(out.count() === 4)
-    assert(loaded.counters.snapshot().get("lookup:xform") ===
+    // TWO lookup steps in one pipeline: each keeps its own counters
+    // (the ordinal in the key is what prevents first-completed-wins
+    // from silently dropping one of them)
+    assert(loaded.counters.snapshot().get("lookup:xform[1]") ===
+      Some(Map("hit" -> 3L, "miss" -> 1L)))
+    assert(loaded.counters.snapshot().get("lookup:xform[2]") ===
       Some(Map("hit" -> 3L, "miss" -> 1L)))
     // the replace path counts too (engine extension; same join)
     val e2e = YamlPlaybook.loadFile(dir.resolve("pb.yaml").toString)
     e2e.playbook.resolve(spark, "transform").count()
-    assert(e2e.counters.snapshot().get("lookup:transform") ===
-      Some(Map("hit" -> 3L, "miss" -> 1L)))
+    // key carries the step ordinal (two lookups in one pipeline must
+    // not collide), so match by prefix rather than pin the position
+    val e2eLookup = e2e.counters.snapshot().collect {
+      case (k, v) if k.startsWith("lookup:transform[") => v
+    }
+    assert(e2eLookup === List(Map("hit" -> 3L, "miss" -> 1L)))
     // counters commit as a real IceLite metrics table and read back
     val root = Files.createTempDirectory("graft_opmetrics").toString
     val ice = new graft.io.IceLite(root)
@@ -184,7 +200,8 @@ class YamlPlaybookSpec extends AnyFunSuite {
       .select("op", "metric", "value").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(back === Set(
-      ("lookup:xform", "hit", 3L), ("lookup:xform", "miss", 1L)))
+      ("lookup:xform[1]", "hit", 3L), ("lookup:xform[1]", "miss", 1L),
+      ("lookup:xform[2]", "hit", 3L), ("lookup:xform[2]", "miss", 1L)))
   }
 
   test("param overrides replace YAML defaults; undefined params fail loudly") {
@@ -602,8 +619,11 @@ class YamlPlaybookSpec extends AnyFunSuite {
     // operator counters = the reference's Close()-time Validation
     // Summary (object_validate.go:86): 106,521 objects seen, 0 dropped
     // (its golden output keeps every case)
-    assert(loaded.counters.snapshot().get("objectValidate:Case") ===
-      Some(Map("validationCount" -> 106521L, "errorCount" -> 0L)))
+    val caseCounts = loaded.counters.snapshot().collect {
+      case (k, v) if k.startsWith("objectValidate:") && k.endsWith(":Case") => v
+    }
+    assert(caseCounts === List(
+      Map("validationCount" -> 106521L, "errorCount" -> 0L)))
   }
 
   test("the reference's own code-ref playbooks run UNMODIFIED (incl. $ref python files)") {
