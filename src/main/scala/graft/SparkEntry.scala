@@ -371,6 +371,48 @@ object SparkEntry {
         } finally files.unpersist()
       CheckpointedValidation.verdicts(s, root, snap)
     }),
+    "v_compact" -> ((s, d) => {
+      // copy-on-write compaction, oracle-gated: the engine's violation
+      // rows are committed through IceLite as two partitions of FOUR
+      // small files each (the debris shape incremental appends leave
+      // behind — a single checkpointed run already coalesces, so the
+      // debris is constructed deliberately), then compacted; the
+      // COMPACTED snapshot's rows must hash-equal the one-shot batch
+      // oracle. The require()s certify the rewrite actually packed
+      // files down and that the logical diff across the compaction is
+      // empty (bytes moved, content didn't). The single-file verdicts
+      // table rides along untouched, exercising the kept-by-reference
+      // read path on the same snapshot.
+      val root = tmpWorkDir("graft_compact", d)
+      rmTree(java.nio.file.Paths.get(root))
+      val files = FilesTable.files(s, d)
+      val viol = Violations.extract(files, FileRules.rowRules)
+        .withColumn("b", pmod(hash(col("repo")), lit(2))).cache()
+      val ice = new graft.io.IceLite(root)
+      try {
+        val snap = ice.nextSnapshotId
+        (0 until 2).foreach { b =>
+          val part = viol.filter(col("b") === b).drop("b")
+          ice.commitPartition(snap, s"b$b", part.count(),
+            Map("violations" -> part.repartition(4),
+              "verdicts" -> Verdicts.compute(s,
+                files.filter(pmod(hash(col("repo")), lit(2)) === b),
+                FileRules.rowRules).drop("part").coalesce(1)))
+        }
+        ice.commitSnapshot(snap, Seq("b0", "b1"))
+        val before = ice.readTable(s, snap, "violations").inputFiles.length
+        val c = ice.compactSnapshot(s)
+        val after = ice.readTable(s, c, "violations").inputFiles.length
+        require(after < before,
+          s"compaction did not reduce violations files: $before -> $after")
+        require(ice.readTableAppended(s, snap, c, "violations").isEmpty,
+          "compaction must not change logical content (non-empty diff)")
+        require(ice.readTable(s, c, "verdicts").inputFiles
+          .forall(_.contains(s"snap=$snap/")),
+          "single-file verdicts must be kept by reference, not rewritten")
+        ice.readTable(s, c, "violations").drop("part")
+      } finally { viol.unpersist(); () }
+    }),
 
     // ---- sources over raw fixture files (SURVEY.md §2.1) ----
     "q_table_src" -> ((s, _) =>
@@ -800,6 +842,8 @@ object SparkEntry {
     "v_stream_violations" -> DuckSql.vViolations,
     // kill-and-resume streamed run: log-visible sink ≡ batch set
     "v_stream_resume" -> DuckSql.vViolations,
+    // violations read back through a compacted snapshot ≡ batch set
+    "v_compact" -> DuckSql.vViolations,
     // mapGroupsWithState running totals: final state per rule ≡ batch count
     "v_stream_totals" -> DuckSql.vRuleTotals,
     // the streamed windowed agg must equal the batch hour buckets over
