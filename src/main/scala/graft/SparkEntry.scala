@@ -213,6 +213,74 @@ object SparkEntry {
         s"resume reprocessed drained files: saw $inc source rows, expected $phase2Rows")
       s.read.parquet(sink)
     }),
+    "v_stream_ice" -> ((s, d) => {
+      // streaming commits INTO the snapshot table — the engine's two
+      // resumability stories unified: the streaming checkpoint decides
+      // what each micro-batch contains, the IceLite lineage decides
+      // whether it already landed. The corpus drains in micro-batches,
+      // each committed as a partition keyed by batch id; then the WHOLE
+      // stream replays under a fresh checkpoint (the worst-case
+      // at-least-once storm: every batch re-delivers with the same
+      // ids) and every replayed batch must be skipped by its lineage
+      // record — certified by the untouched-mtimes require, and by the
+      // oracle hash: one double-landed batch would double rows.
+      import org.apache.spark.sql.streaming.Trigger
+      val base = tmpWorkDir("graft_stream_ice", d)
+      val src = s"$base/src"
+      val srcP = java.nio.file.Paths.get(src)
+      val marker = srcP.resolve("_FIXTURE_READY")
+      if (!java.nio.file.Files.exists(marker)) {
+        rmTree(srcP)
+        FilesTable.files(s, d).repartition(8).write.mode("overwrite").parquet(src)
+        // distinct ascending mtimes: FileStreamSource drains
+        // oldest-first, so batch GROUPING is deterministic and the
+        // fresh-checkpoint replay regroups the identical batches
+        val ls = java.nio.file.Files.list(srcP)
+        val parts = try ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          finally ls.close()
+        val t0 = System.currentTimeMillis()
+        parts.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 10000L))
+        }
+        java.nio.file.Files.createFile(marker)
+      }
+      val root = s"$base/ice"
+      rmTree(java.nio.file.Paths.get(root)) // exactly-once is per-run state
+      val ice = new graft.io.IceLite(root)
+      val snap = ice.nextSnapshotId
+      val schema = s.read.parquet(src).schema
+      def drain(ckpt: String): Unit = {
+        val stream = graft.streaming.StreamValidate.violationStream(
+          s, src, schema, FileRules.rowRules, maxFilesPerTrigger = Some(3))
+        val q = graft.streaming.StreamValidate
+          .toIceLite(stream, ice, snap, "violations")
+          .option("checkpointLocation", s"$base/$ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      rmTree(java.nio.file.Paths.get(s"$base/ck1"))
+      rmTree(java.nio.file.Paths.get(s"$base/ck2"))
+      drain("ck1")
+      val landed = ice.completedParts(snap)
+      require(landed.size > 1, s"expected several micro-batches, got $landed")
+      val lst = java.nio.file.Files.list(ice.lineageDir(snap))
+      val mtimes = try lst.iterator().asScala.map(p =>
+        p.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(p))
+        .toMap
+        finally lst.close()
+      drain("ck2") // full at-least-once replay: fresh checkpoint, same ids
+      require(ice.completedParts(snap) == landed,
+        "replay landed new partitions instead of being skipped")
+      mtimes.foreach { case (f, t0) =>
+        val t1 = java.nio.file.Files.getLastModifiedTime(
+          ice.lineageDir(snap).resolve(f))
+        require(t1 == t0, s"replay recommitted already-landed batch $f")
+      }
+      ice.commitSnapshot(snap, landed.toSeq.sorted)
+      ice.readTable(s, snap, "violations").drop("part")
+    }),
     "v_stream_totals" -> ((s, d) => {
       // custom streaming state via mapGroupsWithState — the escape
       // hatch when the running metric isn't a built-in aggregate (the
@@ -844,6 +912,9 @@ object SparkEntry {
     "v_stream_resume" -> DuckSql.vViolations,
     // violations read back through a compacted snapshot ≡ batch set
     "v_compact" -> DuckSql.vViolations,
+    // micro-batches committed as snapshot partitions, then fully
+    // replayed (at-least-once storm) — sealed table ≡ batch set
+    "v_stream_ice" -> DuckSql.vViolations,
     // mapGroupsWithState running totals: final state per rule ≡ batch count
     "v_stream_totals" -> DuckSql.vRuleTotals,
     // the streamed windowed agg must equal the batch hour buckets over

@@ -98,4 +98,28 @@ object StreamValidate {
   def toMemorySink(df: DataFrame, name: String,
       outputMode: String): DataStreamWriter[Row] =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode)
+
+  /** Commit a stream into an IceLite table, one PARTITION per
+    * micro-batch — the piece that unifies the engine's two
+    * resumability stories: the streaming checkpoint decides WHAT each
+    * batch contains, the snapshot lineage decides whether it already
+    * LANDED. foreachBatch is at-least-once (a batch replays after a
+    * crash between sink write and checkpoint commit, or wholesale
+    * under a rebuilt checkpoint), so the batch id is the partition
+    * name and a replayed batch whose lineage record exists is SKIPPED
+    * — the same completedParts contract batch resume uses, giving
+    * exactly-once table content from at-least-once delivery. The
+    * caller seals the snapshot with
+    * `ice.commitSnapshot(snap, ice.completedParts(snap).toSeq.sorted)`
+    * once the drain finishes; until then the lineage records are the
+    * (crash-safe) in-progress state. */
+  def toIceLite(df: DataFrame, ice: graft.io.IceLite, snap: Long,
+      table: String): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val part = f"b$id%05d"
+      if (!ice.completedParts(snap).contains(part))
+        ice.commitPartitionLazy(snap, part, () => batch.count(),
+          Map(table -> batch))
+      ()
+    }
 }
