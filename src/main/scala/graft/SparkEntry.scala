@@ -102,6 +102,28 @@ object SparkEntry {
     dir.toString
   }
 
+  /** Stamp every *.parquet directly under `dir` with DISTINCT ascending
+    * mtimes in filename order. FileStreamSource admits files
+    * oldest-first, so this makes micro-batch GROUPING deterministic
+    * across drains and replays (equal mtimes would tie-break
+    * arbitrarily). Returns the stamped files. */
+  private def listParquet(dir: java.nio.file.Path): Set[java.nio.file.Path] = {
+    val ls = java.nio.file.Files.list(dir)
+    try ls.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+    finally ls.close()
+  }
+
+  private def stampAscendingMtimes(dir: java.nio.file.Path,
+      baseMillis: Long): Set[java.nio.file.Path] = {
+    val parts = listParquet(dir)
+    parts.toSeq.sortBy(_.getFileName.toString).zipWithIndex.foreach {
+      case (p, i) => java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(baseMillis + i * 10000L))
+    }
+    parts
+  }
+
   /** MinHash-LSH candidates verified at jaccard >= 0.8 over [[augDocs]]. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.withWordShingles(augDocs(s, d), "text")
@@ -232,18 +254,9 @@ object SparkEntry {
       if (!java.nio.file.Files.exists(marker)) {
         rmTree(srcP)
         FilesTable.files(s, d).repartition(8).write.mode("overwrite").parquet(src)
-        // distinct ascending mtimes: FileStreamSource drains
-        // oldest-first, so batch GROUPING is deterministic and the
-        // fresh-checkpoint replay regroups the identical batches
-        val ls = java.nio.file.Files.list(srcP)
-        val parts = try ls.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-          finally ls.close()
-        val t0 = System.currentTimeMillis()
-        parts.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
-          java.nio.file.Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 10000L))
-        }
+        // deterministic admission order -> the fresh-checkpoint replay
+        // regroups the IDENTICAL batches (see stampAscendingMtimes)
+        stampAscendingMtimes(srcP, System.currentTimeMillis())
         java.nio.file.Files.createFile(marker)
       }
       val root = s"$base/ice"
@@ -358,25 +371,15 @@ object SparkEntry {
         // This is the realistic shape: a continuous source lands files in
         // arrival order.
         ev.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(dir)
-        def partFiles(): Set[java.nio.file.Path] = {
-          val ls = java.nio.file.Files.list(dp)
-          try ls.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .iterator().asScala.toSet
-          finally ls.close()
-        }
-        val dataParts = partFiles()
         val base = System.currentTimeMillis()
-        dataParts.toSeq.sortBy(_.getFileName.toString).zipWithIndex.foreach {
-          case (p, i) => java.nio.file.Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
-        }
+        val dataParts = stampAscendingMtimes(dp, base)
         ev.agg(max(col("ts")).as("ts"))
           .select((col("ts") + expr("INTERVAL 7 DAYS")).as("ts"),
             lit("___sentinel___").as("event_type"), lit(0.0).as("value"))
           .coalesce(1).write.mode("append").parquet(dir)
         // the sentinel must be the LAST file the source picks up: stamp it
         // past the whole ascending data sequence
-        (partFiles() -- dataParts).foreach(p =>
+        (listParquet(dp) -- dataParts).foreach(p =>
           java.nio.file.Files.setLastModifiedTime(p,
             java.nio.file.attribute.FileTime.fromMillis(base + 1000 * 10000L)))
         java.nio.file.Files.createFile(marker)

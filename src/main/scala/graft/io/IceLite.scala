@@ -104,6 +104,12 @@ class IceLite(val root: String) extends TableIO {
     try f(s.iterator().asScala) finally s.close()
   }
 
+  /** O(1) single-partition probe — the per-micro-batch skip check of a
+    * streaming committer must not list the whole lineage dir (that
+    * would make a long drain O(parts²) in metadata IO). */
+  def isPartCompleted(snap: Long, part: String): Boolean =
+    Files.exists(lineageDir(snap).resolve(s"${enc(part)}.json"))
+
   /** Partitions whose lineage record committed (the resume checkpoint). */
   def completedParts(snap: Long): Set[String] = {
     val d = lineageDir(snap)
@@ -141,7 +147,21 @@ class IceLite(val root: String) extends TableIO {
     * after every job finished, so the crash/resume contract is
     * unchanged: a partition is committed all-or-nothing. */
   def commitPartitionLazy(snap: Long, part: String, rowCount: () => Long,
-      tables: Map[String, DataFrame]): Unit = {
+      tables: Map[String, DataFrame]): Unit =
+    commitImpl(snap, part, Some(rowCount), tables)
+
+  /** [[commitPartitionLazy]] with the partition row count taken from
+    * the WRITTEN tables' parquet footers (their total, exact, zero
+    * extra jobs) — for commits whose natural row count is the committed
+    * output itself, e.g. a streaming committer landing one violations
+    * table per micro-batch: a `() => batch.count()` thunk there would
+    * re-execute the whole unpersisted batch plan a second time. */
+  def commitPartitionFromFooters(snap: Long, part: String,
+      tables: Map[String, DataFrame]): Unit =
+    commitImpl(snap, part, None, tables)
+
+  private def commitImpl(snap: Long, part: String,
+      rowCount: Option[() => Long], tables: Map[String, DataFrame]): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future, blocking}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -163,7 +183,7 @@ class IceLite(val root: String) extends TableIO {
       sc.foreach(c => props.foreach { case (k, v) => c.setLocalProperty(k, v) })
       f
     }
-    val countF = Future(blocking(withProps(rowCount())))
+    val countF = rowCount.map(rc => Future(blocking(withProps(rc()))))
     val statsF = Future.traverse(tables.toSeq) { case (name, df) =>
       Future {
         blocking {
@@ -176,7 +196,8 @@ class IceLite(val root: String) extends TableIO {
       }
     }
     val stats = Await.result(statsF, Duration.Inf).toMap
-    val nRows = Await.result(countF, Duration.Inf)
+    val nRows = countF.map(Await.result(_, Duration.Inf))
+      .getOrElse(stats.valuesIterator.map(_.rows).sum)
     atomicWrite(lineageDir(snap).resolve(s"${enc(part)}.json"),
       JsonMethods.compact(JsonMethods.render(
         lineageJson(snap, part, nRows, stats, Map.empty))))

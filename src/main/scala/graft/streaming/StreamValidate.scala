@@ -104,12 +104,25 @@ object StreamValidate {
     * resumability stories: the streaming checkpoint decides WHAT each
     * batch contains, the snapshot lineage decides whether it already
     * LANDED. foreachBatch is at-least-once (a batch replays after a
-    * crash between sink write and checkpoint commit, or wholesale
-    * under a rebuilt checkpoint), so the batch id is the partition
-    * name and a replayed batch whose lineage record exists is SKIPPED
-    * — the same completedParts contract batch resume uses, giving
-    * exactly-once table content from at-least-once delivery. The
-    * caller seals the snapshot with
+    * crash between sink write and checkpoint commit), so the batch id
+    * is the partition name and a replayed batch whose lineage record
+    * exists is SKIPPED — an O(1) existence probe per batch, not a
+    * lineage-dir listing (a long drain would otherwise pay O(parts²)
+    * metadata IO). Row counts come from the written parquet footers:
+    * a `() => batch.count()` thunk would re-execute the whole
+    * unpersisted batch plan a second time per batch.
+    *
+    * Exactly-once scope: content dedup is BY BATCH ID, which is
+    * exactly right for replays from the SAME checkpoint (Spark
+    * guarantees a replayed id re-delivers the identical file set). A
+    * REBUILT checkpoint re-numbers from 0 and is only safe when the
+    * regrouping is byte-identical — same source files, deterministic
+    * admission order (distinct mtimes), same maxFilesPerTrigger; if
+    * files arrived since, batch 0's new content would be skipped by
+    * the old b00000 record. Cross-checkpoint migration needs a fresh
+    * snapshot id, not id-based dedup.
+    *
+    * The caller seals the snapshot with
     * `ice.commitSnapshot(snap, ice.completedParts(snap).toSeq.sorted)`
     * once the drain finishes; until then the lineage records are the
     * (crash-safe) in-progress state. */
@@ -117,9 +130,8 @@ object StreamValidate {
       table: String): DataStreamWriter[Row] =
     df.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val part = f"b$id%05d"
-      if (!ice.completedParts(snap).contains(part))
-        ice.commitPartitionLazy(snap, part, () => batch.count(),
-          Map(table -> batch))
+      if (!ice.isPartCompleted(snap, part))
+        ice.commitPartitionFromFooters(snap, part, Map(table -> batch))
       ()
     }
 }
