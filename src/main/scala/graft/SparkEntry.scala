@@ -294,6 +294,49 @@ object SparkEntry {
       ice.commitSnapshot(snap, landed.toSeq.sorted)
       ice.readTable(s, snap, "violations").drop("part")
     }),
+    "v_incremental" -> ((s, d) => {
+      // incremental commit-stream consumption, oracle-gated: the input
+      // table grows by an APPEND — history partitions are carried
+      // forward as metadata only (carryForwardPartition: zero data IO,
+      // the Iceberg append move), new partitions land normally. The
+      // incremental pass validates ONLY the appended partitions
+      // (readTableAppended; the inputFiles require certifies no history
+      // file is touched), and its violations unioned with the
+      // already-committed history violations must hash-equal the batch
+      // oracle over the FULL corpus: incremental == full recompute.
+      val root = tmpWorkDir("graft_incr", d)
+      rmTree(java.nio.file.Paths.get(root))
+      val ice = new graft.io.IceLite(root)
+      val files = FilesTable.files(s, d).cache()
+      try {
+        val orgCol = Verdicts.org(col("repo"))
+        val orgs = files.select(orgCol.as("o")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        val (histOrgs, newOrgs) = orgs.splitAt(math.max(1, orgs.length / 2))
+        require(newOrgs.nonEmpty, "corpus too small to split into an append")
+        histOrgs.foreach { o =>
+          val sub = files.filter(orgCol === o)
+          ice.commitPartitionLazy(1L, o, () => sub.count(), Map("files" -> sub))
+        }
+        ice.commitSnapshot(1L, histOrgs)
+        // history's violations: committed state in production (the
+        // verdict store of snapshot 1); derived from snapshot 1's READ
+        // here so the whole chain goes through the table layer
+        val v1 = Violations.extract(
+          ice.readTable(s, 1L, "files"), FileRules.rowRules)
+        newOrgs.foreach { o =>
+          val sub = files.filter(orgCol === o)
+          ice.commitPartitionLazy(2L, o, () => sub.count(), Map("files" -> sub))
+        }
+        histOrgs.foreach(o => ice.carryForwardPartition(2L, o, 1L))
+        ice.commitSnapshot(2L, orgs)
+        val diff = ice.readTableAppended(s, 1L, 2L, "files")
+        require(diff.inputFiles.forall(f =>
+          newOrgs.exists(o => f.contains(s"part=$o/"))),
+          "incremental read touched history files")
+        v1.unionByName(Violations.extract(diff, FileRules.rowRules))
+      } finally { files.unpersist(); () }
+    }),
     "v_stream_totals" -> ((s, d) => {
       // custom streaming state via mapGroupsWithState — the escape
       // hatch when the running metric isn't a built-in aggregate (the
@@ -918,6 +961,9 @@ object SparkEntry {
     // micro-batches committed as snapshot partitions, then fully
     // replayed (at-least-once storm) — sealed table ≡ batch set
     "v_stream_ice" -> DuckSql.vViolations,
+    // history violations ∪ violations of ONLY the appended partitions
+    // (metadata-only carry-forward) ≡ full-corpus batch set
+    "v_incremental" -> DuckSql.vViolations,
     // mapGroupsWithState running totals: final state per rule ≡ batch count
     "v_stream_totals" -> DuckSql.vRuleTotals,
     // the streamed windowed agg must equal the batch hour buckets over

@@ -512,6 +512,36 @@ class IceLite(val root: String) extends TableIO {
     }
   }
 
+  /** Carry an UNCHANGED partition forward into a new snapshot without
+    * rewriting a byte — the Iceberg append move (a new snapshot = the
+    * previous snapshot's manifests + the newly written partitions), and
+    * the thing that makes appends O(new data) instead of O(table): at
+    * 10^5 committed partitions, recommitting unchanged history per
+    * append is the difference between a metadata operation and a full
+    * table rewrite. The lineage record is copied with a `dataSnap`
+    * indirection to wherever each table's bytes actually live (resolved
+    * flat, so chains never form); fingerprints exclude the indirection,
+    * so [[readTableAppended]] correctly reports the carried partition
+    * as UNCHANGED, and [[expireSnapshots]]'s reference accounting keeps
+    * the bytes alive while any retained snapshot points at them. */
+  def carryForwardPartition(newSnap: Long, part: String,
+      fromSnap: Long): Unit = {
+    val doc = lineageDoc(fromSnap, part).getOrElse(sys.error(
+      s"snapshot $fromSnap has no lineage record for partition '$part'"))
+    val tables = (doc \ "tables").extract[Seq[String]]
+    val dataSnap = JObject(tables.sorted.toList.map(t =>
+      t -> JLong(dataSnapOf(fromSnap, part, t))))
+    val fields = doc match {
+      case JObject(fs) => fs.filterNot(f =>
+        f._1 == "snapshot" || f._1 == "dataSnap")
+      case _ => sys.error(s"malformed lineage record for '$part'")
+    }
+    atomicWrite(lineageDir(newSnap).resolve(s"${enc(part)}.json"),
+      JsonMethods.compact(JsonMethods.render(JObject(
+        ("snapshot" -> JLong(newSnap)) :: fields ::: List(
+          "dataSnap" -> dataSnap)))))
+  }
+
   /** Copy-on-write small-file compaction (Iceberg's
     * `rewrite_data_files`): bin-pack every (partition, table) whose
     * parquet files could pack into fewer `targetFileBytes`-sized files,

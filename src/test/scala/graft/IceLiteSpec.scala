@@ -239,6 +239,49 @@ class IceLiteSpec extends AnyFunSuite {
     assert(ice.readTable(spark, s4, "t").count() === 10L)
   }
 
+  test("carry-forward append: history partitions move into the new " +
+    "snapshot as metadata only") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    ice.commitPartition(1L, "h0", 100L, Map("t" ->
+      (0L until 100L).map(i => (i, s"d$i")).toDF("doc_id", "name")))
+    ice.commitSnapshot(1L, Seq("h0"))
+    // append: h0 carried forward (no data write), n1 lands
+    ice.commitPartition(2L, "n1", 50L, Map("t" ->
+      (100L until 150L).map(i => (i, s"d$i")).toDF("doc_id", "name")))
+    ice.carryForwardPartition(2L, "h0", 1L)
+    ice.commitSnapshot(2L, Seq("h0", "n1"))
+    // zero bytes written for history: no data dir for h0 under snap 2
+    assert(!Files.exists(
+      java.nio.file.Paths.get(root, "data", "snap=2", "t", "part=h0")))
+    // the new snapshot reads the union, history served from snap 1's dir
+    val t2 = ice.readTable(spark, 2L, "t")
+    assert(t2.count() === 150L)
+    assert(t2.inputFiles.count(_.contains("snap=1/")) > 0)
+    // the incremental diff sees ONLY the appended partition
+    val diff = ice.readTableAppended(spark, 1L, 2L, "t")
+    assert(diff.count() === 50L)
+    assert(diff.inputFiles.forall(_.contains("part=n1")))
+    // carried stats still prune; manifest row count spans both
+    assert(ice.tableRowCount(2L, "t") === Some(150L))
+    assert(ice.readTablePruned(spark, 2L, "t", "doc_id", 120, 130)
+      .inputFiles.forall(_.contains("part=n1")))
+    // expiring snapshot 1 keeps the bytes snapshot 2 references
+    assert(ice.expireSnapshots(retain = 1) === Seq(1L))
+    assert(ice.readTable(spark, 2L, "t").count() === 150L)
+    // chains never form: a further carry-forward resolves to the
+    // ORIGINAL location, and a compaction of snap 2 still works
+    ice.commitPartition(3L, "n2", 10L, Map("t" ->
+      (150L until 160L).map(i => (i, s"d$i")).toDF("doc_id", "name")))
+    ice.carryForwardPartition(3L, "h0", 2L)
+    ice.carryForwardPartition(3L, "n1", 2L)
+    ice.commitSnapshot(3L, Seq("h0", "n1", "n2"))
+    assert(ice.readTable(spark, 3L, "t").count() === 160L)
+    assert(ice.readTable(spark, 3L, "t")
+      .inputFiles.count(_.contains("snap=1/")) > 0)
+  }
+
   test("snapshot GC never touches an in-progress uncommitted snapshot") {
     import spark.implicits._
     val root = freshRoot()
