@@ -512,6 +512,23 @@ class IceLite(val root: String) extends TableIO {
     }
   }
 
+  /** Discard an UNCOMMITTED in-progress snapshot — the abandoned
+    * checkpoint a crashed run left when nobody will resume it (the
+    * "discard" arm of [[compactSnapshot]]'s resume-or-discard error;
+    * without it an abandoned run's lineage and data linger forever,
+    * since [[expireSnapshots]] deliberately never touches in-progress
+    * state). Refuses committed snapshots: history goes through
+    * [[expireSnapshots]]. Safe against the indirections: `dataSnap`
+    * only ever points BACKWARD at snapshots that were committed when
+    * the record was written, so no committed snapshot can reference an
+    * uncommitted id's data. */
+  def discardInProgress(snap: Long): Unit = {
+    require(!Files.exists(p("snapshots", s"v$snap.json")),
+      s"snapshot $snap is committed — expireSnapshots is the API for history")
+    deleteRecursively(lineageDir(snap))
+    deleteRecursively(p("data", s"snap=$snap"))
+  }
+
   /** Carry an UNCHANGED partition forward into a new snapshot without
     * rewriting a byte — the Iceberg append move (a new snapshot = the
     * previous snapshot's manifests + the newly written partitions), and

@@ -237,6 +237,20 @@ class IceLiteSpec extends AnyFunSuite {
     assert(ice.completedParts(s4) === Set("p1"))
     ice.commitSnapshot(s4, Seq("p1"))
     assert(ice.readTable(spark, s4, "t").count() === 10L)
+    // the DISCARD arm: an abandoned in-progress snapshot can be dropped
+    // explicitly (expireSnapshots never touches it), a committed one
+    // cannot
+    val s5 = ice.nextSnapshotId
+    ice.commitPartition(s5, "p1", 5L, Map("t" ->
+      (0L until 5L).map(i => (i, s"z$i")).toDF("doc_id", "name")))
+    assert(ice.completedParts(s5) === Set("p1"))
+    ice.discardInProgress(s5)
+    assert(ice.completedParts(s5).isEmpty)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "data", s"snap=$s5")))
+    intercept[IllegalArgumentException] { ice.discardInProgress(s4) }
+    assert(ice.readTable(spark, s4, "t").count() === 10L)
+    // after the discard, compaction of the current snapshot proceeds
+    assert(ice.compactSnapshot(spark) === s5)
   }
 
   test("carry-forward append: history partitions move into the new " +
