@@ -102,11 +102,6 @@ object SparkEntry {
     dir.toString
   }
 
-  /** Stamp every *.parquet directly under `dir` with DISTINCT ascending
-    * mtimes in filename order. FileStreamSource admits files
-    * oldest-first, so this makes micro-batch GROUPING deterministic
-    * across drains and replays (equal mtimes would tie-break
-    * arbitrarily). Returns the stamped files. */
   private def listParquet(dir: java.nio.file.Path): Set[java.nio.file.Path] = {
     val ls = java.nio.file.Files.list(dir)
     try ls.iterator().asScala
@@ -114,6 +109,11 @@ object SparkEntry {
     finally ls.close()
   }
 
+  /** Stamp every *.parquet directly under `dir` with DISTINCT ascending
+    * mtimes in filename order. FileStreamSource admits files
+    * oldest-first, so this makes micro-batch GROUPING deterministic
+    * across drains and replays (equal mtimes would tie-break
+    * arbitrarily). Returns the stamped files. */
   private def stampAscendingMtimes(dir: java.nio.file.Path,
       baseMillis: Long): Set[java.nio.file.Path] = {
     val parts = listParquet(dir)
@@ -315,8 +315,10 @@ object SparkEntry {
         val (histOrgs, newOrgs) = orgs.splitAt(math.max(1, orgs.length / 2))
         require(newOrgs.nonEmpty, "corpus too small to split into an append")
         histOrgs.foreach { o =>
-          val sub = files.filter(orgCol === o)
-          ice.commitPartitionLazy(1L, o, () => sub.count(), Map("files" -> sub))
+          // footer-derived row counts: the committed table IS the
+          // partition, so a count() thunk would just re-run the filter
+          ice.commitPartitionFromFooters(1L, o,
+            Map("files" -> files.filter(orgCol === o)))
         }
         ice.commitSnapshot(1L, histOrgs)
         // history's violations: committed state in production (the
@@ -325,14 +327,18 @@ object SparkEntry {
         val v1 = Violations.extract(
           ice.readTable(s, 1L, "files"), FileRules.rowRules)
         newOrgs.foreach { o =>
-          val sub = files.filter(orgCol === o)
-          ice.commitPartitionLazy(2L, o, () => sub.count(), Map("files" -> sub))
+          ice.commitPartitionFromFooters(2L, o,
+            Map("files" -> files.filter(orgCol === o)))
         }
         histOrgs.foreach(o => ice.carryForwardPartition(2L, o, 1L))
         ice.commitSnapshot(2L, orgs)
         val diff = ice.readTableAppended(s, 1L, 2L, "files")
-        require(diff.inputFiles.forall(f =>
-          newOrgs.exists(o => f.contains(s"part=$o/"))),
+        // compare against the ENCODED data dirs (partDataDir owns the
+        // escaping) — a raw-name contains() would spuriously fail on
+        // orgs with IceLite's escape characters
+        val newDirs = newOrgs.map(o => ice.partDataDir(2L, "files", o))
+        require(diff.inputFiles.map(f => new java.net.URI(f).getPath)
+          .forall(p => newDirs.exists(dir => p.startsWith(s"$dir/"))),
           "incremental read touched history files")
         v1.unionByName(Violations.extract(diff, FileRules.rowRules))
       } finally { files.unpersist(); () }

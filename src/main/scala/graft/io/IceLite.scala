@@ -518,13 +518,20 @@ class IceLite(val root: String) extends TableIO {
     * without it an abandoned run's lineage and data linger forever,
     * since [[expireSnapshots]] deliberately never touches in-progress
     * state). Refuses committed snapshots: history goes through
-    * [[expireSnapshots]]. Safe against the indirections: `dataSnap`
-    * only ever points BACKWARD at snapshots that were committed when
-    * the record was written, so no committed snapshot can reference an
-    * uncommitted id's data. */
+    * [[expireSnapshots]]. The guard is the id ORDER, not manifest
+    * absence: in-progress means NEWER than the current snapshot.
+    * An old id without a manifest is NOT discardable debris — it is
+    * what expireSnapshots leaves when a retained snapshot still
+    * references the expired id's bytes through `dataSnap` (deleting it
+    * on manifest-absence alone would be silent data loss); ids above
+    * the current snapshot can't be referenced by anything, because
+    * indirections only ever point backward at locations that were
+    * committed when the record was written. */
   def discardInProgress(snap: Long): Unit = {
-    require(!Files.exists(p("snapshots", s"v$snap.json")),
-      s"snapshot $snap is committed — expireSnapshots is the API for history")
+    require(snap > currentSnapshotId.getOrElse(0L),
+      s"snapshot $snap is not in progress (current or older): committed " +
+        "history goes through expireSnapshots, and an expired id's " +
+        "leftover data may still back retained snapshots")
     deleteRecursively(lineageDir(snap))
     deleteRecursively(p("data", s"snap=$snap"))
   }
