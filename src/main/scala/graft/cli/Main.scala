@@ -118,6 +118,14 @@ object Main {
           println(s"output '$name': $n rows")
         } finally df.unpersist(blocking = false)
       }
+      // the reference's Close()-time summary lines (lookup hit/miss,
+      // transform/lookup.go:118-120; per-class Validation Summary,
+      // transform/object_validate.go:86) — observed on the jobs above,
+      // zero extra passes; stderr so stdout sinks stay parseable
+      loaded.counters.snapshot().toSeq.sortBy(_._1).foreach { case (op, ms) =>
+        Console.err.println(s"[counters] $op: " +
+          ms.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
+      }
     }
   }
 }

@@ -61,4 +61,48 @@ class CliRunSpec extends AnyFunSuite {
     assert(stdout.toString.contains("output 'kept': 2 rows"), stdout.toString)
     assert(spark.read.json(s"$dir/out/kept.json").count() === 2)
   }
+
+  test("run-yaml prints the reference's Close()-time counter summary to stderr") {
+    val dir = Files.createTempDirectory("cli_counters")
+    Files.writeString(dir.resolve("rows.json"),
+      """{"id": "a", "dept": "d1"}
+        |{"id": "b", "dept": "dX"}
+        |""".stripMargin)
+    Files.writeString(dir.resolve("codes.json"),
+      """{"code": "d1", "full": "Engineering"}
+        |""".stripMargin)
+    Files.writeString(dir.resolve("pb.yaml"),
+      """name: cli-counters
+        |outdir: out
+        |inputs:
+        |  rows:
+        |    json:
+        |      path: rows.json
+        |pipelines:
+        |  enrich:
+        |    - from: rows
+        |    - lookup:
+        |        lookup: "{{row.dept}}"
+        |        json:
+        |          input: codes.json
+        |          key: code
+        |        copy:
+        |          deptFull: full
+        |outputs:
+        |  enriched:
+        |    json:
+        |      path: enriched.json
+        |      from: enrich
+        |""".stripMargin)
+    val out = new java.io.ByteArrayOutputStream()
+    val err = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { Console.withErr(err) {
+      graft.cli.Main.runYaml(dir.resolve("pb.yaml").toString, Seq())
+    } }
+    // summary on stderr (lookup.go:118-120 logs at Close); stdout stays
+    // the machine-readable output lines
+    assert(err.toString.contains("[counters] lookup:enrich[1]: hit=1 miss=1"),
+      err.toString)
+    assert(!out.toString.contains("[counters]"), out.toString)
+  }
 }
