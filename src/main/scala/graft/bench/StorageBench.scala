@@ -291,6 +291,35 @@ object StorageBench {
     }
   }
 
+  /** Metadata-only append at scale (round 6): carrying 10^3..10^4
+    * committed partitions into a new snapshot must cost driver file IO
+    * only — zero Spark jobs, zero data bytes — or the append story
+    * degrades to O(table) at the 10^5-partition design point. Reuses
+    * manifestBench's fabricated snapshot (same lineage format,
+    * format-drift guarded there); carries every partition forward and
+    * commits, then asserts the new manifest answers partStats. */
+  def carryBench(workDir: String): Unit = {
+    Seq(1000, 10000).foreach { parts =>
+      val root = s"$workDir/manifest_scale_$parts" // built by manifestBench
+      val ice = new IceLite(root)
+      if (ice.currentSnapshotId.isEmpty) {
+        System.err.println(s"[storage] carryBench skipped: run manifestBench first")
+        return
+      }
+      val from = ice.currentSnapshotId.get
+      val names = ice.snapshotParts(from)
+      val (_, tCarry) = time {
+        names.foreach(p => ice.carryForwardPartition(from + 1, p, from))
+        ice.commitSnapshot(from + 1, names)
+      }
+      val stats = new IceLite(root).partStats(from + 1, names(3), "t")
+      require(stats.get("v").contains((30.0, 39.0)),
+        "carried lineage lost its stats")
+      println(f"""{"metric":"carry_append","partitions":$parts,""" +
+        f""""sec_carry_commit":$tCarry%.3f}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT) // f"%.2f" JSON must not localize
     val workDir = args.headOption.getOrElse("/tmp/graft_bench")
@@ -299,6 +328,7 @@ object StorageBench {
     spark.sparkContext.setLogLevel("WARN")
     try {
       manifestBench(workDir)
+      carryBench(workDir)
       compactBench(spark, workDir)
       pruneBench(spark, workDir)
       globBench(spark, workDir)

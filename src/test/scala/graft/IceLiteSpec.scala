@@ -296,6 +296,69 @@ class IceLiteSpec extends AnyFunSuite {
       .inputFiles.count(_.contains("snap=1/")) > 0)
   }
 
+  test("model check: random append/carry/compact/expire sequences always " +
+    "read back the model") {
+    import spark.implicits._
+    // deterministic stateful fuzz over the snapshot layer: a reference
+    // model (part -> ids) is maintained in plain Scala; after every
+    // operation the CURRENT snapshot must read back exactly the model,
+    // and every retained older snapshot its own frozen model. Exercises
+    // the interactions the unit tests cover only pairwise (carry-forward
+    // chains across compactions, expiry under mixed references).
+    val rnd = new scala.util.Random(20260817L)
+    val partPool = Vector("p0", "p1", "p2", "p3")
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    var model = Map.empty[String, Set[Long]]
+    var history = List.empty[(Long, Map[String, Set[Long]])]
+    var nextId = 1000L
+    def commitAppend(): Unit = {
+      val snap = ice.nextSnapshotId
+      val prev = ice.currentSnapshotId
+      // at least one changed part; unchanged committed parts carry over
+      val changed = partPool.filter(_ => rnd.nextBoolean()) match {
+        case e if e.isEmpty => Vector(partPool(rnd.nextInt(partPool.size)))
+        case e => e
+      }
+      changed.foreach { p =>
+        val ids = (0 until 5 + rnd.nextInt(20)).map(_ => { nextId += 1; nextId }).toSet
+        model += p -> ids
+        ice.commitPartitionFromFooters(snap, p, Map("t" ->
+          ids.toSeq.sorted.map(i => (i, p)).toDF("doc_id", "part_name")))
+      }
+      prev.foreach { from =>
+        (model.keySet -- changed).foreach(p => ice.carryForwardPartition(snap, p, from))
+      }
+      ice.commitSnapshot(snap, model.keys.toSeq.sorted)
+      history ::= (snap, model)
+    }
+    def check(): Unit = {
+      history.foreach { case (snap, m) =>
+        val got = ice.readTable(spark, snap, "t")
+          .select("part", "doc_id").collect()
+          .groupBy(_.getString(0)).map { case (p, rs) =>
+            p -> rs.map(_.getLong(1)).toSet
+          }
+        assert(got === m, s"snapshot $snap diverged from model")
+      }
+    }
+    commitAppend()
+    (1 to 10).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 | 1 => commitAppend()
+        case 2 =>
+          val c = ice.compactSnapshot(spark, targetFileBytes = 1L << 20)
+          history ::= (c, model) // content unchanged, new id
+        case 3 =>
+          val retain = 1 + rnd.nextInt(2)
+          val expired = ice.expireSnapshots(retain).toSet
+          history = history.filterNot { case (s, _) => expired(s) }
+      }
+      check()
+    }
+    assert(history.nonEmpty)
+  }
+
   test("snapshot GC never touches an in-progress uncommitted snapshot") {
     import spark.implicits._
     val root = freshRoot()
