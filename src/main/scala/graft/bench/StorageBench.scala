@@ -198,18 +198,8 @@ object StorageBench {
     import java.nio.file.{Files, Paths}
     Seq(1000, 10000).foreach { parts =>
       val root = s"$workDir/manifest_scale_$parts"
-      val ice = new IceLite(root)
+      fabricateSnapshot(root, parts)
       val names = (0 until parts).map(i => f"org$i%05d")
-      if (ice.currentSnapshotId.isEmpty) {
-        val dir = ice.lineageDir(1L)
-        Files.createDirectories(dir)
-        names.zipWithIndex.foreach { case (name, i) =>
-          Files.writeString(dir.resolve(s"$name.json"),
-            s"""{"snapshot":1,"part":"$name","rows":${i + 1},"tables":["t"],""" +
-              s""""stats":{"t":{"v":{"min":${i * 10}.0,"max":${i * 10 + 9}.0}}}}""")
-        }
-        ice.commitSnapshot(1L, names)
-      }
       def sweep(inst: IceLite): Int =
         names.count { n =>
           inst.partStats(1L, n, "t").get("v")
@@ -299,25 +289,51 @@ object StorageBench {
     * format-drift guarded there); carries every partition forward and
     * commits, then asserts the new manifest answers partStats. */
   def carryBench(workDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
     Seq(1000, 10000).foreach { parts =>
-      val root = s"$workDir/manifest_scale_$parts" // built by manifestBench
-      val ice = new IceLite(root)
-      if (ice.currentSnapshotId.isEmpty) {
-        System.err.println(s"[storage] carryBench skipped: run manifestBench first")
-        return
+      // own fabricated root, removed after: carrying stacks a snapshot
+      // per run, which would skew (and eventually bloat) a reused dir
+      val root = s"$workDir/carry_scale_${parts}_${ProcessHandle.current().pid()}"
+      val ice = fabricateSnapshot(root, parts)
+      try {
+        val from = ice.currentSnapshotId.get
+        val names = ice.snapshotParts(from)
+        val (_, tCarry) = time {
+          names.foreach(p => ice.carryForwardPartition(from + 1, p, from))
+          ice.commitSnapshot(from + 1, names)
+        }
+        val stats = new IceLite(root).partStats(from + 1, names(3), "t")
+        require(stats.get("v").contains((30.0, 39.0)),
+          "carried lineage lost its stats")
+        println(f"""{"metric":"carry_append","partitions":$parts,""" +
+          f""""sec_carry_commit":$tCarry%.3f}""")
+      } finally {
+        val w = Files.walk(Paths.get(root))
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { Files.delete(q); () })
+        finally w.close()
       }
-      val from = ice.currentSnapshotId.get
-      val names = ice.snapshotParts(from)
-      val (_, tCarry) = time {
-        names.foreach(p => ice.carryForwardPartition(from + 1, p, from))
-        ice.commitSnapshot(from + 1, names)
-      }
-      val stats = new IceLite(root).partStats(from + 1, names(3), "t")
-      require(stats.get("v").contains((30.0, 39.0)),
-        "carried lineage lost its stats")
-      println(f"""{"metric":"carry_append","partitions":$parts,""" +
-        f""""sec_carry_commit":$tCarry%.3f}""")
     }
+  }
+
+  /** Fabricate a committed snapshot of `parts` lineage-only partitions
+    * in IceLite's own record format (planted stats asserted back by the
+    * callers, so format drift breaks benches loudly, not silently). */
+  private def fabricateSnapshot(root: String, parts: Int): IceLite = {
+    import java.nio.file.Files
+    val ice = new IceLite(root)
+    val names = (0 until parts).map(i => f"org$i%05d")
+    if (ice.currentSnapshotId.isEmpty) {
+      val dir = ice.lineageDir(1L)
+      Files.createDirectories(dir)
+      names.zipWithIndex.foreach { case (name, i) =>
+        Files.writeString(dir.resolve(s"$name.json"),
+          s"""{"snapshot":1,"part":"$name","rows":${i + 1},"tables":["t"],""" +
+            s""""stats":{"t":{"v":{"min":${i * 10}.0,"max":${i * 10 + 9}.0}}}}""")
+      }
+      ice.commitSnapshot(1L, names)
+    }
+    ice
   }
 
   def main(args: Array[String]): Unit = {
