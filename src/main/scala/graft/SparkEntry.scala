@@ -124,6 +124,21 @@ object SparkEntry {
     parts
   }
 
+  /** Run `body` with spark.sql.shuffle.partitions temporarily set to
+    * `n` — stateful-streaming sizing: the state store creates AND
+    * commits one partition per shuffle partition per micro-batch, so a
+    * small-keyspace stateful query at the session default of 32 pays
+    * 32 state commits per batch for a handful of keys. Real deployments
+    * size state partitions to the keyspace; this is that knob. Queries
+    * run sequentially through Verify/Bench, so the shared-conf toggle
+    * is safe (restored in finally). */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** MinHash-LSH candidates verified at jaccard >= 0.8 over [[augDocs]]. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.withWordShingles(augDocs(s, d), "text")
@@ -362,15 +377,19 @@ object SparkEntry {
         java.nio.file.Files.createFile(marker)
       }
       val schema = s.read.parquet(dir).schema
-      val stream = graft.streaming.StreamValidate.violationStream(
-        s, dir, schema, FileRules.rowRules, maxFilesPerTrigger = Some(4))
-      val totals = graft.streaming.StreamValidate.statefulRuleTotals(stream)
+      // a handful of rule keys: size the state store to the keyspace
+      // (32 default partitions = 32 state commits per batch for ~5 keys)
       val qname = "v_stream_totals_sink"
-      s.catalog.dropTempView(qname)
-      val q = totals.writeStream.format("memory").queryName(qname)
-        .outputMode("update")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 4) {
+        val stream = graft.streaming.StreamValidate.violationStream(
+          s, dir, schema, FileRules.rowRules, maxFilesPerTrigger = Some(4))
+        val totals = graft.streaming.StreamValidate.statefulRuleTotals(stream)
+        s.catalog.dropTempView(qname)
+        val q = totals.writeStream.format("memory").queryName(qname)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val sink = s.table(qname)
       val bad = sink.groupBy(col("rule_id"))
         .agg(max(col("total")).as("final_total"),
@@ -434,14 +453,19 @@ object SparkEntry {
         java.nio.file.Files.createFile(marker)
       }
       val schema = s.read.parquet(dir).schema
-      val stream = graft.streaming.StreamValidate.windowedEventAgg(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", "3").parquet(dir),
-        "1 hour", "1 hour", "10 minutes")
+      // windowed-state sizing: a few thousand (window, type) keys —
+      // 8 state partitions, not the batch default of 32 (each is a
+      // per-micro-batch state-store commit)
       val qname = "v_stream_window_sink"
-      s.catalog.dropTempView(qname)
-      val q = graft.streaming.StreamValidate.toMemorySink(stream, qname, "append")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val stream = graft.streaming.StreamValidate.windowedEventAgg(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", "3").parquet(dir),
+          "1 hour", "1 hour", "10 minutes")
+        s.catalog.dropTempView(qname)
+        val q = graft.streaming.StreamValidate.toMemorySink(stream, qname, "append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(qname)
         .select(col("w_start").cast("timestamp_ntz").as("w_start"),
           col("w_end").cast("timestamp_ntz").as("w_end"),
