@@ -45,6 +45,27 @@ object Bench {
       try force(SparkEntry.queries(w)(spark, sfDir)) catch { case _: Throwable => () }
     }
 
+    // Tenancy sentinel (VERDICT r6 ask #2): this host's effective CPU
+    // swings ~2x between same-code runs (round 6 produced 70.9s / 91.9s
+    // / 116s grids from byte-identical code), so every run interleaves
+    // a FIXED CPU-bound computation — constant shape, constant data,
+    // independent of the query grid and the sf dir — before/after each
+    // pass. Its min time calibrates the run's effective speed:
+    // `drift` = sentinel_min / SentinelRef (1.0 = the round-7
+    // calibration host state; 1.5 = this run's host was 1.5x slower),
+    // so round-over-round grid totals compare drift-normalized instead
+    // of by forensics.
+    val SentinelRef = 0.95 // seconds; round-7 calibration (BENCH/NOTES.md)
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 4000000L, 1L, 8)
+        .select(xxhash64(sha2(concat(lit("graft-sentinel-"),
+          col("id").cast("string")), 256)).as("h"))
+        .agg(bit_xor(col("h"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel() // untimed warm-up of the sentinel's own codegen
+
     // a failed query must stay visible in the output (a swallowed error
     // would masquerade as a suspiciously fast timing): elapsed time is
     // NEGATED on failure and the name lands in an `errors` array.
@@ -66,7 +87,10 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         (name, if (ok) dt else -dt)
       }
-    val passes = Seq(pass(), pass(), pass())
+    val sentinels = scala.collection.mutable.ArrayBuffer(sentinel())
+    val passes = Seq.fill(3) {
+      val p = pass(); sentinels += sentinel(); p
+    }
     val byQuery = passes.transpose.map { samples =>
       val name = samples.head._1
       val oks = samples.map(_._2).filter(_ > 0)
@@ -109,8 +133,13 @@ object Bench {
     val total = results.map(r => math.abs(r._2)).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flk = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sMin = sentinels.min
+    val sSpread = sentinels.max / sentinels.min
+    val drift = sMin / SentinelRef
+    val sJson = sentinels.map(v => f"$v%.3f").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"recall":$rc,"errors":$errs,"flaky":$flk,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"recall":$rc,"errors":$errs,"flaky":$flk,""" +
+        f""""sentinel":{"samples":$sJson,"min":$sMin%.3f,"spread":$sSpread%.2f},"drift":$drift%.3f,"sf":"$sfDir"}"""
     println(line)
     // the one-line grid outgrew the driver's stdout-tail capture (the r4
     // artifact lost its headline number to truncation) — persist the

@@ -471,6 +471,151 @@ object SparkEntry {
           col("w_end").cast("timestamp_ntz").as("w_end"),
           col("event_type"), col("n"), col("value_sum"))
     }),
+    "v_stream_dedup" -> ((s, d) => {
+      // streaming exact dedup, oracle-gated (VERDICT r6 ask #3): the
+      // corpus plus planted duplicates (every 5th doc re-landed under a
+      // new id with identical text) drains in micro-batches through
+      // dropDuplicatesWithinWatermark; duplicates always arrive in a
+      // LATER batch than their originals (originals stamped with
+      // earlier mtimes, batch size divides the original file count), so
+      // first-wins is deterministic and the admitted set must
+      // hash-equal the batch first-wins oracle — the reference's
+      // `distinct` semantics (transform/distinct.go:24-62) with
+      // watermark-bounded state instead of its unbounded badger KV.
+      import org.apache.spark.sql.streaming.Trigger
+      val dir = tmpWorkDir("graft_stream_dedup", d)
+      val dp = java.nio.file.Paths.get(dir)
+      val marker = dp.resolve("_FIXTURE_READY")
+      if (!java.nio.file.Files.exists(marker)) {
+        rmTree(dp)
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+        docs.repartition(4).write.mode("overwrite").parquet(dir)
+        val base = System.currentTimeMillis()
+        val origParts = stampAscendingMtimes(dp, base)
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+          .repartition(2).write.mode("append").parquet(dir)
+        (listParquet(dp) -- origParts).toSeq.sortBy(_.getFileName.toString)
+          .zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.setLastModifiedTime(f,
+              java.nio.file.attribute.FileTime.fromMillis(
+                base + 1000 * 10000L + i * 10000L))
+          }
+        java.nio.file.Files.createFile(marker)
+      }
+      val schema = s.read.parquet(dir).schema
+      val qname = "v_stream_dedup_sink"
+      // ~500 digest keys: size the state store to the keyspace
+      withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2").parquet(dir)
+        val deduped = graft.streaming.StreamValidate
+          .streamingDedup(stream, "text", "ts")
+        s.catalog.dropTempView(qname)
+        val q = graft.streaming.StreamValidate
+          .toMemorySink(deduped, qname, "append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val nDocs = t(s, d, "documents").count()
+      val nIn = nDocs + t(s, d, "documents")
+        .filter(col("doc_id") % 5 === 0).count()
+      val out = s.table(qname)
+      // the stream must actually have FACED duplicates and dropped them
+      require(out.count() < nIn,
+        s"dedup dropped nothing: $nIn rows in, ${out.count()} out")
+      require(out.count() == nDocs,
+        s"expected $nDocs survivors, got ${out.count()}")
+      out.select(col("doc_id"), col("digest"))
+    }),
+    "v_stream_late" -> ((s, d) => {
+      // late-data watermark semantics, oracle-gated (VERDICT r6 ask
+      // #4): files arrive event-time OUT OF ORDER — batch 0 (even
+      // event_ids) spans the whole time range and advances the
+      // watermark to max(even ts) - delay; batch 1 (odd event_ids)
+      // then arrives with most of its rows BEHIND the watermark. Spark
+      // must drop exactly the odd rows whose hour window is already
+      // finalized (window end ≤ watermark) and merge the rest; the
+      // DuckDB oracle computes the same admitted set from the arrival
+      // rule, so the watermark's actual job — deterministic late-row
+      // dropping — is what the hash certifies (v_stream_window's
+      // in-order fixture never exercises it). The delay is 600999 ms,
+      // NOT a round 10 minutes: watermark = max(even ts) - delay must
+      // never land exactly on an hour boundary (where Spark's strict
+      // vs the oracle's non-strict reading of "window still open"
+      // could disagree), and second-granularity timestamps minus a
+      // .999 s offset cannot hit one.
+      import org.apache.spark.sql.streaming.Trigger
+      val dir = tmpWorkDir("graft_stream_late", d)
+      val dp = java.nio.file.Paths.get(dir)
+      val marker = dp.resolve("_FIXTURE_READY")
+      if (!java.nio.file.Files.exists(marker)) {
+        rmTree(dp)
+        val ev = t(s, d, "events").select(
+          col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("value"), col("event_id"))
+        ev.filter(col("event_id") % 2 === 0).drop("event_id")
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+        val base = System.currentTimeMillis()
+        val f0 = stampAscendingMtimes(dp, base)
+        // empty BRIDGE batch between the in-order and the late files:
+        // since SPARK-40925 the late-event filter runs on the PREVIOUS
+        // batch's watermark (eviction on the current one), so the
+        // watermark advanced by batch 0 governs input filtering only
+        // from batch 2 on — without the bridge, batch 1's late rows
+        // are merged, not dropped (measured: 1000/1000 admitted)
+        ev.filter(lit(false)).drop("event_id")
+          .coalesce(1).write.mode("append").parquet(dir)
+        val fb = listParquet(dp) -- f0
+        fb.foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(base + 50 * 10000L)))
+        ev.filter(col("event_id") % 2 =!= 0).drop("event_id")
+          .coalesce(1).write.mode("append").parquet(dir)
+        val f1 = listParquet(dp) -- f0 -- fb
+        f1.foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(base + 100 * 10000L)))
+        // sentinel far past everything: the post-sentinel no-data batch
+        // (SPARK-24156) flushes every finalized real window; the
+        // sentinel's own window is never watermark-finalized
+        ev.agg(max(col("ts")).as("ts"))
+          .select((col("ts") + expr("INTERVAL 7 DAYS")).as("ts"),
+            lit("___sentinel___").as("event_type"), lit(0.0).as("value"))
+          .coalesce(1).write.mode("append").parquet(dir)
+        (listParquet(dp) -- f0 -- fb -- f1).foreach(f =>
+          java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(base + 1000 * 10000L)))
+        java.nio.file.Files.createFile(marker)
+      }
+      val schema = s.read.parquet(dir).schema
+      val qname = "v_stream_late_sink"
+      withShufflePartitions(s, 8) {
+        val stream = graft.streaming.StreamValidate.windowedEventAgg(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(dir),
+          "1 hour", "1 hour", "600999 milliseconds")
+        s.catalog.dropTempView(qname)
+        val q = graft.streaming.StreamValidate
+          .toMemorySink(stream, qname, "append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val admitted = s.table(qname).agg(
+        sum(col("n")).cast(LongType)).collect()(0).getLong(0)
+      val nAll = t(s, d, "events").count()
+      val nEven = t(s, d, "events").filter(col("event_id") % 2 === 0).count()
+      // lateness must actually have occurred (rows dropped), and the
+      // in-order batch must be fully admitted — the two ways a broken
+      // fixture could fake a green hash
+      require(admitted < nAll,
+        s"no late rows were dropped ($admitted of $nAll admitted)")
+      require(admitted >= nEven,
+        s"in-order rows went missing ($admitted admitted < $nEven even rows)")
+      s.table(qname)
+        .select(col("w_start").cast("timestamp_ntz").as("w_start"),
+          col("w_end").cast("timestamp_ntz").as("w_end"),
+          col("event_type"), col("n"), col("value_sum"))
+    }),
     "v_resume" -> ((s, d) => {
       // north_star resumability, oracle-gated: run the checkpointed
       // validation, CRASH after 2 committed partitions, resume, and
@@ -963,6 +1108,21 @@ object SparkEntry {
           expr("array_join(transform(feature, x -> format_string('%.5f', x)), ',')"))
         .drop("feature")
     }),
+    "x_media_pixels" -> ((s, d) => {
+      // REAL pixel/PCM decode (VERDICT r6 ask #6): a corpus of genuine
+      // BMP and WAV files (built byte-by-byte from the id — stride
+      // padding, bottom-up AND top-down BMPs, a JUNK chunk before
+      // fmt) is decoded by PixelCodec and reduced to exact integer
+      // features; the oracle replays the pixel/sample VALUE formulas
+      // over logical coordinates, so any stride / row-order / channel
+      // order / chunk-walk bug in the decoder shifts a sum and goes
+      // red. The require certifies every file actually decoded.
+      val feats = graft.multimodal.PixelCodec.pixelFeatures(
+        graft.multimodal.PixelCodec.syntheticMediaReal(s, 500))
+      require(feats.filter(!col("valid")).isEmpty,
+        "some synthetic media files failed to decode")
+      feats.select("media_id", "format", "n_units", "sum1", "sum2", "wsum")
+    }),
     "x_uuid5" -> ((s, d) => {
       graft.expr.UuidExprs.register(s)
       FilesTable.files(s, d).select(col("repo"), col("path"), col("commit"),
@@ -1004,6 +1164,30 @@ object SparkEntry {
         |event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // streaming first-wins dedup over planted duplicates ≡ the original
+    // corpus (duplicates always arrive in later batches — see the query)
+    "v_stream_dedup" ->
+      "SELECT doc_id, md5(text) AS digest FROM documents",
+    // late-data certification: the oracle REPLAYS the watermark rule —
+    // batch 0 (even ids) fully admitted and fixing the watermark at
+    // max(even ts) - 600999 ms; batch 1 (odd ids) admitted only where
+    // the hour window is still open (window end > watermark)
+    "v_stream_late" ->
+      """WITH wm AS (
+        |  SELECT max(ts) - to_milliseconds(600999) AS w
+        |  FROM events WHERE event_id % 2 = 0
+        |), adm AS (
+        |  SELECT ts, event_type, value FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT ts, event_type, value FROM events, wm
+        |  WHERE event_id % 2 = 1
+        |    AND date_trunc('hour', ts) + INTERVAL 1 HOUR > wm.w
+        |)
+        |SELECT date_trunc('hour', ts) AS w_start,
+        |date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM adm GROUP BY 1, 2, 3""".stripMargin,
     // source oracles re-derive the parse semantics from RAW LINES (this
     // DuckDB predates read_csv's `comment` param): comment lines dropped
     // BEFORE records are numbered, rowSkip counts post-comment records,
@@ -1189,6 +1373,39 @@ object SparkEntry {
     "v_salted_hot" -> DuckSql.vSaltedHot,
     "x_media_meta" -> DuckSql.xMediaMeta,
     "x_media_features" -> DuckSql.xMediaFeatures,
+    // real-decode features: the oracle recomputes the synthetic
+    // pixel/sample value formulas (PixelCodec.synthPixel/synthSample)
+    // over logical coordinates — decoder-independent ground truth
+    "x_media_pixels" ->
+      """WITH ids AS (SELECT range AS id FROM range(500)),
+        |bmp AS (SELECT id, 3 + id % 5 AS w, 2 + id % 4 AS h
+        |        FROM ids WHERE id % 2 = 0),
+        |bmp_px AS (
+        |  SELECT b.id, b.w, b.h, x.range AS x, y.range AS y,
+        |    (b.id*131 + x.range*17 + y.range*29 + 106) % 251 AS r,
+        |    (b.id*131 + x.range*17 + y.range*29) % 251 AS bch
+        |  FROM bmp b, range(7) x, range(5) y
+        |  WHERE x.range < b.w AND y.range < b.h),
+        |bmp_f AS (
+        |  SELECT id AS media_id, 'bmp' AS format,
+        |    CAST(max(w) * max(h) AS BIGINT) AS n_units,
+        |    CAST(sum(r) AS BIGINT) AS sum1,
+        |    CAST(sum(bch) AS BIGINT) AS sum2,
+        |    CAST(sum((1 + x + 31*y) * r) AS BIGINT) AS wsum
+        |  FROM bmp_px GROUP BY id),
+        |wav AS (SELECT id, 40 + id % 17 AS n FROM ids WHERE id % 2 = 1),
+        |wav_s AS (
+        |  SELECT w.id, w.n, i.range AS i,
+        |    (w.id*37 + i.range*11) % 2048 - 1024 AS s
+        |  FROM wav w, range(57) i WHERE i.range < w.n),
+        |wav_f AS (
+        |  SELECT id AS media_id, 'wav' AS format,
+        |    CAST(max(n) AS BIGINT) AS n_units,
+        |    CAST(sum(s) AS BIGINT) AS sum1,
+        |    CAST(sum(abs(s)) AS BIGINT) AS sum2,
+        |    CAST(sum((i+1) * s) AS BIGINT) AS wsum
+        |  FROM wav_s GROUP BY id)
+        |SELECT * FROM bmp_f UNION ALL SELECT * FROM wav_f""".stripMargin,
     "x_simhash64_pairs" -> DuckSql.xSimhash64Pairs,
     "x_ann_lsh" -> DuckSql.xAnnLsh(),
     // oracle-gated since round 6: fixed-point Lloyd sums make the

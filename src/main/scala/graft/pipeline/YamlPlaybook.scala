@@ -276,7 +276,11 @@ object YamlPlaybook {
       val c = cfg("json")
       val path = resolvePath(str(c("path")))
       val multiline = c.get("multiline").exists(_ == true)
-      s => if (multiline) Sources.jsonDoc(s, path) else Sources.ndjson(s, path)
+      val pinned = jsonSchemaOf(name, c, multiline)
+      s =>
+        if (multiline) Sources.jsonDoc(s, path)
+        else pinned.fold(Sources.ndjson(s, path))(
+          sch => Sources.ndjsonWithSchema(sch)(s, path))
     } else if (m.contains("table")) {
       val c = cfg("table")
       val path = resolvePath(str(c("path")))
@@ -343,13 +347,39 @@ object YamlPlaybook {
         "gripper/plugin are declared out of scope)")
   }
 
+  /** Optional `schema:` DDL on a `json:` input (an extension over the
+    * schema-free reference, mirroring the `schema:` the python steps
+    * already take): NDJSON without a declared schema pays a hidden
+    * EAGER inference pass — a full extra read of the corpus at plan
+    * build, measured at ~2x total cost over 10^5 files
+    * (BENCH/NOTES.md glob_fanin) — so a playbook that knows its
+    * columns pins them and gets the single-scan plan
+    * ([[Sources.ndjsonWithSchema]]). Parsed eagerly: a bad DDL fails at
+    * load time like every other config error. */
+  private def jsonSchemaOf(name: String, c: Map[String, Any],
+      multiline: Boolean): Option[org.apache.spark.sql.types.StructType] =
+    c.get("schema").map(str).map { ddl =>
+      require(!multiline,
+        s"input '$name': schema pinning applies to NDJSON (multiline " +
+          "documents are whole-file reads; inference is not the cost there)")
+      try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      catch {
+        case e: Exception =>
+          sys.error(s"input '$name': bad schema DDL '$ddl': ${e.getMessage}")
+      }
+    }
+
   /** Inner loader for `glob:` — the inner config without its own path;
     * the glob pattern is injected as the path argument. */
   private def inputLoaderAt(name: String, kind: String, c: Map[String, Any],
       resolvePath: String => String): (SparkSession, String) => DataFrame = kind match {
     case "json" =>
       val multiline = c.get("multiline").exists(_ == true)
-      (s, p) => if (multiline) Sources.jsonDoc(s, p) else Sources.ndjson(s, p)
+      val pinned = jsonSchemaOf(name, c, multiline)
+      (s, p) =>
+        if (multiline) Sources.jsonDoc(s, p)
+        else pinned.fold(Sources.ndjson(s, p))(
+          sch => Sources.ndjsonWithSchema(sch)(s, p))
     case "table" =>
       val spec = Sources.TableSpec(
         sep = c.get("sep").map(str).filter(_.nonEmpty).getOrElse("\t"),

@@ -115,12 +115,14 @@ object StreamValidate {
     * Exactly-once scope: content dedup is BY BATCH ID, which is
     * exactly right for replays from the SAME checkpoint (Spark
     * guarantees a replayed id re-delivers the identical file set). A
-    * REBUILT checkpoint re-numbers from 0 and is only safe when the
-    * regrouping is byte-identical — same source files, deterministic
-    * admission order (distinct mtimes), same maxFilesPerTrigger; if
-    * files arrived since, batch 0's new content would be skipped by
-    * the old b00000 record. Cross-checkpoint migration needs a fresh
-    * snapshot id, not id-based dedup.
+    * REBUILT checkpoint re-numbers from 0 — each commit therefore
+    * records the batch's SOURCE-FILE SET in its lineage record, and a
+    * replayed id whose file set differs from the record fails loudly
+    * (ADVICE r6: before this witness, a rebuilt checkpoint over input
+    * that had grown would silently drop batch 0's new content against
+    * the old b00000 record). Cross-checkpoint migration still wants a
+    * fresh snapshot id; the witness turns the unsafe shortcut from
+    * silent data loss into an error.
     *
     * The caller seals the snapshot with
     * `ice.commitSnapshot(snap, ice.completedParts(snap).toSeq.sorted)`
@@ -130,8 +132,20 @@ object StreamValidate {
       table: String): DataStreamWriter[Row] =
     df.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val part = f"b$id%05d"
+      val srcs = batch.inputFiles.toSeq.sorted
       if (!ice.isPartCompleted(snap, part))
-        ice.commitPartitionFromFooters(snap, part, Map(table -> batch))
+        ice.commitPartitionFromFooters(snap, part, Map(table -> batch),
+          srcFiles = Some(srcs))
+      else
+        // O(1) record read, no relisting of the lineage dir; records
+        // written before the witness (no srcFiles) skip as before
+        ice.partSourceFiles(snap, part).filter(_ != srcs).foreach { rec =>
+          sys.error(s"replayed batch $id delivers a different source-file " +
+            s"set than its lineage record (${rec.size} recorded vs " +
+            s"${srcs.size} delivered): this checkpoint was rebuilt over " +
+            "changed input — commit under a fresh snapshot id instead of " +
+            "relying on batch-id dedup")
+        }
       ()
     }
 }

@@ -493,6 +493,153 @@ class IceLiteSpec extends AnyFunSuite {
     mem.parts.values.foreach(_.values.foreach(_.unpersist()))
   }
 
+  test("manifest-list: appends reference the parent's shard files untouched; " +
+    "long chains consolidate; every snapshot still reads its docs") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    def manifestsOf(snap: Long): Seq[String] =
+      (JsonMethods.parse(Files.readString(
+        java.nio.file.Paths.get(root, "snapshots", s"v$snap.json"))) \ "manifests")
+        .asInstanceOf[JArray].arr.collect { case JString(n) => n }
+    // fabricate lineage records directly (driver-only, same format the
+    // StorageBench fabricator uses) — 70 appends of one new part each,
+    // history carried forward, so the manifest list grows by one shard
+    // per append until the MaxManifests consolidation kicks in
+    def append(snap: Long, newPart: String, carried: Seq[String]): Unit = {
+      val dir = ice.lineageDir(snap)
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve(s"$newPart.json"),
+        s"""{"snapshot":$snap,"part":"$newPart","op":"ingest","rows":1,""" +
+          s""""tables":["t"],"stats":{"t":{"v":{"min":1.0,"max":2.0}}}}""")
+      carried.foreach(p => ice.carryForwardPartition(snap, p, snap - 1))
+      ice.commitSnapshot(snap, carried :+ newPart)
+    }
+    var parts = Seq.empty[String]
+    (1 to 70).foreach { i =>
+      val np = f"p$i%03d"
+      append(i.toLong, np, parts)
+      parts = parts :+ np
+    }
+    // the append chain reused shards: v10 = v9's list + exactly one new
+    assert(manifestsOf(10).init === manifestsOf(9))
+    val m9mtime = Files.getLastModifiedTime(
+      java.nio.file.Paths.get(root, "manifests", manifestsOf(9).last))
+    // shard files are immutable once referenced (append 10 didn't touch 9's)
+    assert(Files.getLastModifiedTime(
+      java.nio.file.Paths.get(root, "manifests", manifestsOf(9).last)) === m9mtime)
+    // consolidation bounded the list well below the 70-append chain length
+    assert(manifestsOf(70).size <= 65)
+    assert(manifestsOf(70).size < 70)
+    // every part's doc still resolves (and from the manifest path: wipe
+    // the whole lineage tree first)
+    (1 to 70).foreach { i =>
+      val d = ice.lineageDir(i.toLong)
+      if (Files.exists(d)) {
+        val s = Files.walk(d)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().forEachRemaining(Files.delete(_))
+        finally s.close()
+      }
+    }
+    val fresh = new IceLite(root)
+    parts.foreach { p =>
+      assert(fresh.partStats(70L, p, "t").get("v") === Some((1.0, 2.0)))
+    }
+    // GC: expiring history drops unreferenced shards but keeps the
+    // retained snapshot fully readable
+    assert(fresh.expireSnapshots(retain = 1).size === 69)
+    val kept = new IceLite(root)
+    parts.foreach { p =>
+      assert(kept.partStats(70L, p, "t").get("v") === Some((1.0, 2.0)))
+    }
+    val shardFiles = {
+      val s = Files.list(java.nio.file.Paths.get(root, "manifests"))
+      try s.count() finally s.close()
+    }
+    assert(shardFiles === manifestsOf(70).size.toLong)
+  }
+
+  test("lineage() audit table survives lineage-tree deletion and " +
+    "expireSnapshots (served from manifests)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    ice.commitPartition(1L, "a", 2L, Map("t" -> (0 until 2).toDF("v")))
+    ice.commitPartition(1L, "b", 3L, Map("t" -> (10 until 13).toDF("v")))
+    ice.commitSnapshot(1L, Seq("a", "b"))
+    ice.commitPartition(2L, "c", 4L, Map("t" -> (20 until 24).toDF("v")))
+    ice.carryForwardPartition(2L, "a", 1L)
+    ice.carryForwardPartition(2L, "b", 1L)
+    ice.commitSnapshot(2L, Seq("a", "b", "c"))
+    def audit(inst: IceLite): Map[(Long, String), Long] =
+      inst.lineage(spark).select("snapshot", "part", "rows").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val full = Map((1L, "a") -> 2L, (1L, "b") -> 3L,
+      (2L, "a") -> 2L, (2L, "b") -> 3L, (2L, "c") -> 4L)
+    assert(audit(ice) === full)
+    // the IceLiteSpec witness: the whole per-partition lineage tree is
+    // dispensable once snapshots committed — the audit must not shrink
+    val lt = java.nio.file.Paths.get(root, "lineage")
+    val s = Files.walk(lt)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().forEachRemaining(Files.delete(_))
+    finally s.close()
+    assert(audit(new IceLite(root)) === full)
+    // after expiry the audit covers exactly the retained history
+    ice.expireSnapshots(retain = 1)
+    assert(audit(new IceLite(root)) === full.filter(_._1._1 == 2L))
+  }
+
+  test("a resuming ingest refuses another operation's in-progress records " +
+    "instead of skipping them as completed work") {
+    val root = freshRoot()
+    val s1 = CheckpointedValidation.run(spark, files, FileRules.rowRules, root)
+    assert(s1 === 1L)
+    val ice = new IceLite(root)
+    // simulate a compaction that crashed mid-rewrite: one op=compact
+    // lineage record under the in-progress id
+    val dir = ice.lineageDir(2L)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("stale.json"),
+      """{"snapshot":2,"part":"stale","op":"compact","rows":1,""" +
+        """"tables":["verdicts"],"stats":{}}""")
+    val e = intercept[RuntimeException] {
+      CheckpointedValidation.run(spark, files, FileRules.rowRules, root)
+    }
+    assert(e.getMessage.contains("compact"))
+    // the remedy works: discard, then the run proceeds
+    ice.discardInProgress(2L)
+    assert(CheckpointedValidation.run(spark, files, FileRules.rowRules, root) === 2L)
+  }
+
+  test("expiry honors data references held by IN-PROGRESS lineage records") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    ice.commitPartition(1L, "p", 2L, Map("t" -> (0 until 2).toDF("v")))
+    ice.commitPartition(1L, "q", 2L, Map("t" -> (5 until 7).toDF("v")))
+    ice.commitSnapshot(1L, Seq("p", "q"))
+    // snapshot 2 recommits both parts with fresh data: nothing COMMITTED
+    // references snapshot 1's bytes any more
+    ice.commitPartition(2L, "p", 2L, Map("t" -> (10 until 12).toDF("v")))
+    ice.commitPartition(2L, "q", 2L, Map("t" -> (15 until 17).toDF("v")))
+    ice.commitSnapshot(2L, Seq("p", "q"))
+    // an in-progress record (a crashed rewrite) still points at snapshot
+    // 1's copy of p — expiry must keep those bytes for the resume/discard
+    // decision, while q's unreferenced copy is reclaimed
+    val dir = ice.lineageDir(3L)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("p.json"),
+      """{"snapshot":3,"part":"p","op":"compact","rows":2,""" +
+        """"tables":["t"],"stats":{},"dataSnap":{"t":1}}""")
+    assert(ice.expireSnapshots(retain = 1) === Seq(1L))
+    val d1 = java.nio.file.Paths.get(root, "data", "snap=1", "t")
+    assert(Files.exists(d1.resolve("part=p")))
+    assert(!Files.exists(d1.resolve("part=q")))
+  }
+
   test("incremental read catches RECOMMITTED partitions, not just appended " +
     "(lineage fingerprint diff)") {
     import spark.implicits._

@@ -176,6 +176,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("PixelCodec: real BMP pixels and WAV PCM samples decode exactly " +
+    "(stride, top-down rows, channel order, JUNK chunk walk)") {
+    import graft.multimodal.PixelCodec
+    // id 2: bottom-up BMP, w=5 (stride 16 -> padded), h=4
+    val bmp2 = PixelCodec.decodeBmpPixels(PixelCodec.buildBmp(2)).get
+    assert((bmp2.width, bmp2.height) === ((5, 4)))
+    for (y <- 0 until 4; x <- 0 until 5; c <- 0 until 3)
+      assert(bmp2.at(x, y, c) === PixelCodec.synthPixel(2, x, y, c),
+        s"bottom-up pixel ($x,$y,$c)")
+    // id 5: TOP-DOWN BMP (negative header height), w=3+5%5=3, h=2+5%4=3
+    val bmp5 = PixelCodec.decodeBmpPixels(PixelCodec.buildBmp(5)).get
+    assert((bmp5.width, bmp5.height) === ((3, 3)))
+    for (y <- 0 until 3; x <- 0 until 3; c <- 0 until 3)
+      assert(bmp5.at(x, y, c) === PixelCodec.synthPixel(5, x, y, c),
+        s"top-down pixel ($x,$y,$c)")
+    // WAV roundtrip incl. negative samples (int16 sign)
+    val s7 = PixelCodec.decodeWavSamples(PixelCodec.buildWav(7)).get
+    assert(s7.length === 47)
+    s7.zipWithIndex.foreach { case (v, i) =>
+      assert(v === PixelCodec.synthSample(7, i), s"sample $i")
+    }
+    assert(s7.exists(_ < 0))
+    // garbage and truncation: None, never a throw
+    assert(PixelCodec.decodeBmpPixels(Array[Byte](1, 2, 3)).isEmpty)
+    assert(PixelCodec.decodeBmpPixels(PixelCodec.buildBmp(2).take(60)).isEmpty)
+    assert(PixelCodec.decodeWavSamples(PixelCodec.buildWav(7).take(30)).isEmpty)
+  }
+
+  test("PixelCodec.pixelFeatures: partition-batched exact features over " +
+    "the real-file corpus") {
+    import graft.multimodal.PixelCodec
+    val feats = PixelCodec.pixelFeatures(
+      PixelCodec.syntheticMediaReal(spark, 40)).cache()
+    assert(feats.count() === 40)
+    assert(feats.filter(!col("valid")).count() === 0)
+    // spot-check one BMP row against a driver-side recompute
+    val r2 = feats.filter(col("media_id") === 2).collect()(0)
+    val exp = (for (y <- 0 until 4; x <- 0 until 5)
+      yield PixelCodec.synthPixel(2, x, y, 2).toLong).sum
+    assert(r2.getAs[Long]("sum1") === exp)
+    feats.unpersist()
+  }
+
   test("validFeatures joins metadata and drops failed decodes") {
     val meta = Multimodal.decodeMeta(media)
     val out = Multimodal.validFeatures(meta, Multimodal.extractFeatures(media, 2))

@@ -301,6 +301,54 @@ class YamlPlaybookSpec extends AnyFunSuite {
     assert(rows.map(_._3).distinct.length === 2)
   }
 
+  test("json/glob inputs with schema: DDL pin the scan — no inference " +
+    "pass, single-scan plan, declared types win") {
+    val dir = writeFixture()
+    Files.writeString(dir.resolve("g1.json"), "{\"id\": \"a\", \"w\": 1}\n")
+    Files.writeString(dir.resolve("g2.json"), "{\"id\": \"b\", \"w\": 2}\n")
+    val yaml =
+      """inputs:
+        |  parts:
+        |    glob:
+        |      path: "g*.json"
+        |      storeFilename: src_file
+        |      json:
+        |        schema: "id STRING, w DOUBLE"
+        |  direct:
+        |    json:
+        |      path: g1.json
+        |      schema: "id STRING, w DOUBLE"
+        |pipelines:
+        |  p:
+        |    - from: parts
+        |  q:
+        |    - from: direct
+        |outputs: {}
+        |""".stripMargin
+    val loaded = YamlPlaybook.load(yaml, dir.toString)
+    val df = loaded.playbook.resolve(spark, "p")
+    // inference would type w as BIGINT; the declared DOUBLE proves the
+    // schema was PINNED (no inference read happened)
+    assert(df.schema("w").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(loaded.playbook.resolve(spark, "q").schema("w").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    // single-scan fast path: one file-source relation, not a per-file fold
+    val planLines = df.queryExecution.optimizedPlan
+      .numberedTreeString.linesIterator.size
+    assert(planLines <= 4, s"expected a single-scan plan, got $planLines lines")
+    assert(df.select("id", "w", "src_file").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).sorted.toSeq ===
+      Seq(("a", 1.0, "g1.json"), ("b", 2.0, "g2.json")))
+    // bad DDL fails at LOAD time (UnmarshalStrict moment), not first run
+    val bad = intercept[RuntimeException] {
+      YamlPlaybook.load(
+        "inputs:\n  a:\n    json:\n      path: g1.json\n      schema: \"id STRING w\"\n" +
+          "pipelines:\n  p:\n    - from: a\noutputs: {}\n", dir.toString)
+    }
+    assert(bad.getMessage.contains("bad schema DDL"))
+  }
+
   test("param spec without default fails as undefined; filter not keeps nulls; dropNull keeps rows") {
     val dir = writeFixture()
     // spec map with no default and no override -> undefined param, not
