@@ -55,7 +55,7 @@ object Bench {
     // calibration host state; 1.5 = this run's host was 1.5x slower),
     // so round-over-round grid totals compare drift-normalized instead
     // of by forensics.
-    val SentinelRef = 0.95 // seconds; round-7 calibration (BENCH/NOTES.md)
+    val SentinelRef = 0.54 // seconds; round-7 calibration (BENCH/NOTES.md)
     def sentinel(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 4000000L, 1L, 8)

@@ -488,7 +488,14 @@ object SparkEntry {
       val marker = dp.resolve("_FIXTURE_READY")
       if (!java.nio.file.Files.exists(marker)) {
         rmTree(dp)
-        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        // one doc per DISTINCT text (min doc_id): larger corpora carry
+        // natural duplicate texts (sf0.1: 8), and two same-text docs
+        // landing in the same micro-batch would make the survivor
+        // arbitrary — the planted dups below are the only duplicates,
+        // and they always trail their originals by construction
+        val docs = t(s, d, "documents").groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("text"))
           .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
         docs.repartition(4).write.mode("overwrite").parquet(dir)
         val base = System.currentTimeMillis()
@@ -518,9 +525,10 @@ object SparkEntry {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      val nDocs = t(s, d, "documents").count()
-      val nIn = nDocs + t(s, d, "documents")
-        .filter(col("doc_id") % 5 === 0).count()
+      val uniq = t(s, d, "documents").groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val nDocs = uniq.count()
+      val nIn = nDocs + uniq.filter(col("doc_id") % 5 === 0).count()
       val out = s.table(qname)
       // the stream must actually have FACED duplicates and dropped them
       require(out.count() < nIn,
@@ -1164,10 +1172,13 @@ object SparkEntry {
         |event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
-    // streaming first-wins dedup over planted duplicates ≡ the original
-    // corpus (duplicates always arrive in later batches — see the query)
+    // streaming first-wins dedup over planted duplicates ≡ the
+    // text-canonicalized corpus (duplicates always arrive in later
+    // batches — see the query)
     "v_stream_dedup" ->
-      "SELECT doc_id, md5(text) AS digest FROM documents",
+      """WITH uniq AS (SELECT min(doc_id) AS doc_id, text
+        |              FROM documents GROUP BY text)
+        |SELECT doc_id, md5(text) AS digest FROM uniq""".stripMargin,
     // late-data certification: the oracle REPLAYS the watermark rule —
     // batch 0 (even ids) fully admitted and fixing the watermark at
     // max(even ts) - 600999 ms; batch 1 (odd ids) admitted only where
