@@ -55,6 +55,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup state EXPIRES past the watermark horizon: an " +
+    "in-horizon duplicate is dropped, a post-horizon one re-admitted") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    // the bounded-state contract that replaces the reference's unbounded
+    // badger KV (transform/distinct.go:24-53): dedup state lives only
+    // within the watermark horizon, so a duplicate arriving after its
+    // original's event time fell behind the watermark is ADMITTED again
+    // — the price of O(horizon) instead of O(corpus) state, certified
+    // here in both directions
+    val dir = Files.createTempDirectory("sdedup_exp").toString
+    val dp = java.nio.file.Paths.get(dir)
+    def file(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit = {
+      rows.toDF("doc_id", "text", "ts0")
+        .select(col("doc_id"), col("text"), col("ts0").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      val ls = Files.list(dp)
+      try ls.forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet") &&
+          Files.getLastModifiedTime(p).toMillis > 1000000000L)
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        ()
+      } finally ls.close()
+    }
+    // b0: original A; b1: in-horizon dup of A (+2h advancer row B);
+    // b2: another batch so the advanced watermark takes effect (state
+    // eviction runs AFTER a batch's input is processed, so the evicting
+    // boundary must fully pass before a re-admission is observable);
+    // b3: post-horizon dup of A — state for A evicted by then
+    file("b0", 1000L, Seq((1L, "alpha", "2026-01-01 00:00:00")))
+    file("b1", 2000L, Seq(
+      (2L, "alpha", "2026-01-01 00:05:00"), // dup, state alive -> dropped
+      (3L, "beta", "2026-01-01 02:00:00"))) // advances the watermark
+    file("b2", 3000L, Seq((5L, "gamma", "2026-01-01 02:05:00")))
+    file("b3", 4000L, Seq((4L, "alpha", "2026-01-01 02:10:00")))
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamValidate.toMemorySink(
+      StreamValidate.streamingDedup(stream, "text", "ts", "10 minutes"),
+      "dedup_expiry", "append")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val ids = spark.table("dedup_expiry").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // 1 (first alpha), 3 (beta), 5 (gamma), 4 (alpha re-admitted
+      // after expiry); 2 (in-horizon dup) dropped
+      assert(ids === Seq(1L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("late data past the watermark is dropped, not merged (append mode e2e)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("latedata").toString
