@@ -29,6 +29,14 @@ object StorageBench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Remove a bench fixture tree (deepest-first walk). */
+  private def rmTree(root: String): Unit = {
+    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .forEach(q => { java.nio.file.Files.delete(q); () })
+    finally w.close()
+  }
+
   def pruneBench(spark: SparkSession, workDir: String): Unit = {
     val root = s"$workDir/icelite_prune"
     val parts = 64
@@ -278,10 +286,7 @@ object StorageBench {
       // self-contained fixture, fresh per run (compaction mutates the
       // table): remove it, or repeated bench JVMs accumulate one full
       // pid-suffixed table tree each under workDir
-      val w = java.nio.file.Files.walk(Paths.get(root))
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.delete(p); () })
-      finally w.close()
+      rmTree(root)
     }
   }
 
@@ -311,12 +316,7 @@ object StorageBench {
           "carried lineage lost its stats")
         println(f"""{"metric":"carry_append","partitions":$parts,""" +
           f""""sec_carry_commit":$tCarry%.3f}""")
-      } finally {
-        val w = Files.walk(Paths.get(root))
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => { Files.delete(q); () })
-        finally w.close()
-      }
+      } finally rmTree(root)
     }
   }
 
@@ -345,12 +345,7 @@ object StorageBench {
         .get("v").contains((30.0, 39.0)), "retained snapshot lost its stats")
       println(f"""{"metric":"expire_sweep","partitions":$parts,""" +
         f""""sec_expire":$tExpire%.3f}""")
-    } finally {
-      val w = Files.walk(Paths.get(root))
-      try w.sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => { Files.delete(q); () })
-      finally w.close()
-    }
+    } finally rmTree(root)
   }
 
   /** Fabricate a committed snapshot of `parts` lineage-only partitions

@@ -249,8 +249,9 @@ class IceLite(val root: String) extends TableIO {
        }))))
 
   /** The operation that produced a partition's lineage record ("ingest",
-    * "compact"); None for records written before op tagging. */
-  override def partOp(snap: Long, part: String): Option[String] =
+    * "compact") — the per-record audit tag; the O(1) resume guard is
+    * [[inProgressOp]]. None for records written before op tagging. */
+  def partOp(snap: Long, part: String): Option[String] =
     lineageDoc(snap, part).flatMap(d => (d \ "op").extractOpt[String])
 
   /** The source files a partition's commit recorded (streaming
@@ -362,33 +363,39 @@ class IceLite(val root: String) extends TableIO {
     }
   }
 
-  private def manifestLineage(snap: Long): Map[String, JValue] =
-    manifestCache.computeIfAbsent(snap, _ => {
-      val f = p("snapshots", s"v$snap.json")
-      if (!Files.exists(f)) Map.empty
-      else {
-        val doc = JsonMethods.parse(Files.readString(f))
-        (doc \ "manifests") match {
-          case JArray(names) =>
-            val partsSet =
-              (doc \ "parts").extractOpt[Seq[String]].getOrElse(Seq.empty).toSet
-            val merged = names.collect { case JString(n) => n }
-              .foldLeft(Map.empty[String, JValue]) { (acc, n) =>
-                JsonMethods.parse(Files.readString(manifestPath(n))) match {
-                  case JObject(fields) => acc ++ fields
-                  case _ => acc
-                }
+  /** Uncached manifest fold — [[lineage]] streams through this one
+    * snapshot at a time so an audit over many retained snapshots does
+    * not pin every snapshot's doc map in [[manifestCache]] for the
+    * instance's lifetime. */
+  private def loadManifestLineage(snap: Long): Map[String, JValue] = {
+    val f = p("snapshots", s"v$snap.json")
+    if (!Files.exists(f)) Map.empty
+    else {
+      val doc = JsonMethods.parse(Files.readString(f))
+      (doc \ "manifests") match {
+        case JArray(names) =>
+          val partsSet =
+            (doc \ "parts").extractOpt[Seq[String]].getOrElse(Seq.empty).toSet
+          val merged = names.collect { case JString(n) => n }
+            .foldLeft(Map.empty[String, JValue]) { (acc, n) =>
+              JsonMethods.parse(Files.readString(manifestPath(n))) match {
+                case JObject(fields) => acc ++ fields
+                case _ => acc
               }
-            // inherited shards may carry docs for parts dropped from (or
-            // superseded in) this snapshot — membership is the parts list
-            merged.filter { case (k, _) => partsSet(k) }
-          case _ => (doc \ "lineage") match { // pre-shard round-6 format
-            case JObject(fields) => fields.toMap
-            case _ => Map.empty
-          }
+            }
+          // inherited shards may carry docs for parts dropped from (or
+          // superseded in) this snapshot — membership is the parts list
+          merged.filter { case (k, _) => partsSet(k) }
+        case _ => (doc \ "lineage") match { // pre-shard round-6 format
+          case JObject(fields) => fields.toMap
+          case _ => Map.empty
         }
       }
-    })
+    }
+  }
+
+  private def manifestLineage(snap: Long): Map[String, JValue] =
+    manifestCache.computeIfAbsent(snap, loadManifestLineage(_))
 
   /** One partition's lineage record: from the consolidated manifest if
     * the snapshot committed with one, else the per-partition file (the
@@ -743,6 +750,11 @@ class IceLite(val root: String) extends TableIO {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     val parts = snapshotParts(snap)
+    // op marker FIRST (before any record lands): one O(1) probe tells a
+    // resuming ingest that this in-progress state belongs to a
+    // compaction — without it the guard would read one record per
+    // completed partition, O(parts) driver file IO at resume
+    atomicWrite(lineageDir(newSnap).resolve(IceLite.OpMarker), "compact")
     try {
       val work = parts.map { part =>
         Future {
@@ -772,10 +784,30 @@ class IceLite(val root: String) extends TableIO {
               "compact"))))
         }
       }
-      Await.result(Future.sequence(work), Duration.Inf)
+      // settle EVERY future (success or failure) before leaving: a
+      // fail-fast Await would return with queued rewrites still running
+      // in the background, racing a subsequent discardInProgress and
+      // re-creating records after the discard — so convert to attempts,
+      // wait for all, then surface the first failure
+      val settled = Await.result(
+        Future.sequence(work.map(_.transform(scala.util.Success(_)))),
+        Duration.Inf)
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
     } finally { pool.shutdown(); () }
+    // the marker stays until the lineage dir is expired: once the
+    // snapshot commits nothing consults it (deleting it before the
+    // commit would open a crash window where compact records lose
+    // their owner tag)
     commitSnapshot(newSnap, parts)
     newSnap
+  }
+
+  /** The operation that owns an IN-PROGRESS snapshot's partial state
+    * (O(1): one marker probe, not a per-record read) — None for a plain
+    * ingest checkpoint or no in-progress state at all. */
+  override def inProgressOp(snap: Long): Option[String] = {
+    val m = lineageDir(snap).resolve(IceLite.OpMarker)
+    if (Files.exists(m)) Some(Files.readString(m).trim) else None
   }
 
   /** Ids of snapshots with lineage records but no manifest — the
@@ -802,7 +834,8 @@ class IceLite(val root: String) extends TableIO {
   def lineage(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val committedDocs = committedSnapshotIds.flatMap { id =>
-      manifestLineage(id).toSeq.sortBy(_._1).map { case (_, doc) =>
+      // uncached load: one snapshot's map lives only for this iteration
+      loadManifestLineage(id).toSeq.sortBy(_._1).map { case (_, doc) =>
         val fields = doc match {
           case JObject(fs) => fs.filterNot(_._1 == "snapshot")
           case _ => Nil
@@ -932,6 +965,11 @@ object IceLite {
     * consolidates the list into fresh shards (Iceberg's manifest
     * rewrite) — bounds the read path of a long append chain. */
   private[io] val MaxManifests = 64
+
+  /** Marker file a non-ingest operation drops in its in-progress
+    * lineage dir (named WITHOUT .json so completedParts never mistakes
+    * it for a partition record). */
+  private[io] val OpMarker = "_op"
 
   /** Facts about one table dir harvested from parquet footers alone:
     * numeric column ranges, exact row count, byte size, file count. */

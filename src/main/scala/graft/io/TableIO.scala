@@ -22,12 +22,12 @@ trait TableIO {
   /** Partitions whose lineage committed under `snap` (the resume set). */
   def completedParts(snap: Long): Set[String]
 
-  /** The operation that produced a partition's record ("ingest",
-    * "compact", ...). A resuming ingest refuses records another
-    * operation left in progress instead of silently skipping those
-    * partitions as its own completed work. None (the default for
-    * formats that don't track it) is treated as ingest. */
-  def partOp(snap: Long, part: String): Option[String] = None
+  /** The operation that owns an in-progress snapshot's partial state
+    * ("compact", ...). A resuming ingest refuses another operation's
+    * in-progress state instead of silently skipping its partitions as
+    * completed work; the probe must be O(1), not per-partition. None
+    * (the default for formats that don't track it) means plain ingest. */
+  def inProgressOp(snap: Long): Option[String] = None
 
   /** Write one partition's output tables atomically-at-the-end: the
     * partition is either fully committed (lineage record present) or

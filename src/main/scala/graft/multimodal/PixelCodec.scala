@@ -68,8 +68,13 @@ object PixelCodec {
     val compression = leU32(b, 30)
     if (w <= 0 || h <= 0 || planes != 1 || bpp != 24 || compression != 0)
       return None
-    val stride = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
-    if (dataOffset < 0 || dataOffset + stride.toLong * h > b.length) return None
+    // stride in LONG: header width is untrusted, and w*3 in Int wraps
+    // for w ≥ ~0x2AAAAAAB — a crafted width would pass an Int-arithmetic
+    // bounds check and then throw on pixel access instead of returning
+    // None (decode failures are data, not exceptions)
+    val strideL = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    if (dataOffset < 0 || dataOffset + strideL * h > b.length) return None
+    val stride = strideL.toInt // ≤ b.length after the check
     val base = dataOffset.toInt
     Some(BmpPixels(w, h, (x, y, c) => {
       val storedRow = if (topDown) y else h - 1 - y

@@ -46,17 +46,16 @@ object CheckpointedValidation {
     try {
       val parts = cached.select(orgCol.as("part")).distinct()
         .collect().map(_.getString(0)).sorted.toSeq
+      // state another operation (a crashed compaction) left under the
+      // same in-progress id is NOT this run's completed work: skipping
+      // its partitions would publish that operation's partial output
+      // under names this run never validated (ADVICE r6). One O(1)
+      // marker probe — not a per-partition record read, which would be
+      // O(parts) driver file IO on every resume.
+      ice.inProgressOp(snap).filter(_ != "ingest").foreach(op => sys.error(
+        s"snapshot $snap holds in-progress state from operation '$op': " +
+          "resume or discard that operation first (IceLite.discardInProgress)"))
       val done = ice.completedParts(snap)
-      // records another operation (a crashed compaction) left under the
-      // same in-progress id are NOT this run's completed work: skipping
-      // them would publish that operation's partial output under
-      // partition names this run never validated (ADVICE r6)
-      val foreign = done.filter(p => ice.partOp(snap, p).exists(_ != "ingest"))
-      if (foreign.nonEmpty) sys.error(
-        s"snapshot $snap holds in-progress state from operation " +
-          s"'${ice.partOp(snap, foreign.head).get}' (partitions " +
-          s"${foreign.toSeq.sorted.take(3).mkString(", ")}${if (foreign.size > 3) ", ..." else ""}): " +
-          "resume or discard that operation first (IceLite.discardInProgress)")
       var processed = 0
       parts.filterNot(done).foreach { part =>
         crashAfter.filter(_ <= processed).foreach(_ => throw new SimulatedCrash)

@@ -517,18 +517,26 @@ class IceLiteSpec extends AnyFunSuite {
       ice.commitSnapshot(snap, carried :+ newPart)
     }
     var parts = Seq.empty[String]
+    // capture snapshot 9's shard mtimes BEFORE the later appends run, so
+    // the immutability assertion below actually witnesses that appends
+    // 10..70 referenced those files without rewriting them
+    var m9mtimes = Map.empty[String, java.nio.file.attribute.FileTime]
     (1 to 70).foreach { i =>
       val np = f"p$i%03d"
       append(i.toLong, np, parts)
       parts = parts :+ np
+      if (i == 9) m9mtimes = manifestsOf(9).map(n => n ->
+        Files.getLastModifiedTime(
+          java.nio.file.Paths.get(root, "manifests", n))).toMap
     }
     // the append chain reused shards: v10 = v9's list + exactly one new
     assert(manifestsOf(10).init === manifestsOf(9))
-    val m9mtime = Files.getLastModifiedTime(
-      java.nio.file.Paths.get(root, "manifests", manifestsOf(9).last))
-    // shard files are immutable once referenced (append 10 didn't touch 9's)
-    assert(Files.getLastModifiedTime(
-      java.nio.file.Paths.get(root, "manifests", manifestsOf(9).last)) === m9mtime)
+    // shard files are immutable once referenced: none of snapshot 9's
+    // shards were touched by the 61 later appends
+    m9mtimes.foreach { case (n, t0) =>
+      assert(Files.getLastModifiedTime(
+        java.nio.file.Paths.get(root, "manifests", n)) === t0, n)
+    }
     // consolidation bounded the list well below the 70-append chain length
     assert(manifestsOf(70).size <= 65)
     assert(manifestsOf(70).size < 70)
@@ -598,13 +606,18 @@ class IceLiteSpec extends AnyFunSuite {
     val s1 = CheckpointedValidation.run(spark, files, FileRules.rowRules, root)
     assert(s1 === 1L)
     val ice = new IceLite(root)
-    // simulate a compaction that crashed mid-rewrite: one op=compact
-    // lineage record under the in-progress id
+    // simulate a compaction that crashed mid-rewrite: the op marker
+    // (written FIRST by compactSnapshot) plus one op=compact record
+    // under the in-progress id
     val dir = ice.lineageDir(2L)
     Files.createDirectories(dir)
+    Files.writeString(dir.resolve("_op"), "compact")
     Files.writeString(dir.resolve("stale.json"),
       """{"snapshot":2,"part":"stale","op":"compact","rows":1,""" +
         """"tables":["verdicts"],"stats":{}}""")
+    // the marker is invisible to the partition-record listing
+    assert(ice.completedParts(2L) === Set("stale"))
+    assert(ice.inProgressOp(2L) === Some("compact"))
     val e = intercept[RuntimeException] {
       CheckpointedValidation.run(spark, files, FileRules.rowRules, root)
     }

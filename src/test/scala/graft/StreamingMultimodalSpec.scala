@@ -254,6 +254,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(PixelCodec.decodeBmpPixels(Array[Byte](1, 2, 3)).isEmpty)
     assert(PixelCodec.decodeBmpPixels(PixelCodec.buildBmp(2).take(60)).isEmpty)
     assert(PixelCodec.decodeWavSamples(PixelCodec.buildWav(7).take(30)).isEmpty)
+    // crafted header width whose w*3 WRAPS in Int (0x55555558*3 = 8):
+    // Int-arithmetic stride would pass the bounds check and then throw
+    // on pixel access — must come back None, not an exception
+    val evil = PixelCodec.buildBmp(2).clone()
+    val wBytes = Array[Byte](0x58, 0x55, 0x55, 0x55) // LE 0x55555558
+    System.arraycopy(wBytes, 0, evil, 18, 4)
+    assert(PixelCodec.decodeBmpPixels(evil).isEmpty)
   }
 
   test("PixelCodec.pixelFeatures: partition-batched exact features over " +
