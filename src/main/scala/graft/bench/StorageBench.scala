@@ -247,12 +247,10 @@ object StorageBench {
     * [[IceLite.compactSnapshot]], plus the compaction cost itself and
     * the file counts, on a fresh table each run (compaction mutates the
     * table, so reuse would skew repeat runs). */
-  def compactBench(spark: SparkSession, workDir: String): Unit = {
+  def compactBench(spark: SparkSession, workDir: String, parts: Int = 64,
+      filesPerPart: Int = 8, rowsPerPart: Int = 20000): Unit = {
     import java.nio.file.{Files, Paths}
-    val root = s"$workDir/icelite_compact_${ProcessHandle.current().pid()}"
-    val parts = 64
-    val filesPerPart = 8
-    val rowsPerPart = 20000
+    val root = s"$workDir/icelite_compact_${parts}_${ProcessHandle.current().pid()}"
     val ice = new IceLite(root)
     val snap = ice.nextSnapshotId
     val names = (0 until parts).map(p => f"p$p%03d")
@@ -379,6 +377,12 @@ object StorageBench {
       carryBench(workDir)
       expireBench(workDir)
       compactBench(spark, workDir)
+      // 4x the partitions at 1/4 the rows each: with the bounded-pool
+      // fan-out, compaction wall should track data volume (similar
+      // total rows -> similar seconds), not partition count — the
+      // round-6 sequential loop scaled with partitions instead
+      compactBench(spark, workDir, parts = 256, filesPerPart = 4,
+        rowsPerPart = 5000)
       pruneBench(spark, workDir)
       globBench(spark, workDir)
       sqliteBench(spark, workDir)
