@@ -729,51 +729,124 @@ class IceLite(val root: String) extends TableIO {
     require(!Files.exists(lineageDir(newSnap)),
       s"snapshot $newSnap is in progress (uncommitted lineage exists); " +
         "resume or discard it before compacting")
-    // The per-partition rewrites are independent two-job Spark rounds
-    // (read→coalesce→write, then a footer read); running them
-    // sequentially serialized the whole compaction on driver scheduling
-    // (VERDICT r6: 24.9s for 1.3M rows across 64 partitions — pure
-    // scheduling gaps, and days at the 10^5-partition design point).
-    // Fan them out on a FIXED pool — bounded, unlike commitImpl's
-    // blocking{} on the global pool, because a 10^5-partition table
-    // must not spawn 10^5 threads — and let the Spark scheduler
-    // interleave the jobs across the executor pool. Local properties
-    // (job group etc.) are re-applied per task as in commitImpl.
+    // Three phases, each fanned out on a FIXED pool (bounded — a
+    // 10^5-partition table must not spawn 10^5 threads):
+    //   1. classify every (partition, table) from its parquet footers
+    //      (driver IO only): KEEP by reference (already packed), GROUP
+    //      (packs into ONE file — the dominant debris shape), or SOLO
+    //      (packs into several files: enough bytes for its own job).
+    //   2. rewrite: every GROUP bucket of one (table, source snapshot)
+    //      compacts in a SINGLE Spark job — read with basePath (the
+    //      `part` column comes back from the directory layout),
+    //      hash-repartition on part, write `partitionBy("part")` into
+    //      the new snapshot's table dir — so 10^5 tiny partitions cost
+    //      ~one job, not 10^5 job round-trips (the r6 sequential loop,
+    //      and still the per-partition jobs of the first r7 cut). SOLO
+    //      rewrites stay individual jobs, fanned out on the pool.
+    //   3. per-partition lineage records from the new footers.
+    // Local properties (job group etc.) are re-applied inside pool
+    // tasks that run Spark jobs, as in commitImpl.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val sc = spark.sparkContext
     val propKeys = Seq("spark.jobGroup.id", "spark.job.description",
       "spark.job.interruptOnCancel", "spark.scheduler.pool")
     val props = propKeys.map(k => k -> sc.getLocalProperty(k))
+    def withProps[A](f: => A): A = {
+      props.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+      f
+    }
     val parallelism =
       math.max(1, math.min(16, Runtime.getRuntime.availableProcessors / 2))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    // settle EVERY future (success or failure) before returning: a
+    // fail-fast Await would leave queued rewrites running in the
+    // background, racing a subsequent discardInProgress and re-creating
+    // records after the discard — so wait for all, then surface the
+    // first failure
+    def settleAll[A](work: Seq[Future[A]]): Seq[A] =
+      Await.result(
+        Future.sequence(work.map(_.transform(scala.util.Success(_)))),
+        Duration.Inf).map(_.get)
     val parts = snapshotParts(snap)
     // op marker FIRST (before any record lands): one O(1) probe tells a
     // resuming ingest that this in-progress state belongs to a
     // compaction — without it the guard would read one record per
     // completed partition, O(parts) driver file IO at resume
     atomicWrite(lineageDir(newSnap).resolve(IceLite.OpMarker), "compact")
+    case class Item(part: String, table: String, src: Long,
+        before: TableFooter, packed: Int)
     try {
-      val work = parts.map { part =>
+      // phase 1: classify (parallel driver file IO, zero Spark jobs)
+      val classified: Seq[(String, JValue, Seq[Item])] =
+        settleAll(parts.map { part =>
+          Future {
+            val doc = lineageDoc(snap, part).getOrElse(
+              sys.error(s"snapshot $snap part '$part' has no lineage record"))
+            val items = (doc \ "tables").extract[Seq[String]].map { table =>
+              val src = dataSnapOf(snap, part, table)
+              val before = footerStats(spark, partDataDir(src, table, part))
+              val packed = math.max(1L,
+                (before.bytes + targetFileBytes - 1) / targetFileBytes).toInt
+              Item(part, table, src, before, packed)
+            }
+            (part, doc, items)
+          }
+        })
+      val allItems = classified.flatMap(_._3)
+      // phase 2a: grouped single-job rewrites (sequential across the few
+      // (table, src) buckets — each is one multi-partition Spark job)
+      val grouped = allItems
+        .filter(i => i.packed == 1 && i.before.files > 1)
+        .groupBy(i => (i.table, i.src)).toSeq.sortBy(_._1)
+      grouped.foreach { case ((table, src), items) =>
+        withProps {
+          val n = math.max(1, math.min(items.size,
+            sc.defaultParallelism * 2))
+          readDirsAt(spark, src, table, items.map(_.part))
+            .repartition(n, org.apache.spark.sql.functions.col("part"))
+            .write.mode("append").partitionBy("part")
+            .parquet(p("data", s"snap=$newSnap", enc(table)).toString)
+        }
+        // normalize the emitted dir names to [[enc]]'s exact form:
+        // Spark's escapePathName covers a slightly different char set
+        // (e.g. it leaves '+' raw), and partDataDir must resolve every
+        // partition. Both escapings are plain per-char %XX, so [[dec]]
+        // round-trips either; rename whatever differs.
+        val tdir = p("data", s"snap=$newSnap", enc(table))
+        withList(tdir)(_.toSeq).foreach { d =>
+          val name = d.getFileName.toString
+          if (name.startsWith("part=")) {
+            val expected = s"part=${enc(dec(name.stripPrefix("part=")))}"
+            if (name != expected)
+              Files.move(d, d.resolveSibling(expected),
+                StandardCopyOption.ATOMIC_MOVE)
+          }
+        }
+      }
+      // phase 2b: solo multi-file rewrites, one job each, pool-parallel
+      settleAll(allItems
+        .filter(i => i.packed > 1 && i.packed < i.before.files)
+        .map { i =>
+          Future {
+            withProps {
+              val dst = partDataDir(newSnap, i.table, i.part)
+              spark.read.parquet(partDataDir(i.src, i.table, i.part))
+                .coalesce(i.packed).write.mode("overwrite").parquet(dst)
+            }
+          }
+        })
+      // phase 3: stats from the new footers + lineage records (parallel
+      // driver IO)
+      settleAll(classified.map { case (part, doc, items) =>
         Future {
-          props.foreach { case (k, v) => sc.setLocalProperty(k, v) }
-          val doc = lineageDoc(snap, part).getOrElse(
-            sys.error(s"snapshot $snap part '$part' has no lineage record"))
-          val tables = (doc \ "tables").extract[Seq[String]]
-          val footers = tables.map { table =>
-            val src = dataSnapOf(snap, part, table)
-            val dir = partDataDir(src, table, part)
-            val before = footerStats(spark, dir)
-            val packed = math.max(1L,
-              (before.bytes + targetFileBytes - 1) / targetFileBytes).toInt
-            if (packed < before.files) {
-              val dst = partDataDir(newSnap, table, part)
-              spark.read.parquet(dir).coalesce(packed)
-                .write.mode("overwrite").parquet(dst)
-              (table, footerStats(spark, dst), newSnap)
-            } else (table, before, src)
+          val footers = items.map { i =>
+            if (i.packed < i.before.files)
+              (i.table,
+                footerStats(spark, partDataDir(newSnap, i.table, i.part)),
+                newSnap)
+            else (i.table, i.before, i.src)
           }
           val stats = footers.map { case (t, tf, _) => t -> tf }.toMap
           val dataSnap =
@@ -783,16 +856,8 @@ class IceLite(val root: String) extends TableIO {
               newSnap, part, (doc \ "rows").extract[Long], stats, dataSnap,
               "compact"))))
         }
-      }
-      // settle EVERY future (success or failure) before leaving: a
-      // fail-fast Await would return with queued rewrites still running
-      // in the background, racing a subsequent discardInProgress and
-      // re-creating records after the discard — so convert to attempts,
-      // wait for all, then surface the first failure
-      val settled = Await.result(
-        Future.sequence(work.map(_.transform(scala.util.Success(_)))),
-        Duration.Inf)
-      settled.collectFirst { case scala.util.Failure(e) => throw e }
+      })
+      ()
     } finally { pool.shutdown(); () }
     // the marker stays until the lineage dir is expired: once the
     // snapshot commits nothing consults it (deleting it before the

@@ -253,6 +253,36 @@ class IceLiteSpec extends AnyFunSuite {
     assert(ice.compactSnapshot(spark) === s5)
   }
 
+  test("grouped compaction handles hostile partition names (the " +
+    "partitionBy write normalizes to IceLite's escaping)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    // names covering the enc()/Spark-escapePathName divergences: '+'
+    // (Spark leaves raw), space (Spark escapes, enc doesn't), plus the
+    // usual suspects — each committed as several tiny files so the
+    // GROUPED single-job path (packs to one file) handles all of them
+    val nasty = Seq("a+b", "sp ace", """org"x""", "orgé", "100", "c]d[e")
+    val snap = ice.nextSnapshotId
+    nasty.zipWithIndex.foreach { case (part, i) =>
+      ice.commitPartition(snap, part, 50L,
+        Map("t" -> (i * 100 until i * 100 + 50).map(v => (part, v))
+          .toDF("name", "v").repartition(5)))
+    }
+    ice.commitSnapshot(snap, nasty)
+    val before = ice.readTable(spark, snap, "t")
+    assert(before.inputFiles.length === 30)
+    val c = ice.compactSnapshot(spark)
+    val after = ice.readTable(spark, c, "t")
+    assert(after.inputFiles.length === nasty.size)
+    // content and the restored part column both survive the round trip
+    assert(after.select("part").distinct().collect().map(_.getString(0)).sorted
+      === nasty.sorted.toArray)
+    assert(after.agg(sum("v")).collect()(0).getLong(0) ===
+      before.agg(sum("v")).collect()(0).getLong(0))
+    assert(ice.readTableAppended(spark, snap, c, "t").count() === 0L)
+  }
+
   test("carry-forward append: history partitions move into the new " +
     "snapshot as metadata only") {
     import spark.implicits._
