@@ -537,6 +537,54 @@ object SparkEntry {
         s"expected $nDocs survivors, got ${out.count()}")
       out.select(col("doc_id"), col("digest"))
     }),
+    "v_stream_dedup_resume" -> ((s, d) => {
+      // STATEFUL state-store recovery across restart, oracle-gated: the
+      // original corpus drains through dropDuplicatesWithinWatermark
+      // under a checkpoint and the query STOPS; the planted duplicates
+      // then arrive and a NEW query resumes from the same checkpoint.
+      // Every duplicate can only be dropped by the RESTORED state (its
+      // original's digest was seen exclusively before the restart), so
+      // the parquet sink hash-equaling the batch first-wins oracle
+      // certifies the state store round-tripped the checkpoint — the
+      // recovery story v_stream_resume certifies only for stateless
+      // plans. The require certifies the resume read ONLY the new files.
+      import org.apache.spark.sql.streaming.Trigger
+      val base = tmpWorkDir("graft_sdedup_res", d)
+      rmTree(java.nio.file.Paths.get(base)) // resume must use THIS run's state
+      val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+      val docs = t(s, d, "documents").groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("text"))
+        .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      docs.repartition(4).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2").parquet(src)
+        val q = graft.streaming.StreamValidate
+          .streamingDedup(stream, "text", "ts")
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(); q
+      }
+      withShufflePartitions(s, 8) {
+        drain() // phase 1: originals only — state = their digests
+        val dups = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+        dups.repartition(2).write.mode("append").parquet(src)
+        val q2 = drain() // phase 2: resume; dups dropped via restored state
+        val inc = q2.recentProgress.map(_.numInputRows).sum
+        val nDups = dups.count()
+        require(inc == nDups,
+          s"resume reprocessed drained files: saw $inc rows, expected $nDups")
+      }
+      val out = s.read.parquet(sink)
+      require(out.count() == docs.count(),
+        s"restored state failed to drop duplicates: ${out.count()} rows")
+      out.select(col("doc_id"), col("digest"))
+    }),
     "v_stream_late" -> ((s, d) => {
       // late-data watermark semantics, oracle-gated (VERDICT r6 ask
       // #4): files arrive event-time OUT OF ORDER — batch 0 (even
@@ -1176,6 +1224,13 @@ object SparkEntry {
     // text-canonicalized corpus (duplicates always arrive in later
     // batches — see the query)
     "v_stream_dedup" ->
+      """WITH uniq AS (SELECT min(doc_id) AS doc_id, text
+        |              FROM documents GROUP BY text)
+        |SELECT doc_id, md5(text) AS digest FROM uniq""".stripMargin,
+    // kill-and-resume stateful dedup: duplicates arrive only AFTER the
+    // restart, so the admitted set equals first-wins iff the dedup
+    // state round-tripped the checkpoint
+    "v_stream_dedup_resume" ->
       """WITH uniq AS (SELECT min(doc_id) AS doc_id, text
         |              FROM documents GROUP BY text)
         |SELECT doc_id, md5(text) AS digest FROM uniq""".stripMargin,
