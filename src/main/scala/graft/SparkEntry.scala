@@ -758,6 +758,189 @@ object SparkEntry {
         ice.readTable(s, c, "violations").drop("part")
       } finally { viol.unpersist(); () }
     }),
+    "v_point_lookup" -> ((s, d) => {
+      // bucket partition transform (Iceberg's bucket()), oracle-gated:
+      // the files table is ingested bucketed by `commit` — the column
+      // footer min/max can NEVER prune (a uniform hash spans the whole
+      // value space in every partition) — and three commits are probed
+      // through readTablePoints. The require()s certify the scan
+      // planned over only the probed buckets (inputFiles parent dirs),
+      // i.e. point lookups are O(1) in metadata at any cardinality;
+      // the probed rows hash-equal the full-scan oracle. One probe is
+      // a planted duplicate's commit (doc_id 11), so the lookup also
+      // witnesses multi-row hits. Parquet bloom filters are written on
+      // `commit` for the in-bucket row-group pruning level.
+      val root = tmpWorkDir("graft_bucket", d)
+      rmTree(java.nio.file.Paths.get(root))
+      val ice = new graft.io.IceLite(root)
+      ice.setBucketSpec("files", "commit", 16)
+      val files = FilesTable.files(s, d)
+      val parts = ice.ingestBucketed(s, 1L, "files", files,
+        bloomColumns = Seq("commit"))
+      ice.commitSnapshot(1L, parts)
+      // md5("c"+doc_id).take(12) — the corpus' commit derivation,
+      // recomputed driver-side for the probe literals
+      def commitOf(id: Long): String = {
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"c$id".getBytes("UTF-8"))
+        dig.map(b => f"$b%02x").mkString.take(12)
+      }
+      val probes = Seq(11L, 3L, 500L).map(commitOf)
+      val pt = ice.readTablePoints(s, 1L, "files", probes)
+      val spec = ice.bucketSpec("files").get
+      val probedBuckets =
+        probes.map(graft.io.IceLite.bucketOf(_, spec.buckets)).distinct
+      val parents = pt.inputFiles
+        .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      require(parents.length <= probedBuckets.length,
+        s"point lookup planned ${parents.length} partition dirs for " +
+          s"${probedBuckets.length} probed buckets")
+      require(parents.length < parts.length,
+        "point lookup planned as many partitions as a full scan")
+      pt.select("repo", "path", "commit", "lang", "content_sha256", "doc_id")
+    }),
+    "v_schema_evolve" -> ((s, d) => {
+      // schema evolution, oracle-gated: history partitions commit
+      // WITHOUT a `license` column, an append later introduces it; the
+      // evolved read reconciles both eras under one schema — history
+      // rows carry typed NULLs — and hash-equals the oracle computing
+      // the same union in SQL. The per-partition schema ledger rides
+      // the lineage records, so the read touches no extra metadata.
+      val root = tmpWorkDir("graft_evolve", d)
+      rmTree(java.nio.file.Paths.get(root))
+      val ice = new graft.io.IceLite(root)
+      val files = FilesTable.files(s, d).cache()
+      try {
+        val orgCol = Verdicts.org(col("repo"))
+        val orgs = files.select(orgCol.as("o")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        val (histOrgs, newOrgs) = orgs.splitAt(math.max(1, orgs.length / 2))
+        require(newOrgs.nonEmpty, "corpus too small to split into an append")
+        val v1 = files.select("repo", "path", "commit", "lang",
+          "content_sha256", "doc_id")
+        histOrgs.foreach { o =>
+          ice.commitPartitionFromFooters(1L, o,
+            Map("files" -> v1.filter(orgCol === o)))
+        }
+        ice.commitSnapshot(1L, histOrgs)
+        // era 2 adds a license column (deterministic by doc_id)
+        val v2 = files.select(col("repo"), col("path"), col("commit"),
+          col("lang"), col("content_sha256"), col("doc_id"),
+          when(col("doc_id") % 4 === 0, "mit")
+            .when(col("doc_id") % 4 === 1, "apache2")
+            .when(col("doc_id") % 4 === 2, "gpl3")
+            .otherwise("bsd").as("license"))
+        newOrgs.foreach { o =>
+          ice.commitPartitionFromFooters(2L, o,
+            Map("files" -> v2.filter(orgCol === o)))
+        }
+        histOrgs.foreach(o => ice.carryForwardPartition(2L, o, 1L))
+        ice.commitSnapshot(2L, orgs)
+        val ev = ice.readTableEvolved(s, 2L, "files")
+        require(ev.columns.contains("license"),
+          "evolved read lost the appended column")
+        ev.drop("part")
+      } finally { files.unpersist(); () }
+    }),
+    "v_drift_incr" -> ((s, d) => {
+      // incremental distribution drift, oracle-gated: every partition
+      // commits a content-length histogram (`__hist`, a few rows) next
+      // to its data; after an append the drift check PSI(history →
+      // appended) merges only the committed histogram rows — the
+      // inputFiles require certifies zero content rescans, so the
+      // check is metadata-sized at any table size (the north-star
+      // "distribution-drift in a single aggregation pass per
+      // partition", made incremental). Hash-matches the full-corpus
+      // oracle computing the same cohorts in SQL.
+      val width = FileRules.drift.bucketWidth
+      val root = tmpWorkDir("graft_drift_incr", d)
+      rmTree(java.nio.file.Paths.get(root))
+      val ice = new graft.io.IceLite(root)
+      val files = FilesTable.files(s, d).cache()
+      try {
+        def hist(part: org.apache.spark.sql.DataFrame) =
+          graft.validate.IncrementalProfile.lengthHistogram(
+            part, length(col("content")), width)
+        val orgCol = Verdicts.org(col("repo"))
+        val orgs = files.select(orgCol.as("o")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        val (histOrgs, newOrgs) = orgs.splitAt(math.max(1, orgs.length / 2))
+        histOrgs.foreach { o =>
+          val part = files.filter(orgCol === o)
+          ice.commitPartitionFromFooters(1L, o,
+            Map("files" -> part, "__hist" -> hist(part)))
+        }
+        ice.commitSnapshot(1L, histOrgs)
+        newOrgs.foreach { o =>
+          val part = files.filter(orgCol === o)
+          ice.commitPartitionFromFooters(2L, o,
+            Map("files" -> part, "__hist" -> hist(part)))
+        }
+        histOrgs.foreach(o => ice.carryForwardPartition(2L, o, 1L))
+        ice.commitSnapshot(2L, orgs)
+        // history distribution: snapshot 1's histogram rows; appended
+        // distribution: only the partitions NEW in snapshot 2
+        val h0 = ice.readTable(s, 1L, "__hist")
+        val h1 = ice.readTableAppended(s, 1L, 2L, "__hist")
+        require((h0.inputFiles ++ h1.inputFiles).nonEmpty &&
+          (h0.inputFiles ++ h1.inputFiles).forall(_.contains("/__hist/")),
+          "drift check touched data files, not just histogram rows")
+        DriftCheck.psiFromHists(
+          graft.validate.IncrementalProfile.mergeHistograms(h0),
+          graft.validate.IncrementalProfile.mergeHistograms(h1))
+      } finally { files.unpersist(); () }
+    }),
+    "v_profile_incr" -> ((s, d) => {
+      // mergeable incremental profile, oracle-gated: every partition
+      // commits a one-row `__profile` table next to its data (row
+      // count, null count, min/max, an HLL sketch of `commit`); after
+      // an append, the FULL-TABLE profile aggregates only those tiny
+      // profile rows — the inputFiles require certifies ZERO data files
+      // are rescanned, the aggregation is metadata-sized at any table
+      // size. Exact-mergeable fields (counts, min/max) hash-match the
+      // full-corpus oracle; the distinct-commit estimate merges via
+      // hll_union_agg and is certified within 2% of the exact count
+      // (approximate by design — DataSketches HLL, lgK 12).
+      val root = tmpWorkDir("graft_profile_incr", d)
+      rmTree(java.nio.file.Paths.get(root))
+      val ice = new graft.io.IceLite(root)
+      val files = FilesTable.files(s, d).cache()
+      try {
+        def profile(part: org.apache.spark.sql.DataFrame) =
+          graft.validate.IncrementalProfile.partitionProfile(part,
+            nullCols = Seq("lang"), rangeCols = Seq("doc_id"),
+            distinctCols = Seq("commit"))
+        val orgCol = Verdicts.org(col("repo"))
+        val orgs = files.select(orgCol.as("o")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        val (histOrgs, newOrgs) = orgs.splitAt(math.max(1, orgs.length / 2))
+        histOrgs.foreach { o =>
+          val part = files.filter(orgCol === o)
+          ice.commitPartitionFromFooters(1L, o,
+            Map("files" -> part, "__profile" -> profile(part)))
+        }
+        ice.commitSnapshot(1L, histOrgs)
+        newOrgs.foreach { o =>
+          val part = files.filter(orgCol === o)
+          ice.commitPartitionFromFooters(2L, o,
+            Map("files" -> part, "__profile" -> profile(part)))
+        }
+        histOrgs.foreach(o => ice.carryForwardPartition(2L, o, 1L))
+        ice.commitSnapshot(2L, orgs)
+        val prof = ice.readTable(s, 2L, "__profile")
+        require(prof.inputFiles.nonEmpty &&
+          prof.inputFiles.forall(_.contains("/__profile/")),
+          "profile merge touched data files, not just profile rows")
+        val merged = graft.validate.IncrementalProfile
+          .mergeProfiles(prof.drop("part")).cache()
+        val est = merged.select("distinct_commit").collect()(0).getLong(0)
+        val exact = files.select("commit").distinct().count()
+        require(math.abs(est - exact).toDouble / exact <= 0.02,
+          s"merged HLL estimate $est drifted >2% from exact $exact")
+        merged.select(col("n_rows").as("total_rows"), col("null_lang"),
+          col("min_doc_id"), col("max_doc_id"))
+      } finally { files.unpersist(); () }
+    }),
 
     // ---- sources over raw fixture files (SURVEY.md §2.1) ----
     "q_table_src" -> ((s, _) =>
@@ -1204,6 +1387,14 @@ object SparkEntry {
     "v_stream_resume" -> DuckSql.vViolations,
     // violations read back through a compacted snapshot ≡ batch set
     "v_compact" -> DuckSql.vViolations,
+    // bucket-transform point lookup ≡ full-scan filter
+    "v_point_lookup" -> DuckSql.vPointLookup,
+    // two schema eras reconciled ≡ SQL union with typed NULLs
+    "v_schema_evolve" -> DuckSql.vSchemaEvolve,
+    // per-partition profile rows merged ≡ full-corpus profile
+    "v_profile_incr" -> DuckSql.vProfileIncr,
+    // per-partition histograms merged ≡ full-corpus cohort PSI
+    "v_drift_incr" -> DuckSql.vDriftIncr(FileRules.drift.bucketWidth),
     // micro-batches committed as snapshot partitions, then fully
     // replayed (at-least-once storm) — sealed table ≡ batch set
     "v_stream_ice" -> DuckSql.vViolations,

@@ -4,6 +4,7 @@ import graft.io.IceLite
 import graft.sources.Sources
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Storage-layer evidence for two 100 TB claims (VERDICT r4 asks #5/#9):
   *
@@ -76,6 +77,130 @@ object StorageBench {
     println(f"""{"metric":"icelite_prune","partitions":$parts,"rows":${parts.toLong * rowsPerPart},""" +
       f""""files_full":${full.inputFiles.length},"files_pruned":${pruned.inputFiles.length},""" +
       f""""sec_full":$tFull%.3f,"sec_pruned":$tPruned%.3f,"rows_out":$nPruned}""")
+  }
+
+  /** Row groups SURVIVING parquet-mr's own row-group filter for an
+    * equality probe, with the bloom level on or off — the deterministic
+    * "what would a scan have to decode" count (task byte metrics on a
+    * buffered local fs are not sensitive to row-group skips). */
+  private def survivingRowGroups(spark: SparkSession, file: String,
+      column: String, value: String, bloom: Boolean): Int = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.io.api.Binary
+    val hconf = spark.sessionState.newHadoopConf()
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), hconf)
+    val pred = FilterApi.eq(FilterApi.binaryColumn(column),
+      Binary.fromString(value))
+    val opts = org.apache.parquet.HadoopReadOptions.builder(hconf)
+      .withRecordFilter(FilterCompat.get(pred))
+      .useStatsFilter(true).useDictionaryFilter(true)
+      .useBloomFilter(bloom)
+      .build()
+    val r = ParquetFileReader.open(in, opts)
+    try r.getRowGroups.size finally r.close()
+  }
+
+  /** Bucket-transform point lookup at non-toy scale (2M rows, 64
+    * buckets): the lookup must plan over ONE bucket's files and cost a
+    * bucket, not the table — vs the same probe as a full-scan filter.
+    * Second level: inside the probed bucket the files carry parquet
+    * BLOOM FILTERS on the probe column and small (1 MiB) row groups;
+    * the same single-bucket scan runs with bloom row-group filtering
+    * on vs off and reports input BYTES both ways — the bloom must cut
+    * the bytes a within-bucket point read touches. */
+  def bucketBench(spark: SparkSession, workDir: String): Unit = {
+    val root = s"$workDir/icelite_bucket_${ProcessHandle.current().pid()}"
+    val buckets = 64
+    val rows = 2000000L
+    val ice = new IceLite(root)
+    ice.setBucketSpec("files", "commitsha", buckets)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prevBlock = Option(hconf.get("parquet.block.size"))
+    hconf.set("parquet.block.size", (1 << 20).toString)
+    val parts = try {
+      // pre-repartition BY THE TRANSFORM so each bucket lands as one
+      // file (the compacted steady state); tune the bloom to the
+      // per-bucket NDV — an untuned parquet bloom (1M default) writes
+      // ~1.2 MiB per chunk, more than the data it guards at this size
+      val df = spark.range(rows).toDF("doc_id")
+        .withColumn("commitsha",
+          md5(concat(lit("c"), col("doc_id").cast("string"))))
+        .withColumn("content", sha2(col("doc_id").cast("string"), 256))
+      val routed = df.repartition(buckets,
+        IceLite.bucketColumn(col("commitsha"), buckets))
+      // dictionary OFF for the probe column: at production row-group
+      // sizes a 32-byte-value dictionary exceeds parquet's 1 MiB
+      // dictionary-page cap and falls back to PLAIN anyway (losing
+      // dictionary-page row-group filtering) — this bench forces that
+      // real state at small scale so the bloom is measured against the
+      // encoding a 100 TB table actually has
+      val p = ice.ingestBucketed(spark, 1L, "files", routed,
+        bloomColumns = Seq("commitsha"),
+        writeOptions = Map(
+          "parquet.bloom.filter.expected.ndv#commitsha" ->
+            (rows / buckets).toString,
+          "parquet.enable.dictionary" -> "false"))
+      ice.commitSnapshot(1L, p)
+      p
+    } finally {
+      prevBlock.fold(hconf.unset("parquet.block.size"))(
+        hconf.set("parquet.block.size", _))
+    }
+    def probeVal(i: Long): String = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"c$i".getBytes("UTF-8"))
+      dig.map(b => f"$b%02x").mkString
+    }
+    val probe = probeVal(1234567L)
+    def timeMin[A](f: => A): Double =
+      Seq.fill(3)(time(f)._2).min // min-of-3, same policy as the grid
+    // PARTITION level: full-scan filter vs transform-routed read
+    val full = ice.readTable(spark, 1L, "files")
+      .filter(col("commitsha") === probe)
+    val pt = ice.readTablePoint(spark, 1L, "files", probe)
+    val nFull = full.count(); val nPt = pt.count() // warm + correctness
+    require(nFull == 1 && nPt == 1,
+      s"point probes must each hit exactly one row, got $nFull/$nPt")
+    val tFull = timeMin(full.count())
+    val tPt = timeMin(pt.count())
+    // BLOOM level: membership of an ABSENT key in the probed bucket —
+    // min/max cannot prune uniform hashes and the probe column is
+    // plain-encoded (no dictionary page to filter on), so without the
+    // bloom every row group must be decoded to say "no"; with it the
+    // answer comes from the filter bytes alone. Evidence is parquet's
+    // own row-group filter verdict plus wall seconds of the scan.
+    val absent = probeVal(rows + 99L) // derivation guarantees non-membership
+    val bucketPart = s"bucket=${IceLite.bucketOf(absent, buckets)}"
+    val bdir = ice.partDataDir(1L, "files", bucketPart)
+    val bucketFile = {
+      val d = java.nio.file.Paths.get(bdir)
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.head
+      finally s.close()
+    }
+    val rgAll = survivingRowGroups(spark, bucketFile, "commitsha", absent,
+      bloom = false)
+    val rgBloom = survivingRowGroups(spark, bucketFile, "commitsha", absent,
+      bloom = true)
+    require(rgBloom < rgAll && rgBloom == 0,
+      s"bloom did not prune absent-key row groups: $rgAll -> $rgBloom")
+    def bucketScan(bloom: Boolean): Long =
+      spark.read.option("parquet.filter.bloom.enabled", bloom.toString)
+        .parquet(bdir).filter(col("commitsha") === absent).count()
+    bucketScan(true); bucketScan(false) // warm
+    val tOn = timeMin(bucketScan(true))
+    val tOff = timeMin(bucketScan(false))
+    println(f"""{"metric":"bucket_point","buckets":$buckets,"rows":$rows,""" +
+      f""""files_full":${full.inputFiles.length},"files_point":${pt.inputFiles.length},""" +
+      f""""sec_full":$tFull%.3f,"sec_point":$tPt%.3f,""" +
+      f""""rowgroups_stats_only":$rgAll,"rowgroups_bloom":$rgBloom,""" +
+      f""""sec_bloom_on":$tOn%.3f,"sec_bloom_off":$tOff%.3f}""")
+    rmTree(root)
   }
 
   def globBench(spark: SparkSession, workDir: String): Unit = {
@@ -369,23 +494,34 @@ object StorageBench {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT) // f"%.2f" JSON must not localize
     val workDir = args.headOption.getOrElse("/tmp/graft_bench")
+    // optional comma-separated selector for local iteration on one
+    // measurement (e.g. `only=bucket,prune`); driver runs everything
+    val only: String => Boolean = args.lift(1) match {
+      case Some(s) if s.startsWith("only=") =>
+        val set = s.stripPrefix("only=").split(',').toSet
+        set.contains
+      case _ => _ => true
+    }
     val spark = graft.GraftSession.builder("local[16]", 16)
       .appName("storage-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      manifestBench(workDir)
-      carryBench(workDir)
-      expireBench(workDir)
-      compactBench(spark, workDir)
-      // 4x the partitions at 1/4 the rows each: with the bounded-pool
-      // fan-out, compaction wall should track data volume (similar
-      // total rows -> similar seconds), not partition count — the
-      // round-6 sequential loop scaled with partitions instead
-      compactBench(spark, workDir, parts = 256, filesPerPart = 4,
-        rowsPerPart = 5000)
-      pruneBench(spark, workDir)
-      globBench(spark, workDir)
-      sqliteBench(spark, workDir)
+      if (only("manifest")) manifestBench(workDir)
+      if (only("carry")) carryBench(workDir)
+      if (only("expire")) expireBench(workDir)
+      if (only("compact")) {
+        compactBench(spark, workDir)
+        // 4x the partitions at 1/4 the rows each: with the bounded-pool
+        // fan-out, compaction wall should track data volume (similar
+        // total rows -> similar seconds), not partition count — the
+        // round-6 sequential loop scaled with partitions instead
+        compactBench(spark, workDir, parts = 256, filesPerPart = 4,
+          rowsPerPart = 5000)
+      }
+      if (only("prune")) pruneBench(spark, workDir)
+      if (only("bucket")) bucketBench(spark, workDir)
+      if (only("glob")) globBench(spark, workDir)
+      if (only("sqlite")) sqliteBench(spark, workDir)
     } finally spark.stop()
   }
 }

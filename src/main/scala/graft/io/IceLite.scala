@@ -208,9 +208,14 @@ class IceLite(val root: String) extends TableIO {
     val stats = Await.result(statsF, Duration.Inf).toMap
     val nRows = countF.map(Await.result(_, Duration.Inf))
       .getOrElse(stats.valuesIterator.map(_.rows).sum)
+    // the written files' exact Spark schema, recorded per table — the
+    // schema-evolution ledger [[readTableEvolved]] groups partitions by
+    // (old partitions keep their era's schema; reads reconcile)
+    val schemas = tables.map { case (n, df) => n -> df.schema.json }
     atomicWrite(lineageDir(snap).resolve(s"${enc(part)}.json"),
       JsonMethods.compact(JsonMethods.render(
-        lineageJson(snap, part, nRows, stats, Map.empty, "ingest", srcFiles))))
+        lineageJson(snap, part, nRows, stats, Map.empty, "ingest", srcFiles,
+          schemas))))
   }
 
   /** One partition's lineage record. `dataSnap` maps each table whose
@@ -227,7 +232,8 @@ class IceLite(val root: String) extends TableIO {
   private def lineageJson(snap: Long, part: String, nRows: Long,
       stats: Map[String, TableFooter],
       dataSnap: Map[String, Long], op: String,
-      srcFiles: Option[Seq[String]] = None): JObject = JObject(
+      srcFiles: Option[Seq[String]] = None,
+      schemas: Map[String, String] = Map.empty): JObject = JObject(
     List(
       "snapshot" -> JLong(snap), "part" -> JString(part),
       "op" -> JString(op),
@@ -241,6 +247,10 @@ class IceLite(val root: String) extends TableIO {
           c -> JObject("min" -> JDouble(mn), "max" -> JDouble(mx))
         })
       })) ++
+      (if (schemas.isEmpty) Nil
+       else List("schemas" -> JObject(schemas.toList.sortBy(_._1).map {
+         case (t, j) => t -> JString(j)
+       }))) ++
       srcFiles.map(fs =>
         "srcFiles" -> JArray(fs.toList.map(JString(_)))).toList ++
       (if (dataSnap.isEmpty) Nil
@@ -569,10 +579,14 @@ class IceLite(val root: String) extends TableIO {
     * (compaction's dataSnap), the producing operation, the streaming
     * committer's source-file witness, and format upgrades (tableRows
     * added round 6 — ADVICE r6: including it made byte-identical
-    * recommits of pre-upgrade partitions read as changed) never make an
-    * unchanged partition look appended. */
+    * recommits of pre-upgrade partitions read as changed; `schemas`
+    * added round 7 for the same reason) never make an unchanged
+    * partition look appended. Residual: a recommit that ONLY changes a
+    * column's declared type without moving any footer stat (e.g. a
+    * string column added with all-null values) is invisible to the
+    * differ — Iceberg proper diffs at file granularity. */
   private val fingerprintExcluded =
-    Set("snapshot", "dataSnap", "op", "srcFiles", "tableRows")
+    Set("snapshot", "dataSnap", "op", "srcFiles", "tableRows", "schemas")
 
   private def partFingerprint(snap: Long, part: String): Option[String] =
     lineageDoc(snap, part).collect {
@@ -601,8 +615,230 @@ class IceLite(val root: String) extends TableIO {
     else readDirs(spark, toSnap, table, changed)
   }
 
+  // ── bucket partition spec (Iceberg's bucket() transform) ──────────
+
+  /** Declare `table`'s partition spec as `bucket(column, buckets)` —
+    * the Iceberg partition transform that makes POINT LOOKUPS on a
+    * high-cardinality column O(1) in metadata at any table size.
+    * Footer min/max ranges ([[readTablePruned]]) prune nothing on a
+    * uniformly-distributed column (a commit sha's committed range spans
+    * the whole hash space in every partition), and per-partition value
+    * filters (blooms) grow with partition cardinality; routing rows by
+    * a deterministic hash bucket instead makes `column = X` resolve to
+    * exactly ONE partition by evaluating the transform on the literal —
+    * no extra metadata, no cardinality dependence. Immutable once set:
+    * rerouting history would break resolution for existing snapshots
+    * (Iceberg evolves specs by versioning them; out of scope here). */
+  def setBucketSpec(table: String, column: String, buckets: Int): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    bucketSpec(table) match {
+      case Some(existing) =>
+        require(existing == IceLite.BucketSpec(column, buckets),
+          s"table '$table' already has spec $existing; the transform is " +
+            "immutable")
+      case None =>
+        atomicWrite(p("specs", s"${enc(table)}.json"),
+          JsonMethods.compact(JsonMethods.render(JObject(
+            "column" -> JString(column), "buckets" -> JInt(buckets)))))
+    }
+  }
+
+  /** The table's declared bucket spec, if any. */
+  def bucketSpec(table: String): Option[IceLite.BucketSpec] = {
+    val f = p("specs", s"${enc(table)}.json")
+    if (!Files.exists(f)) None
+    else {
+      val doc = JsonMethods.parse(Files.readString(f))
+      Some(IceLite.BucketSpec((doc \ "column").extract[String],
+        (doc \ "buckets").extract[Int]))
+    }
+  }
+
+  /** Ingest `df` as `table` under in-progress snapshot `snap`, routed
+    * by the table's bucket spec in ONE Spark job: rows are written
+    * `partitionBy` the bucket transform into a staging dir under the
+    * root, each bucket directory is RENAMED into its partition slot
+    * (same filesystem — O(1) per bucket, no data copy), and lineage
+    * commits from footers (pool-parallel driver IO, like commitImpl).
+    * Optional parquet BLOOM FILTERS are written for `bloomColumns`:
+    * inside a bucket, the native parquet reader then skips whole ROW
+    * GROUPS on point predicates — the second pruning level under the
+    * partition-level transform (partition prune → row-group bloom
+    * prune → page stats), with the filter bytes living in the data
+    * files where they belong, not in driver metadata.
+    * Crash-safe like any commit: a bucket is landed iff its lineage
+    * record exists; a resumed run rewrites staging and skips
+    * already-committed buckets. Returns the committed part names
+    * (buckets no row hashed into are absent). */
+  def ingestBucketed(spark: SparkSession, snap: Long, table: String,
+      df: DataFrame, bloomColumns: Seq[String] = Nil,
+      writeOptions: Map[String, String] = Map.empty): Seq[String] = {
+    val spec = bucketSpec(table).getOrElse(
+      sys.error(s"table '$table' has no bucket spec; call setBucketSpec first"))
+    require(!df.columns.contains(IceLite.BucketCol),
+      s"input already has a ${IceLite.BucketCol} column")
+    val schemaJson = df.schema.json
+    val staging = p("tmp", s"bucketed-$snap-${enc(table)}")
+    deleteRecursively(staging)
+    val w0 = df
+      .withColumn(IceLite.BucketCol,
+        IceLite.bucketColumn(df(spec.column), spec.buckets))
+      .write.mode("overwrite").partitionBy(IceLite.BucketCol)
+      .options(writeOptions)
+    // bloom bytes are proportional to expected NDV — the parquet-mr
+    // default (1M) writes ~1.2 MiB of filter per column chunk, which
+    // can exceed the data it guards on small files. Size it to the
+    // per-bucket row count unless the caller already did.
+    // a row estimate is unavailable plan-free, so default to 2^17
+    // distinct values (~160 KiB of filter at the 1% default fpp);
+    // callers with better knowledge override via writeOptions
+    val ndvKeys = bloomColumns
+      .map(c => s"parquet.bloom.filter.expected.ndv#$c")
+      .filterNot(writeOptions.contains)
+    ndvKeys.foldLeft(
+      bloomColumns.foldLeft(w0)((w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")))(
+      (w, k) => w.option(k, (1L << 17).toString))
+      .parquet(staging.toString)
+    val buckets = withList(staging)(_.map(_.getFileName.toString)
+      .filter(_.startsWith(s"${IceLite.BucketCol}="))
+      .map(_.stripPrefix(s"${IceLite.BucketCol}=").toInt).toSeq).sorted
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val landedF = Future.traverse(buckets) { b =>
+      Future {
+        blocking {
+          val part = s"bucket=$b"
+          val src = staging.resolve(s"${IceLite.BucketCol}=$b")
+          if (isPartCompleted(snap, part)) deleteRecursively(src)
+          else {
+            val dst = Paths.get(partDataDir(snap, table, part))
+            deleteRecursively(dst) // a crashed move's partial slot
+            Files.createDirectories(dst.getParent)
+            Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+            val tf = footerStats(spark, dst.toString)
+            atomicWrite(lineageDir(snap).resolve(s"${enc(part)}.json"),
+              JsonMethods.compact(JsonMethods.render(lineageJson(
+                snap, part, tf.rows, Map(table -> tf), Map.empty, "ingest",
+                None, Map(table -> schemaJson)))))
+          }
+          part
+        }
+      }
+    }
+    val landed = Await.result(landedF, Duration.Inf)
+    deleteRecursively(staging)
+    landed
+  }
+
+  /** Point lookup `column = value` through the bucket transform: the
+    * scan plans over exactly ONE partition directory regardless of
+    * table size or column cardinality (certifiable via `df.inputFiles`),
+    * then filters within it. The transform is lossless — this equals a
+    * full-scan filter. A value whose bucket holds no partition returns
+    * an empty frame with the table's schema. */
+  def readTablePoint(spark: SparkSession, snap: Long, table: String,
+      value: String): DataFrame =
+    readTablePoints(spark, snap, table, Seq(value))
+
+  /** IN-list form of [[readTablePoint]]: one read over the distinct
+    * buckets of `values`. */
+  def readTablePoints(spark: SparkSession, snap: Long, table: String,
+      values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "readTablePoints needs at least one value")
+    val spec = bucketSpec(table).getOrElse(
+      sys.error(s"table '$table' has no bucket spec"))
+    import org.apache.spark.sql.functions.{col, lit}
+    val parts = snapshotParts(snap)
+    val wanted = values
+      .map(v => s"bucket=${IceLite.bucketOf(v, spec.buckets)}").toSet
+    val kept = parts.filter(wanted)
+    val eq = col(spec.column).isin(values: _*)
+    if (kept.isEmpty) readDirs(spark, snap, table, parts).filter(lit(false))
+    else readDirs(spark, snap, table, kept).filter(eq)
+  }
+
+  // ── schema evolution ──────────────────────────────────────────────
+
+  /** The recorded Spark schema (StructType json) of one partition's
+    * table files — the per-era ledger [[readTableEvolved]] reconciles.
+    * None for records written before schema capture (round 7). */
+  def partSchemaJson(snap: Long, part: String,
+      table: String): Option[String] =
+    lineageDoc(snap, part).flatMap(d =>
+      (d \ "schemas" \ table).extractOpt[String])
+
+  /** Read `table` across SCHEMA ERAS (Iceberg schema evolution): a
+    * snapshot whose partitions were committed under different schemas —
+    * columns added or dropped across appends — comes back as ONE frame
+    * under a reconciled schema. Each era's partitions read as their own
+    * group (homogeneous, so footer inference is exact and costs one
+    * group, not a full mergeSchema pass over every file); columns an
+    * era lacks fill with typed NULLs; groups union by name.
+    * Reconciliation is deterministic: the era with the most columns
+    * orders first (ties by schema text), extra columns append in
+    * first-seen order, and a column typed differently across eras
+    * resolves to the WIDEST numeric type among them (the standard
+    * byte→short→int→long→float→double promotion ladder; non-numeric
+    * conflicts keep the ordering era's type and cast the rest).
+    * Partitions with no recorded schema (pre-capture records) read as
+    * one group under `mergeSchema`. A single-era table takes the plain
+    * [[readTable]] path — zero overhead. */
+  def readTableEvolved(spark: SparkSession, snap: Long,
+      table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val parts = snapshotParts(snap)
+    require(parts.nonEmpty,
+      s"snapshot $snap of '$table' has no partitions; nothing to read")
+    val byEra = parts.groupBy(partSchemaJson(snap, _, table)).toSeq
+    if (byEra.size == 1) readDirs(spark, snap, table, parts)
+    else {
+      val groups: Seq[(StructType, DataFrame)] = byEra
+        .sortBy { case (era, _) => (era.isEmpty, era.getOrElse("")) }
+        .map { case (era, ps) =>
+          val df = readDirs(spark, snap, table, ps.sorted,
+            if (era.isEmpty) Map("mergeSchema" -> "true")
+            else Map.empty[String, String])
+          (df.schema, df)
+        }
+      val ordered = groups.sortBy { case (sch, _) =>
+        (-sch.fields.length, sch.json)
+      }
+      val target: Seq[(String, DataType)] = {
+        import org.apache.spark.sql.types._
+        val ladder: Seq[DataType] = Seq(ByteType, ShortType, IntegerType,
+          LongType, FloatType, DoubleType)
+        def widen(a: DataType, b: DataType): DataType = {
+          val (ia, ib) = (ladder.indexOf(a), ladder.indexOf(b))
+          if (ia >= 0 && ib >= 0) ladder(math.max(ia, ib)) else a
+        }
+        val seen = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+        ordered.foreach { case (sch, _) =>
+          sch.fields.foreach(f => seen.get(f.name) match {
+            case None => seen.put(f.name, f.dataType)
+            case Some(t) => seen.put(f.name, widen(t, f.dataType))
+          })
+        }
+        seen.toSeq
+      }
+      ordered.map { case (sch, df) =>
+        val have = sch.fields.map(f => f.name -> f.dataType).toMap
+        df.select(target.map { case (n, t) =>
+          have.get(n) match {
+            case Some(dt) if dt == t => col(n)
+            case Some(_) => col(n).cast(t).as(n)
+            case None => lit(null).cast(t).as(n)
+          }
+        }: _*)
+      }.reduce(_.unionByName(_))
+    }
+  }
+
   private def readDirs(spark: SparkSession, snap: Long, table: String,
-      parts: Seq[String]): DataFrame = {
+      parts: Seq[String],
+      options: Map[String, String] = Map.empty): DataFrame = {
     // an empty input commits a VALID snapshot with zero partitions;
     // spark.read.parquet() with no paths throws UNABLE_TO_INFER_SCHEMA,
     // so surface the actual situation instead
@@ -615,12 +851,13 @@ class IceLite(val root: String) extends TableIO {
     // discovery), so group by data location and union the groups —
     // one read per distinct location snapshot, almost always one total.
     parts.groupBy(dataSnapOf(snap, _, table)).toSeq.sortBy(_._1)
-      .map { case (ds, ps) => readDirsAt(spark, ds, table, ps) }
+      .map { case (ds, ps) => readDirsAt(spark, ds, table, ps, options) }
       .reduce(_.unionByName(_))
   }
 
   private def readDirsAt(spark: SparkSession, snap: Long, table: String,
-      parts: Seq[String]): DataFrame = {
+      parts: Seq[String],
+      options: Map[String, String] = Map.empty): DataFrame = {
     val dirs = parts.map(partDataDir(snap, table, _))
     // basePath must be the ENCODED table dir (an ancestor of the data
     // paths partDataDir wrote), or encoded table names become unreadable.
@@ -635,7 +872,8 @@ class IceLite(val root: String) extends TableIO {
     IceLite.readLock.synchronized {
       val prev = spark.conf.getOption(inferKey)
       spark.conf.set(inferKey, "false")
-      try spark.read.option("basePath", p("data", s"snap=$snap", enc(table)).toString)
+      try spark.read.options(options)
+        .option("basePath", p("data", s"snap=$snap", enc(table)).toString)
         .parquet(dirs: _*)
       finally prev.fold(spark.conf.unset(inferKey))(spark.conf.set(inferKey, _))
     }
@@ -776,7 +1014,7 @@ class IceLite(val root: String) extends TableIO {
     // completed partition, O(parts) driver file IO at resume
     atomicWrite(lineageDir(newSnap).resolve(IceLite.OpMarker), "compact")
     case class Item(part: String, table: String, src: Long,
-        before: TableFooter, packed: Int)
+        before: TableFooter, packed: Int, era: Option[String])
     try {
       // phase 1: classify (parallel driver file IO, zero Spark jobs)
       val classified: Seq[(String, JValue, Seq[Item])] =
@@ -789,22 +1027,32 @@ class IceLite(val root: String) extends TableIO {
               val before = footerStats(spark, partDataDir(src, table, part))
               val packed = math.max(1L,
                 (before.bytes + targetFileBytes - 1) / targetFileBytes).toInt
-              Item(part, table, src, before, packed)
+              Item(part, table, src, before, packed,
+                (doc \ "schemas" \ table).extractOpt[String])
             }
             (part, doc, items)
           }
         })
       val allItems = classified.flatMap(_._3)
       // phase 2a: grouped single-job rewrites (sequential across the few
-      // (table, src) buckets — each is one multi-partition Spark job)
+      // buckets — each is one multi-partition Spark job). The SCHEMA ERA
+      // is part of the group key: one spark.read over mixed-era
+      // partitions would materialize every row under whichever schema
+      // inference picked, silently dropping a newer era's column from
+      // the rewritten bytes while the carried ledger still claims it
+      // (caught by the round-7 model check). Era-less legacy records
+      // group together under a mergeSchema read — lossless, at the cost
+      // of widening those rows to the merged shape.
       val grouped = allItems
         .filter(i => i.packed == 1 && i.before.files > 1)
-        .groupBy(i => (i.table, i.src)).toSeq.sortBy(_._1)
-      grouped.foreach { case ((table, src), items) =>
+        .groupBy(i => (i.table, i.src, i.era)).toSeq.sortBy(_._1)
+      grouped.foreach { case ((table, src, era), items) =>
         withProps {
           val n = math.max(1, math.min(items.size,
             sc.defaultParallelism * 2))
-          readDirsAt(spark, src, table, items.map(_.part))
+          readDirsAt(spark, src, table, items.map(_.part),
+            if (era.isEmpty) Map("mergeSchema" -> "true")
+            else Map.empty[String, String])
             .repartition(n, org.apache.spark.sql.functions.col("part"))
             .write.mode("append").partitionBy("part")
             .parquet(p("data", s"snap=$newSnap", enc(table)).toString)
@@ -851,10 +1099,17 @@ class IceLite(val root: String) extends TableIO {
           val stats = footers.map { case (t, tf, _) => t -> tf }.toMap
           val dataSnap =
             footers.collect { case (t, _, s) if s != newSnap => t -> s }.toMap
+          // compaction never changes the logical schema: carry the
+          // source record's per-table schema ledger forward verbatim
+          val schemas = (doc \ "schemas") match {
+            case JObject(fs) =>
+              fs.collect { case (t, JString(j)) => t -> j }.toMap
+            case _ => Map.empty[String, String]
+          }
           atomicWrite(lineageDir(newSnap).resolve(s"${enc(part)}.json"),
             JsonMethods.compact(JsonMethods.render(lineageJson(
               newSnap, part, (doc \ "rows").extract[Long], stats, dataSnap,
-              "compact"))))
+              "compact", None, schemas))))
         }
       })
       ()
@@ -1035,6 +1290,36 @@ object IceLite {
     * lineage dir (named WITHOUT .json so completedParts never mistakes
     * it for a partition record). */
   private[io] val OpMarker = "_op"
+
+  /** Bucket partition transform `bucket(column, buckets)` — see
+    * [[IceLite.setBucketSpec]]. */
+  final case class BucketSpec(column: String, buckets: Int)
+
+  /** Staging partition column name used by [[IceLite.ingestBucketed]];
+    * dropped from file contents by `partitionBy`. */
+  private[io] val BucketCol = "_gbucket"
+
+  /** Deterministic bucket of a value: CRC32 over UTF-8 bytes, mod n.
+    * CRC32 because `java.util.zip.CRC32` (driver side — routing a point
+    * lookup's literal) and Spark's `crc32` function (executor side —
+    * routing rows at write) are the SAME public function, so plan-time
+    * pruning can never disagree with write-time routing. */
+  def bucketOf(value: String, buckets: Int): Int = {
+    val crc = new java.util.zip.CRC32
+    crc.update(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (crc.getValue % buckets).toInt
+  }
+
+  /** The same transform as a Column (row routing at write): non-string
+    * columns route on their string form, NULL routes to bucket 0 (a
+    * point lookup is by definition non-null, so nulls just need a
+    * consistent home). */
+  def bucketColumn(c: org.apache.spark.sql.Column,
+      buckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    coalesce(pmod(crc32(encode(c.cast("string"), "UTF-8")),
+      lit(buckets.toLong)), lit(0L)).cast("int")
+  }
 
   /** Facts about one table dir harvested from parquet footers alone:
     * numeric column ranges, exact row count, byte size, file count. */

@@ -88,6 +88,64 @@ object DuckSql {
          |FROM files_all""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** Point lookup through the bucket partition transform ≡ a full-scan
+    * filter (the transform is lossless): the probed commits are the
+    * corpus derivation md5('c'||doc_id)[:12] for doc_ids 11 / 3 / 500 —
+    * 11 is a planted duplicate, witnessing multi-row hits. */
+  def vPointLookup: String = cte +
+    """SELECT repo, path, "commit", lang, content_sha256, doc_id
+      |FROM files_all
+      |WHERE "commit" IN (substr(md5('c11'), 1, 12),
+      |                   substr(md5('c3'), 1, 12),
+      |                   substr(md5('c500'), 1, 12))""".stripMargin
+
+  /** Schema evolution: history orgs (first half of the sorted distinct
+    * org list — the same splitAt the Spark side uses) committed before
+    * the `license` column existed read back as typed NULLs; appended
+    * orgs carry the doc_id-derived license. */
+  def vSchemaEvolve: String = cte +
+    """, orgs_ranked AS (
+      |  SELECT o, row_number() OVER (ORDER BY o) AS rn, COUNT(*) OVER () AS n
+      |  FROM (SELECT DISTINCT split_part(repo, '/', 1) AS o FROM files_all)
+      |)
+      |SELECT f.repo, f.path, f."commit", f.lang, f.content_sha256, f.doc_id,
+      |  CASE WHEN r.rn <= greatest(1, r.n // 2) THEN NULL
+      |       ELSE CASE f.doc_id % 4 WHEN 0 THEN 'mit' WHEN 1 THEN 'apache2'
+      |                 WHEN 2 THEN 'gpl3' ELSE 'bsd' END END AS license
+      |FROM files_all f
+      |JOIN orgs_ranked r ON split_part(f.repo, '/', 1) = r.o""".stripMargin
+
+  /** Incremental drift: PSI between the history cohort (first half of
+    * the sorted distinct org list — the same splitAt as the Spark side)
+    * and the appended cohort, over the content-length histogram. Same
+    * bucket width, ε-floor and rounding as [[vDriftPsi]]. */
+  def vDriftIncr(bucketWidth: Int): String = cte +
+    s""", orgs_ranked AS (
+       |  SELECT o, row_number() OVER (ORDER BY o) AS rn, COUNT(*) OVER () AS n
+       |  FROM (SELECT DISTINCT split_part(repo, '/', 1) AS o FROM files_all)
+       |), hist AS (
+       |  SELECT CAST(FLOOR(LENGTH(f.content) / $bucketWidth) AS BIGINT) AS bucket,
+       |    SUM(CASE WHEN r.rn <= greatest(1, r.n // 2) THEN 1 ELSE 0 END) AS c0,
+       |    SUM(CASE WHEN r.rn <= greatest(1, r.n // 2) THEN 0 ELSE 1 END) AS c1
+       |  FROM files_all f JOIN orgs_ranked r ON split_part(f.repo, '/', 1) = r.o
+       |  WHERE f.content IS NOT NULL GROUP BY 1
+       |), p AS (
+       |  SELECT GREATEST(CAST(c0 AS DOUBLE) / SUM(c0) OVER (), CAST(0.000001 AS DOUBLE)) AS p0,
+       |         GREATEST(CAST(c1 AS DOUBLE) / SUM(c1) OVER (), CAST(0.000001 AS DOUBLE)) AS p1
+       |  FROM hist
+       |)
+       |SELECT ROUND(SUM((p1 - p0) * LN(p1 / p0)), 9) AS psi FROM p""".stripMargin
+
+  /** Exact-mergeable fields of the incremental profile: the Spark side
+    * computes these by aggregating per-partition profile ROWS (zero
+    * data rescans); the oracle recomputes them from the full corpus. */
+  def vProfileIncr: String = cte +
+    """SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+      |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+      |  CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+      |FROM files_all""".stripMargin
+
   // ---- graph (GraphEmit) ----
 
   private val fileVid = """'file:' || repo || '/' || path || '@' || "commit""""

@@ -343,6 +343,32 @@ object DriftCheck {
       .agg(round(sum((col("p1") - col("p0")) * log(col("p1") / col("p0"))), 9).as("psi"))
   }
 
+  /** [[psi]] from two PRE-AGGREGATED `(bucket, n)` histograms — the
+    * incremental-drift entry: per-partition histograms commit next to
+    * the data (one agg pass over the append at ingest), and a later
+    * drift check merges the tiny histogram rows instead of rescanning
+    * content (SparkEntry `v_drift_incr` certifies zero data IO via
+    * inputFiles). Buckets absent from one side zero-fill, then the
+    * same ε-floor and rounding as [[psi]] so the two entries are
+    * bit-identical on identical distributions. */
+  def psiFromHists(h0: DataFrame, h1: DataFrame,
+      eps: Double = 1e-6): DataFrame = {
+    val hist = h0.select(col("bucket"), col("n").as("c0"))
+      .join(h1.select(col("bucket"), col("n").as("c1")),
+        Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("c0", "c1"))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .select(
+        greatest(col("c0").cast(DoubleType) / sum(col("c0")).over(all),
+          lit(eps)).as("p0"),
+        greatest(col("c1").cast(DoubleType) / sum(col("c1")).over(all),
+          lit(eps)).as("p1"))
+      .agg(round(sum((col("p1") - col("p0")) * log(col("p1") / col("p0"))),
+        9).as("psi"))
+  }
+
   /** Total-variation distance between the categorical distributions of
     * `value` on the baseline side vs the rest: sum |p0 - p1| / 2 over
     * categories, from one aggregation pass (the drift check for

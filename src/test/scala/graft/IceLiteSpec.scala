@@ -334,13 +334,22 @@ class IceLiteSpec extends AnyFunSuite {
     // operation the CURRENT snapshot must read back exactly the model,
     // and every retained older snapshot its own frozen model. Exercises
     // the interactions the unit tests cover only pairwise (carry-forward
-    // chains across compactions, expiry under mixed references).
+    // chains across compactions, expiry under mixed references, and —
+    // since round 7 — SCHEMA ERAS: each append randomly writes era A
+    // (doc_id, part_name) or era B (+extra), so reads go through
+    // readTableEvolved over arbitrary era mixtures, compaction carrying
+    // the ledger, and expiry dropping whole eras).
     val rnd = new scala.util.Random(20260817L)
     val partPool = Vector("p0", "p1", "p2", "p3")
     val root = freshRoot()
     val ice = new IceLite(root)
     var model = Map.empty[String, Set[Long]]
-    var history = List.empty[(Long, Map[String, Set[Long]])]
+    // parts whose CURRENT data carries the era-B `extra` column — their
+    // values must read back non-null through any evolved read (an
+    // all-null era-B partition is exactly what a mixed-era compaction
+    // rewrite would silently produce if it lost the column)
+    var eraB = Set.empty[String]
+    var history = List.empty[(Long, Map[String, Set[Long]], Set[String])]
     var nextId = 1000L
     def commitAppend(): Unit = {
       val snap = ice.nextSnapshotId
@@ -353,23 +362,50 @@ class IceLiteSpec extends AnyFunSuite {
       changed.foreach { p =>
         val ids = (0 until 5 + rnd.nextInt(20)).map(_ => { nextId += 1; nextId }).toSet
         model += p -> ids
-        ice.commitPartitionFromFooters(snap, p, Map("t" ->
-          ids.toSeq.sorted.map(i => (i, p)).toDF("doc_id", "part_name")))
+        val df =
+          if (rnd.nextBoolean()) {
+            eraB -= p
+            ids.toSeq.sorted.map(i => (i, p)).toDF("doc_id", "part_name")
+          } else {
+            eraB += p
+            ids.toSeq.sorted.map(i => (i, p, s"x$i"))
+              .toDF("doc_id", "part_name", "extra")
+          }
+        ice.commitPartitionFromFooters(snap, p, Map("t" -> df))
       }
       prev.foreach { from =>
         (model.keySet -- changed).foreach(p => ice.carryForwardPartition(snap, p, from))
       }
       ice.commitSnapshot(snap, model.keys.toSeq.sorted)
-      history ::= (snap, model)
+      history ::= ((snap, model, eraB))
     }
     def check(): Unit = {
-      history.foreach { case (snap, m) =>
-        val got = ice.readTable(spark, snap, "t")
+      history.foreach { case (snap, m, eb) =>
+        // evolved read: equals readTable when eras are homogeneous,
+        // reconciles with typed NULLs when mixed — either way the model
+        // columns must read back exactly
+        val ev = ice.readTableEvolved(spark, snap, "t")
+        val got = ev
           .select("part", "doc_id").collect()
           .groupBy(_.getString(0)).map { case (p, rs) =>
             p -> rs.map(_.getLong(1)).toSet
           }
         assert(got === m, s"snapshot $snap diverged from model")
+        if (eb.nonEmpty) {
+          // era-B parts must read their extra values back NON-NULL and
+          // intact — an all-null era-B partition is what a compaction
+          // that lost the column across a mixed-era rewrite produces —
+          // and era-A rows read as typed NULLs
+          assert(ev.columns.contains("extra"),
+            s"snapshot $snap lost the era-B column entirely")
+          val badB = ev.filter(col("part").isin(eb.toSeq: _*) &&
+            (col("extra").isNull ||
+              col("extra") =!= concat(lit("x"), col("doc_id")))).count()
+          assert(badB === 0, s"snapshot $snap corrupted era-B data")
+          val badA = ev.filter(!col("part").isin(eb.toSeq: _*) &&
+            col("extra").isNotNull).count()
+          assert(badA === 0, s"snapshot $snap fabricated era-A extras")
+        }
       }
     }
     commitAppend()
@@ -378,11 +414,11 @@ class IceLiteSpec extends AnyFunSuite {
         case 0 | 1 => commitAppend()
         case 2 =>
           val c = ice.compactSnapshot(spark, targetFileBytes = 1L << 20)
-          history ::= (c, model) // content unchanged, new id
+          history ::= ((c, model, eraB)) // content unchanged, new id
         case 3 =>
           val retain = 1 + rnd.nextInt(2)
           val expired = ice.expireSnapshots(retain).toSet
-          history = history.filterNot { case (s, _) => expired(s) }
+          history = history.filterNot { case (s, _, _) => expired(s) }
       }
       check()
     }
@@ -700,5 +736,182 @@ class IceLiteSpec extends AnyFunSuite {
     assert(inc.select("v").collect().map(_.getInt(0)).sorted.toSeq ===
       Seq(100, 101, 102, 103))
     assert(inc.inputFiles.nonEmpty && inc.inputFiles.forall(_.contains("part=a")))
+  }
+
+  test("bucket transform: point lookup plans over exactly one partition " +
+    "and equals the full-scan filter") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    // high-cardinality keys incl. hostile chars; the transform must
+    // route executor-side rows and driver-side literals identically
+    val rows = (0 until 400).map(i => (s"sha${i}x${i * 7}", i.toLong)) ++
+      Seq(("key with space", 9000L), ("a+b/c", 9001L))
+    val df = rows.toDF("commitsha", "n")
+    ice.setBucketSpec("files", "commitsha", 8)
+    val parts = ice.ingestBucketed(spark, 1L, "files", df)
+    ice.commitSnapshot(1L, parts)
+    // every row landed in the bucket the driver-side transform names
+    val back = ice.readTable(spark, 1L, "files")
+      .select(col("commitsha"), col("part")).collect()
+    back.foreach { r =>
+      assert(r.getString(1) ===
+        s"bucket=${IceLite.bucketOf(r.getString(0), 8)}")
+    }
+    assert(back.length === rows.size)
+    // point lookup: right rows, ONE partition dir in the plan
+    val allFiles = ice.readTable(spark, 1L, "files").inputFiles.length
+    for (probe <- Seq("sha37x259", "key with space", "a+b/c")) {
+      val pt = ice.readTablePoint(spark, 1L, "files", probe)
+      val expect = rows.filter(_._1 == probe).map(_._2)
+      assert(pt.select("n").collect().map(_.getLong(0)).toSeq === expect)
+      val parents = pt.inputFiles.map(f =>
+        f.substring(0, f.lastIndexOf('/'))).distinct
+      assert(parents.length === 1,
+        s"probe $probe planned over ${parents.length} partition dirs")
+      assert(pt.inputFiles.length < allFiles,
+        "point lookup planned as many files as the full scan")
+    }
+    // a key that is absent but whose bucket exists: empty, right schema
+    val miss = ice.readTablePoint(spark, 1L, "files", "no-such-sha")
+    assert(miss.count() === 0)
+    assert(miss.columns.contains("commitsha") && miss.columns.contains("n"))
+  }
+
+  test("bucketed ingest is crash-resumable: lost buckets reland, committed " +
+    "buckets are not rewritten") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    ice.setBucketSpec("t", "k", 4)
+    val df = (0 until 100).map(i => (s"k$i", i)).toDF("k", "v")
+    val parts = ice.ingestBucketed(spark, 1L, "t", df)
+    assert(parts.size === 4)
+    // simulate a crash that lost one bucket's commit entirely
+    val lost = parts.head
+    val lostEnc = lost.replace("=", "%3D")
+    Files.delete(ice.lineageDir(1L).resolve(s"$lostEnc.json"))
+    val mtimes = parts.tail.map { p =>
+      p -> Files.getLastModifiedTime(
+        ice.lineageDir(1L).resolve(s"${p.replace("=", "%3D")}.json"))
+    }.toMap
+    val again = ice.ingestBucketed(spark, 1L, "t", df)
+    assert(again.toSet === parts.toSet)
+    // committed buckets kept their original lineage record (no rewrite)
+    mtimes.foreach { case (p, t0) =>
+      assert(Files.getLastModifiedTime(
+        ice.lineageDir(1L).resolve(s"${p.replace("=", "%3D")}.json")) === t0,
+        s"bucket $p was recommitted on resume")
+    }
+    ice.commitSnapshot(1L, again)
+    assert(ice.readTable(spark, 1L, "t").count() === 100)
+  }
+
+  test("bucketed ingest writes parquet bloom filters for the requested " +
+    "columns (row-group pruning inside a bucket)") {
+    import spark.implicits._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    ice.setBucketSpec("t", "k", 2)
+    val df = (0 until 1000).map(i => (s"key$i", i)).toDF("k", "v")
+    val parts = ice.ingestBucketed(spark, 1L, "t", df, bloomColumns = Seq("k"))
+    ice.commitSnapshot(1L, parts)
+    val dataDir = java.nio.file.Paths.get(
+      ice.partDataDir(1L, "t", parts.head))
+    val pq = Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    val hconf = spark.sessionState.newHadoopConf()
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(pq.toUri), hconf))
+    try {
+      val block = r.getFooter.getBlocks.asScala.head
+      val kCol = block.getColumns.asScala
+        .find(_.getPath.toDotString == "k").get
+      val vCol = block.getColumns.asScala
+        .find(_.getPath.toDotString == "v").get
+      assert(r.getBloomFilterDataReader(block).readBloomFilter(kCol) != null,
+        "no bloom filter written for requested column k")
+      assert(r.getBloomFilterDataReader(block).readBloomFilter(vCol) == null,
+        "bloom filter written for a column that did not request one")
+    } finally r.close()
+  }
+
+  test("schema evolution: columns added across appends reconcile with " +
+    "typed NULLs; compaction carries the era ledger") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    // era 1: (id, name)
+    ice.commitPartition(1L, "old", 2L,
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "name")))
+    ice.commitSnapshot(1L, Seq("old"))
+    // era 2: (id, name, license) appended; history carried forward
+    ice.commitPartition(2L, "new", 2L,
+      Map("t" -> Seq((3L, "c", "mit"), (4L, "d", "gpl"))
+        .toDF("id", "name", "license")))
+    ice.carryForwardPartition(2L, "old", 1L)
+    ice.commitSnapshot(2L, Seq("old", "new"))
+    val ev = ice.readTableEvolved(spark, 2L, "t")
+    assert(ev.columns.toSet === Set("id", "name", "license", "part"))
+    val got = ev.select("id", "license").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(1L -> None, 2L -> None,
+      3L -> Some("mit"), 4L -> Some("gpl")))
+    // single-era reads are untouched by the feature
+    assert(ice.readTableEvolved(spark, 1L, "t").columns.toSet ===
+      Set("id", "name", "part"))
+    // a compaction rewrite keeps each partition's schema era readable
+    val c = ice.compactSnapshot(spark)
+    val ev2 = ice.readTableEvolved(spark, c, "t")
+    assert(ev2.count() === 4)
+    assert(ev2.filter(col("license").isNull).count() === 2)
+  }
+
+  test("mixed-era compaction must not lose a newer era's column " +
+    "(era-aware rewrite grouping)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    // two small-file partitions in ONE (table, src) compaction bucket;
+    // "a" sorts first so a non-era-aware single read would infer the
+    // 2-column schema and rewrite "b" without its extra column
+    ice.commitPartition(1L, "a", 4L, Map("t" ->
+      (0 until 4).map(i => (i.toLong, "a")).toDF("doc_id", "part_name")
+        .repartition(2)))
+    ice.commitPartition(1L, "b", 4L, Map("t" ->
+      (10 until 14).map(i => (i.toLong, "b", s"x$i"))
+        .toDF("doc_id", "part_name", "extra").repartition(2)))
+    ice.commitSnapshot(1L, Seq("a", "b"))
+    val c = ice.compactSnapshot(spark, targetFileBytes = 1L << 20)
+    val ev = ice.readTableEvolved(spark, c, "t")
+    assert(ev.columns.contains("extra"),
+      "compaction lost the era-B column entirely")
+    val bVals = ev.filter(col("part") === "b")
+      .select("extra").collect().map(_.getString(0)).sorted
+    assert(bVals === Array("x10", "x11", "x12", "x13"),
+      "compaction corrupted era-B extra values")
+    assert(ev.filter(col("part") === "a" && col("extra").isNotNull)
+      .count() === 0)
+  }
+
+  test("schema evolution: a column typed differently across eras widens " +
+    "(int -> long)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    ice.commitPartition(1L, "p32", 2L,
+      Map("t" -> Seq((1, "x"), (2, "y")).toDF("n", "s")))
+    ice.commitSnapshot(1L, Seq("p32"))
+    ice.commitPartition(2L, "p64", 1L,
+      Map("t" -> Seq((5000000000L, "z")).toDF("n", "s")))
+    ice.carryForwardPartition(2L, "p32", 1L)
+    ice.commitSnapshot(2L, Seq("p32", "p64"))
+    val ev = ice.readTableEvolved(spark, 2L, "t")
+    assert(ev.schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(ev.select(sum("n")).collect()(0).getLong(0) === 5000000003L)
   }
 }
