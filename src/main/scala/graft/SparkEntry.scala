@@ -162,6 +162,24 @@ object SparkEntry {
       Verdicts.compute(s, FilesTable.files(s, d), FileRules.rowRules)),
     "v_unique_dups" -> ((s, d) =>
       Uniqueness.duplicates(FilesTable.files(s, d), FileRules.unique.columns)),
+    "v_unique_bucketed" -> ((s, d) => {
+      // exchange-FREE uniqueness — the standing-table layout at 100 TB:
+      // the corpus persists once as a Spark bucketed table on the
+      // uniqueness key (shuffle paid at ingest), then the duplicate
+      // check reads pre-clustered buckets and must plan with ZERO
+      // Exchange (the require below reads the AQE-final physical plan),
+      // hash-matching the plain groupBy oracle.
+      val dir = tmpWorkDir("graft_bucketed_tbl", d)
+      rmTree(java.nio.file.Paths.get(dir))
+      val dup = graft.validate.Uniqueness.duplicatesBucketed(s,
+        FilesTable.files(s, d), FileRules.unique.columns, 16,
+        "files_bucketed_unique", dir)
+      dup.count() // materialize so AQE settles the final plan
+      val plan = dup.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucketed uniqueness planned a shuffle:\n${plan.take(800)}")
+      dup
+    }),
     "v_ref_orphans" -> ((s, d) =>
       Referential.orphans(FilesTable.files(s, d), FilesTable.repoManifest(s, d),
         "repo", "repo")),
@@ -1375,6 +1393,9 @@ object SparkEntry {
     "v_violations" -> DuckSql.vViolations,
     "v_verdicts" -> DuckSql.vVerdicts,
     "v_unique_dups" -> DuckSql.vUniqueDups,
+    // bucketed-table check must equal the plain groupBy (and plans
+    // exchange-free — certified by the require inside the query)
+    "v_unique_bucketed" -> DuckSql.vUniqueDups,
     "v_ref_orphans" -> DuckSql.vRefOrphans,
     "v_profile" -> DuckSql.vProfile(profiledCols),
     "v_drift_ks" -> DuckSql.vDriftKs,

@@ -1171,6 +1171,19 @@ class IceLite(val root: String) extends TableIO {
     spark.read.json(spark.createDataset(committedDocs ++ inProgDocs))
   }
 
+  /** Time travel by wall clock (Iceberg's as-of-timestamp read): the
+    * most recent committed snapshot whose publish time — the snapshot
+    * pointer file's mtime, stamped by the atomic rename that made the
+    * snapshot visible — is ≤ `tsMillis`. None when every committed
+    * snapshot is newer (or none exists). Retention still applies:
+    * snapshots dropped by [[expireSnapshots]] are not reachable at any
+    * timestamp. */
+  def snapshotAsOf(tsMillis: Long): Option[Long] =
+    committedSnapshotIds.reverse.find { id =>
+      Files.getLastModifiedTime(
+        p("snapshots", s"v$id.json")).toMillis <= tsMillis
+    }
+
   /** Ids of all committed snapshots (manifest present), ascending. */
   def committedSnapshotIds: Seq[Long] = {
     val d = p("snapshots")

@@ -127,6 +127,29 @@ object Uniqueness {
     files.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).cast(LongType).as("n_rows"))
       .filter(col("n_rows") > 1)
+
+  /** [[duplicates]] with ZERO shuffle at check time: the input persists
+    * once as a Spark BUCKETED table on the uniqueness key (`bucketBy` —
+    * hash clustering recorded in catalog metadata, Spark's native
+    * bucket layout), so the duplicate aggregation reads pre-clustered
+    * buckets and plans WITHOUT an Exchange. This is the layout a
+    * STANDING validated table keeps for a recurring uniqueness
+    * invariant at 100 TB: the shuffle is paid once at ingest, every
+    * later check (and any equi-join on the same key) is exchange-free.
+    * `path` makes the table external at a caller-owned location; the
+    * catalog entry is per-session (in-memory catalog). Callers certify
+    * the plan — see SparkEntry `v_unique_bucketed`. */
+  def duplicatesBucketed(spark: SparkSession, files: DataFrame,
+      keys: Seq[String], buckets: Int, tableName: String,
+      path: String): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    files.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", path)
+      .saveAsTable(tableName)
+    duplicates(spark.table(tableName), keys)
+  }
 }
 
 /** Referential integrity: every `column` value must exist in the

@@ -897,6 +897,25 @@ class IceLiteSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("time travel by timestamp resolves to the newest snapshot published " +
+    "at or before the instant") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    ice.commitPartition(1L, "p", 1L, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    ice.commitSnapshot(1L, Seq("p"))
+    val afterFirst = System.currentTimeMillis()
+    Thread.sleep(25) // mtime granularity
+    ice.commitPartition(2L, "p", 1L, Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+    ice.commitSnapshot(2L, Seq("p"))
+    assert(ice.snapshotAsOf(afterFirst) === Some(1L))
+    assert(ice.snapshotAsOf(System.currentTimeMillis()) === Some(2L))
+    assert(ice.snapshotAsOf(afterFirst - 60000) === None)
+    // retention wins over timestamp: expired history is unreachable
+    ice.expireSnapshots(retain = 1)
+    assert(ice.snapshotAsOf(afterFirst) === None)
+  }
+
   test("schema evolution: a column typed differently across eras widens " +
     "(int -> long)") {
     import spark.implicits._
