@@ -908,6 +908,89 @@ object SparkEntry {
           graft.validate.IncrementalProfile.mergeHistograms(h1))
       } finally { files.unpersist(); () }
     }),
+    "v_delete_rows" -> ((s, d) => {
+      // copy-on-write row-level DELETE, oracle-gated — the QUARANTINE
+      // move of a validated table: the corpus commits as doc_id RANGE
+      // partitions, then one range's rows are purged. The stats-pruned
+      // rewrite touches ONLY the partition holding that range (the
+      // completedParts require: every other partition carries by
+      // reference with zero data IO, still served from snapshot 1's
+      // bytes per inputFiles), and the surviving rows hash-equal the
+      // NOT BETWEEN oracle. NULL-predicate rows are kept (SQL DELETE
+      // semantics; certified in IceLiteSpec).
+      val width = 64L
+      val root = tmpWorkDir("graft_delete", d)
+      rmTree(java.nio.file.Paths.get(root))
+      val ice = new graft.io.IceLite(root)
+      // range-partitioned layout in ONE partitionBy job (the fixture
+      // must scale like the engine: 79 per-partition filter scans of
+      // the corpus at sf0.1 cost 17s; one job costs one scan)
+      val parts = ice.ingestPartitionedBy(s, 1L, "files",
+        FilesTable.files(s, d)
+          .withColumn("pnum", floor(col("doc_id") / width)), "pnum")
+      ice.commitSnapshot(1L, parts)
+      val n = ice.deleteWhere(s, "files",
+        col("doc_id").between(0L, width - 1),
+        Seq(("doc_id", 0.0, (width - 1).toDouble)))
+      require(ice.completedParts(n) == Set("0"),
+        s"delete rewrote pruned partitions: ${ice.completedParts(n)}")
+      val out = ice.readTable(s, n, "files")
+      val newFiles = out.inputFiles.filter(_.contains(s"snap=$n"))
+      require(newFiles.forall(_.contains("/part=0/")),
+        "new-snapshot files outside the deleted range's partition")
+      if (parts.length > 1)
+        require(out.inputFiles.exists(_.contains("snap=1")),
+          "carried partitions not served from their original bytes")
+      out.select("repo", "path", "commit", "lang", "content_sha256",
+        "doc_id")
+    }),
+    "v_upsert" -> ((s, d) => {
+      // MERGE / upsert by key, oracle-gated: the corpus (bucketed by
+      // `commit`, 64 buckets) takes an update set that REPLACES the
+      // rows of a few commits (lang corrected to 'eo') and INSERTS two
+      // brand-new rows. Every replaced commit is a PLANTED DUPLICATE
+      // (doc_id ≡ 11 mod 1010 ⊂ the mod-101 dup cohort) — delete-
+      // then-insert must drop BOTH copies and land exactly one update
+      // row. Only the buckets the update keys hash into rewrite
+      // (completedParts require);
+      // everything else is served from snapshot 1's bytes
+      // (inputFiles require). Result hash-equals the SQL
+      // anti-join ∪ updates oracle.
+      val root = tmpWorkDir("graft_upsert", d)
+      rmTree(java.nio.file.Paths.get(root))
+      val ice = new graft.io.IceLite(root)
+      ice.setBucketSpec("files", "commit", 64)
+      val cols = Seq("repo", "path", "commit", "lang", "content_sha256",
+        "doc_id")
+      val files = FilesTable.files(s, d).select(cols.map(col): _*)
+      ice.commitSnapshot(1L,
+        ice.ingestBucketed(s, 1L, "files", files))
+      val upd = files.filter(col("doc_id") % 1010 === 11)
+        .select(col("repo"), col("path"), col("commit"),
+          lit("eo").as("lang"), col("content_sha256"), col("doc_id"))
+        .dropDuplicates("doc_id")
+      val news = s.range(2).select(
+        lit("neworg/repo").as("repo"),
+        concat(lit("src/new_"), col("id")).as("path"),
+        substring(md5(concat(lit("n"), col("id").cast("string"))), 1, 12)
+          .as("commit"),
+        lit("en").as("lang"),
+        sha2(concat(lit("new"), col("id").cast("string")), 256)
+          .as("content_sha256"),
+        (col("id") + 1000000L).as("doc_id"))
+      val n = ice.mergeRows(s, "files", upd.unionByName(news))
+      val spec = ice.bucketSpec("files").get
+      val keyBuckets = upd.unionByName(news).select("commit").distinct()
+        .collect().map(r =>
+          s"bucket=${graft.io.IceLite.bucketOf(r.getString(0), spec.buckets)}")
+        .toSet
+      require(ice.completedParts(n) == keyBuckets,
+        s"merge rewrote ${ice.completedParts(n)}, expected $keyBuckets")
+      val out = ice.readTable(s, n, "files")
+      require(out.inputFiles.exists(_.contains("snap=1/")),
+        "untouched buckets were rewritten instead of carried")
+      out.select(cols.map(col): _*)
+    }),
     "v_profile_incr" -> ((s, d) => {
       // mergeable incremental profile, oracle-gated: every partition
       // commits a one-row `__profile` table next to its data (row
@@ -1416,6 +1499,10 @@ object SparkEntry {
     "v_profile_incr" -> DuckSql.vProfileIncr,
     // per-partition histograms merged ≡ full-corpus cohort PSI
     "v_drift_incr" -> DuckSql.vDriftIncr(FileRules.drift.bucketWidth),
+    // copy-on-write delete of one range partition ≡ NOT BETWEEN
+    "v_delete_rows" -> DuckSql.vDeleteRows,
+    // bucket-routed MERGE ≡ anti-join ∪ updates
+    "v_upsert" -> DuckSql.vUpsert,
     // micro-batches committed as snapshot partitions, then fully
     // replayed (at-least-once storm) — sealed table ≡ batch set
     "v_stream_ice" -> DuckSql.vViolations,

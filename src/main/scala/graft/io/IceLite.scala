@@ -700,17 +700,33 @@ class IceLite(val root: String) extends TableIO {
         w.option(s"parquet.bloom.filter.enabled#$c", "true")))(
       (w, k) => w.option(k, (1L << 17).toString))
       .parquet(staging.toString)
-    val buckets = withList(staging)(_.map(_.getFileName.toString)
-      .filter(_.startsWith(s"${IceLite.BucketCol}="))
-      .map(_.stripPrefix(s"${IceLite.BucketCol}=").toInt).toSeq).sorted
+    landBucketStaging(spark, snap, table, staging, schemaJson, "ingest")
+  }
+
+  /** Land a `partitionBy(BucketCol)` staging directory as bucket
+    * partitions: rename each bucket dir into its slot (same
+    * filesystem — O(1), no data copy) and commit lineage from footers,
+    * pool-parallel. Already-committed buckets are skipped (the ingest
+    * resume path). Returns the landed part names. */
+  private def landBucketStaging(spark: SparkSession, snap: Long,
+      table: String, staging: Path, schemaJson: String,
+      op: String): Seq[String] =
+    landStaging(spark, snap, table, staging, schemaJson, op,
+      dirName => s"bucket=${dirName.stripPrefix(s"${IceLite.BucketCol}=")}")
+
+  private def landStaging(spark: SparkSession, snap: Long,
+      table: String, staging: Path, schemaJson: String, op: String,
+      partOf: String => String): Seq[String] = {
+    val dirNames = withList(staging)(_.map(_.getFileName.toString)
+      .filter(_.contains("=")).toSeq).sorted
     import scala.concurrent.{Await, ExecutionContext, Future, blocking}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val landedF = Future.traverse(buckets) { b =>
+    val landedF = Future.traverse(dirNames) { dirName =>
       Future {
         blocking {
-          val part = s"bucket=$b"
-          val src = staging.resolve(s"${IceLite.BucketCol}=$b")
+          val part = partOf(dirName)
+          val src = staging.resolve(dirName)
           if (isPartCompleted(snap, part)) deleteRecursively(src)
           else {
             val dst = Paths.get(partDataDir(snap, table, part))
@@ -720,7 +736,7 @@ class IceLite(val root: String) extends TableIO {
             val tf = footerStats(spark, dst.toString)
             atomicWrite(lineageDir(snap).resolve(s"${enc(part)}.json"),
               JsonMethods.compact(JsonMethods.render(lineageJson(
-                snap, part, tf.rows, Map(table -> tf), Map.empty, "ingest",
+                snap, part, tf.rows, Map(table -> tf), Map.empty, op,
                 None, Map(table -> schemaJson)))))
           }
           part
@@ -730,6 +746,86 @@ class IceLite(val root: String) extends TableIO {
     val landed = Await.result(landedF, Duration.Inf)
     deleteRecursively(staging)
     landed
+  }
+
+  /** Ingest `df` as `table` under in-progress snapshot `snap`,
+    * partitioned by the VALUES of `partCol` — the generic value/range
+    * sibling of [[ingestBucketed]], same ONE-job shape: a single
+    * `partitionBy` write to staging, O(partitions) renames, lineage
+    * from footers (pool-parallel), crash-resumable per partition.
+    * `partCol` is dropped from the written files (derivable from the
+    * partition name); Spark's path escaping is normalized back through
+    * [[dec]], so the part name is the value's exact string form (NULL
+    * values land under Spark's default-partition name). Returns the
+    * committed part names. */
+  def ingestPartitionedBy(spark: SparkSession, snap: Long, table: String,
+      df: DataFrame, partCol: String): Seq[String] = {
+    require(df.columns.contains(partCol),
+      s"input has no partition column '$partCol'")
+    val schemaJson = org.apache.spark.sql.types
+      .StructType(df.schema.filterNot(_.name == partCol)).json
+    val staging = p("tmp", s"partby-$snap-${enc(table)}")
+    deleteRecursively(staging)
+    df.write.mode("overwrite").partitionBy(partCol)
+      .parquet(staging.toString)
+    landStaging(spark, snap, table, staging, schemaJson, "ingest",
+      dirName => dec(dirName.substring(dirName.indexOf('=') + 1)))
+  }
+
+  /** MERGE / upsert by the bucket-spec key (Iceberg's MERGE INTO,
+    * key-replace form): existing rows of `table` whose key matches an
+    * update row's key are replaced; keys absent from the table insert.
+    * Non-unique keys follow delete-then-insert semantics — ALL
+    * existing rows of a matched key are replaced by ALL update rows of
+    * that key. Only the buckets the update keys hash into are read and
+    * rewritten, in ONE Spark job (anti-join on the key + union), so a
+    * targeted merge costs the affected buckets regardless of table
+    * size; untouched buckets carry into the new snapshot by reference.
+    * `updates` must carry the table's schema. Crash contract mirrors
+    * [[deleteWhere]] (op marker "merge", discardInProgress + rerun).
+    * Returns the new snapshot id. */
+  def mergeRows(spark: SparkSession, table: String,
+      updates: DataFrame): Long = {
+    val spec = bucketSpec(table).getOrElse(
+      sys.error(s"table '$table' has no bucket spec; mergeRows routes by it"))
+    val snap = currentSnapshotId.getOrElse(
+      sys.error("mergeRows needs a committed snapshot"))
+    val newSnap = nextSnapshotId
+    require(!Files.exists(lineageDir(newSnap)),
+      s"snapshot $newSnap is in progress (uncommitted lineage exists); " +
+        "resume or discard it before merging")
+    require(!updates.columns.contains(IceLite.BucketCol),
+      s"updates already have a ${IceLite.BucketCol} column")
+    atomicWrite(lineageDir(newSnap).resolve(IceLite.OpMarker), "merge")
+    val schemaJson = updates.schema.json
+    val ub = updates.withColumn(IceLite.BucketCol,
+      IceLite.bucketColumn(updates(spec.column), spec.buckets))
+    val affected = ub.select(IceLite.BucketCol).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq // ≤ buckets rows, tiny
+    val affectedParts = affected.map(b => s"bucket=$b")
+    val parts = snapshotParts(snap)
+    val existingParts = affectedParts.filter(parts.contains)
+    val staging = p("tmp", s"merge-$newSnap-${enc(table)}")
+    deleteRecursively(staging)
+    val merged =
+      if (existingParts.isEmpty) ub
+      else {
+        val existing = readDirs(spark, snap, table, existingParts)
+          .drop("part")
+        val survivors = existing.join(
+          updates.select(updates(spec.column)).distinct(),
+          Seq(spec.column), "left_anti")
+        survivors
+          .withColumn(IceLite.BucketCol,
+            IceLite.bucketColumn(survivors(spec.column), spec.buckets))
+          .unionByName(ub)
+      }
+    merged.write.mode("overwrite").partitionBy(IceLite.BucketCol)
+      .parquet(staging.toString)
+    landBucketStaging(spark, newSnap, table, staging, schemaJson, "merge")
+    commitSnapshot(newSnap,
+      ((parts.toSet -- existingParts) ++ affectedParts).toSeq.sorted)
+    newSnap
   }
 
   /** Point lookup `column = value` through the bucket transform: the
@@ -1118,6 +1214,118 @@ class IceLite(val root: String) extends TableIO {
     // snapshot commits nothing consults it (deleting it before the
     // commit would open a crash window where compact records lose
     // their owner tag)
+    commitSnapshot(newSnap, parts)
+    newSnap
+  }
+
+  /** Copy-on-write row-level DELETE (Iceberg's delete-by-rewrite):
+    * rows of `table` matching `pred` are removed by REWRITING only the
+    * partitions that can contain matches, committed as a new snapshot.
+    * SQL DELETE null semantics: a row where `pred` evaluates NULL is
+    * KEPT (only pred = TRUE deletes).
+    *
+    * Partition selection: a partition rewrites unless `prunePreds`
+    * (the same (column, lo, hi) semantics as [[readTablePruned]])
+    * proves its committed stats cannot overlap the predicate's value
+    * range — a partition without stats for a pruning column rewrites
+    * (lossless: pruning never skips a possible match). Unaffected
+    * partitions, and every OTHER table of a rewritten partition, carry
+    * into the new snapshot BY REFERENCE (zero data IO — the compaction
+    * indirection). This is the QUARANTINE move of a validated table:
+    * purge the rows a rule flagged, touch only the partitions that
+    * hold them; at 10^5 partitions a targeted delete costs the
+    * affected partitions, not the table.
+    *
+    * Crash contract mirrors [[compactSnapshot]]: op marker first
+    * ("delete"), per-partition records are the progress state, a
+    * resuming ingest refuses the foreign in-progress snapshot,
+    * commitSnapshot publishes atomically; a crashed delete resolves
+    * via [[discardInProgress]] and rerun. Returns the new snapshot
+    * id. */
+  def deleteWhere(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column,
+      prunePreds: Seq[(String, Double, Double)] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val snap = currentSnapshotId.getOrElse(
+      sys.error("deleteWhere needs a committed snapshot"))
+    val newSnap = nextSnapshotId
+    require(!Files.exists(lineageDir(newSnap)),
+      s"snapshot $newSnap is in progress (uncommitted lineage exists); " +
+        "resume or discard it before deleting")
+    atomicWrite(lineageDir(newSnap).resolve(IceLite.OpMarker), "delete")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val sc = spark.sparkContext
+    val propKeys = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel", "spark.scheduler.pool")
+    val props = propKeys.map(k => k -> sc.getLocalProperty(k))
+    def withProps[A](f: => A): A = {
+      props.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+      f
+    }
+    val parallelism =
+      math.max(1, math.min(16, Runtime.getRuntime.availableProcessors / 2))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val parts = snapshotParts(snap)
+    try {
+      val work: Seq[Future[Unit]] = parts.map { part =>
+        Future {
+          val doc = lineageDoc(snap, part).getOrElse(
+            sys.error(s"snapshot $snap part '$part' has no lineage record"))
+          val tables = (doc \ "tables").extract[Seq[String]]
+          val mayMatch = tables.contains(table) && {
+            val stats = partStats(snap, part, table)
+            prunePreds.forall { case (c, lo, hi) =>
+              stats.get(c) match {
+                case Some((mn, mx)) => mx >= lo && mn <= hi
+                case None => true
+              }
+            }
+          }
+          // pruned-out partition: NO new record — commitSnapshot
+          // inherits the parent's manifest doc by reference
+          if (mayMatch) {
+            val src = dataSnapOf(snap, part, table)
+            val dst = partDataDir(newSnap, table, part)
+            val kept = spark.read.parquet(partDataDir(src, table, part))
+              .filter(not(coalesce(pred, lit(false))))
+            withProps { kept.write.mode("overwrite").parquet(dst) }
+            // a delete that empties the partition can write ZERO data
+            // files (nothing for any task to emit) — pin one empty
+            // schema-bearing file so readers of the new snapshot never
+            // hit a file-less directory
+            if (footerStats(spark, dst).files == 0) withProps {
+              kept.limit(0).repartition(1).write.mode("overwrite").parquet(dst)
+            }
+            val footers = tables.map { t =>
+              if (t == table) (t, footerStats(spark, dst), newSnap)
+              else {
+                val s0 = dataSnapOf(snap, part, t)
+                (t, footerStats(spark, partDataDir(s0, t, part)), s0)
+              }
+            }
+            val stats = footers.map { case (t, tf, _) => t -> tf }.toMap
+            val dataSnap = footers
+              .collect { case (t, _, s0) if s0 != newSnap => t -> s0 }.toMap
+            val schemas = (doc \ "schemas") match {
+              case JObject(fs) =>
+                fs.collect { case (t, JString(j)) => t -> j }.toMap
+              case _ => Map.empty[String, String]
+            }
+            atomicWrite(lineageDir(newSnap).resolve(s"${enc(part)}.json"),
+              JsonMethods.compact(JsonMethods.render(lineageJson(
+                newSnap, part, stats.valuesIterator.map(_.rows).sum, stats,
+                dataSnap, "delete", None, schemas))))
+          }
+        }
+      }
+      // settle everything before surfacing the first failure — no
+      // background rewrites racing a later discardInProgress
+      Await.result(
+        Future.sequence(work.map(_.transform(scala.util.Success(_)))),
+        Duration.Inf).foreach(_.get)
+    } finally { pool.shutdown(); () }
     commitSnapshot(newSnap, parts)
     newSnap
   }

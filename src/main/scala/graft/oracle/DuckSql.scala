@@ -136,6 +136,37 @@ object DuckSql {
        |)
        |SELECT ROUND(SUM((p1 - p0) * LN(p1 / p0)), 9) AS psi FROM p""".stripMargin
 
+  /** MERGE/upsert by commit key: rows of updated commits replaced
+    * (lang → 'eo', one row per doc_id — every updated commit is a
+    * planted duplicate, so BOTH copies collapse to the single update
+    * row: delete-then-insert), two brand-new rows inserted. Mirrors
+    * SparkEntry v_upsert's update set. */
+  def vUpsert: String = cte +
+    """, upd AS (
+      |  SELECT repo, path, "commit", CAST('eo' AS VARCHAR) AS lang,
+      |         content_sha256, doc_id
+      |  FROM files_base WHERE doc_id % 1010 = 11
+      |), news AS (
+      |  SELECT 'neworg/repo' AS repo,
+      |         'src/new_' || CAST(range AS VARCHAR) AS path,
+      |         substr(md5('n' || CAST(range AS VARCHAR)), 1, 12) AS "commit",
+      |         'en' AS lang,
+      |         sha256('new' || CAST(range AS VARCHAR)) AS content_sha256,
+      |         1000000 + range AS doc_id
+      |  FROM range(0, 2)
+      |), allupd AS (SELECT * FROM upd UNION ALL SELECT * FROM news)
+      |SELECT repo, path, "commit", lang, content_sha256, doc_id
+      |FROM files_all
+      |WHERE "commit" NOT IN (SELECT "commit" FROM allupd)
+      |UNION ALL SELECT * FROM allupd""".stripMargin
+
+  /** Row-level copy-on-write delete: the surviving rows after purging
+    * the doc_id range [0, 63] — the first range partition (width 64 so
+    * even the 500-doc gate corpus spans several partitions). */
+  def vDeleteRows: String = cte +
+    """SELECT repo, path, "commit", lang, content_sha256, doc_id
+      |FROM files_all WHERE doc_id NOT BETWEEN 0 AND 63""".stripMargin
+
   /** Exact-mergeable fields of the incremental profile: the Spark side
     * computes these by aggregating per-partition profile ROWS (zero
     * data rescans); the oracle recomputes them from the full corpus. */

@@ -897,6 +897,92 @@ class IceLiteSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("row-level delete rewrites only partitions that can match; NULL " +
+    "predicate rows are kept; emptied partitions stay readable") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    ice.commitPartition(1L, "plow", 5L, Map("t" ->
+      Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (3L, "c"),
+        (4L, "d"), (null, "n")).toDF("v", "s")))
+    ice.commitPartition(1L, "phigh", 4L, Map("t" ->
+      Seq((10L, "j"), (11L, "k"), (12L, "l"), (13L, "m")).toDF("v", "s")))
+    ice.commitSnapshot(1L, Seq("phigh", "plow"))
+    val n = ice.deleteWhere(spark, "t", col("v") === 11,
+      Seq(("v", 11.0, 11.0)))
+    // plow's stats [1,4] cannot overlap 11: carried by reference —
+    // no new record, no data IO
+    assert(ice.completedParts(n) === Set("phigh"))
+    val back = ice.readTable(spark, n, "t")
+    assert(back.count() === 8)
+    assert(back.filter(col("v") === 11).count() === 0)
+    // SQL DELETE null semantics: pred NULL -> row KEPT
+    assert(back.filter(col("v").isNull).count() === 1)
+    val newFiles = back.inputFiles.filter(_.contains(s"snap=$n"))
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("part=phigh")))
+    assert(back.inputFiles.exists(_.contains("snap=1")),
+      "pruned partition not served from its original bytes")
+    // empty the whole high partition: the directory must stay readable
+    val n2 = ice.deleteWhere(spark, "t", col("v") >= 10,
+      Seq(("v", 10.0, 13.0)))
+    val back2 = ice.readTable(spark, n2, "t")
+    assert(back2.count() === 5)
+    assert(back2.filter(col("v") >= 10).count() === 0)
+  }
+
+  test("ingestPartitionedBy lands value partitions from one job; hostile " +
+    "values round-trip Spark's path escaping") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "c/d"), (4L, "100"))
+      .toDF("v", "g")
+    val parts = ice.ingestPartitionedBy(spark, 1L, "t", df, "g")
+    assert(parts.toSet === Set("a b", "c/d", "100"))
+    ice.commitSnapshot(1L, parts)
+    val back = ice.readTable(spark, 1L, "t")
+    assert(back.count() === 4)
+    assert(back.columns.toSet === Set("v", "part")) // g lives in the name
+    assert(back.filter(col("part") === "c/d")
+      .select("v").collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(back.filter(col("part") === "a b").count() === 2)
+  }
+
+  test("mergeRows upserts by the bucket key: matched keys replace " +
+    "(delete-then-insert), new keys insert, untouched buckets carry") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    ice.setBucketSpec("t", "k", 8)
+    val base = (0 until 64).map(i => (s"k$i", i.toLong)).toDF("k", "n")
+    ice.commitSnapshot(1L, ice.ingestBucketed(spark, 1L, "t", base))
+    // a key with TWO update rows: delete-then-insert keeps both
+    val n2 = ice.mergeRows(spark, "t",
+      Seq(("k7", 1007L), ("k7", 2007L)).toDF("k", "n"))
+    val afterDup = ice.readTable(spark, n2, "t")
+    assert(afterDup.filter(col("k") === "k7")
+      .select("n").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1007L, 2007L))
+    assert(afterDup.count() === 65) // 63 untouched + 2 rows for k7
+    // second merge: replace one key, insert a brand-new one
+    val n3 = ice.mergeRows(spark, "t",
+      Seq(("k3", 9003L), ("brand-new", 999L)).toDF("k", "n"))
+    val back = ice.readTable(spark, n3, "t")
+    assert(back.filter(col("k") === "k3")
+      .select("n").collect().map(_.getLong(0)).toSeq === Seq(9003L))
+    assert(back.filter(col("k") === "brand-new").count() === 1)
+    assert(back.count() === 66)
+    // untouched buckets are served by reference from older snapshots
+    assert(back.inputFiles.exists(f =>
+      f.contains("snap=1/") || f.contains(s"snap=$n2/")),
+      "untouched buckets were rewritten instead of carried")
+    val rewritten = ice.completedParts(n3)
+    val expect = Set("k3", "brand-new")
+      .map(v => s"bucket=${IceLite.bucketOf(v, 8)}")
+    assert(rewritten === expect,
+      s"merge rewrote $rewritten, expected only $expect")
+  }
+
   test("time travel by timestamp resolves to the newest snapshot published " +
     "at or before the instant") {
     import spark.implicits._
