@@ -174,7 +174,10 @@ object SparkEntry {
       val dup = graft.validate.Uniqueness.duplicatesBucketed(s,
         FilesTable.files(s, d), FileRules.unique.columns, 16,
         "files_bucketed_unique", dir)
-      dup.count() // materialize so AQE settles the final plan
+      // the INITIAL adaptive plan is the right witness: AQE only ever
+      // REMOVES exchanges at runtime, never adds one absent here (and
+      // dup.count() would build its own QueryExecution, settling
+      // nothing on this frame)
       val plan = dup.queryExecution.executedPlan.toString
       require(!plan.contains("Exchange"),
         s"bucketed uniqueness planned a shuffle:\n${plan.take(800)}")

@@ -125,7 +125,13 @@ class IceLite(val root: String) extends TableIO {
 
   private def atomicWrite(target: Path, content: String): Unit = {
     Files.createDirectories(target.getParent)
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    // tmp name unique PER WRITER: concurrent writes of the same target
+    // (e.g. two pool threads interning the same schema) must not share
+    // a tmp file — one's rename would strand the other's
+    // (NoSuchFileException). The rename itself stays atomic;
+    // same-content racers are last-writer-wins.
+    val tmp = target.resolveSibling(target.getFileName.toString +
+      s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
     Files.writeString(tmp, content)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -249,7 +255,10 @@ class IceLite(val root: String) extends TableIO {
       })) ++
       (if (schemas.isEmpty) Nil
        else List("schemas" -> JObject(schemas.toList.sortBy(_._1).map {
-         case (t, j) => t -> JString(j)
+         // inline JSON interns to a content-addressed ref; an already-
+         // interned ref (carried from a source record) passes through
+         case (t, j) => t -> JString(
+           if (j.startsWith("{")) internSchema(j) else j)
        }))) ++
       srcFiles.map(fs =>
         "srcFiles" -> JArray(fs.toList.map(JString(_)))).toList ++
@@ -553,15 +562,8 @@ class IceLite(val root: String) extends TableIO {
   def readTablePruned(spark: SparkSession, snap: Long, table: String,
       preds: Seq[(String, Double, Double)]): DataFrame = {
     val parts = snapshotParts(snap)
-    val kept = parts.filter { part =>
-      val stats = partStats(snap, part, table)
-      preds.forall { case (column, lo, hi) =>
-        stats.get(column) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None => true
-        }
-      }
-    }
+    val kept = parts.filter(part =>
+      statsOverlap(partStats(snap, part, table), preds))
     if (kept.isEmpty)
       readDirs(spark, snap, table, parts)
         .filter(org.apache.spark.sql.functions.lit(false))
@@ -637,6 +639,17 @@ class IceLite(val root: String) extends TableIO {
           s"table '$table' already has spec $existing; the transform is " +
             "immutable")
       case None =>
+        // refuse to bless a table that already holds NON-bucket data:
+        // existing rows were never routed, so bucket-pruned reads would
+        // silently miss them and merges would leave stale duplicates
+        currentSnapshotId.foreach { cur =>
+          val unrouted = snapshotParts(cur).filter(part =>
+            !part.startsWith("bucket=") && lineageDoc(cur, part).exists(d =>
+              (d \ "tables").extract[Seq[String]].contains(table)))
+          require(unrouted.isEmpty,
+            s"table '$table' already has non-bucket partitions " +
+              s"${unrouted.take(3)}…; a bucket spec must precede its data")
+        }
         atomicWrite(p("specs", s"${enc(table)}.json"),
           JsonMethods.compact(JsonMethods.render(JObject(
             "column" -> JString(column), "buckets" -> JInt(buckets)))))
@@ -804,7 +817,27 @@ class IceLite(val root: String) extends TableIO {
       .collect().map(_.getInt(0)).sorted.toSeq // ≤ buckets rows, tiny
     val affectedParts = affected.map(b => s"bucket=$b")
     val parts = snapshotParts(snap)
+    // matched keys hiding in never-routed partitions would survive as
+    // stale duplicates — refuse mixed layouts loudly
+    val unrouted = parts.filter(part =>
+      !part.startsWith("bucket=") && lineageDoc(snap, part).exists(d =>
+        (d \ "tables").extract[Seq[String]].contains(table)))
+    require(unrouted.isEmpty,
+      s"table '$table' has non-bucket partitions ${unrouted.take(3)}…; " +
+        "mergeRows requires a fully bucket-routed table")
     val existingParts = affectedParts.filter(parts.contains)
+    // the rewritten record lists ONLY the merged table — a co-located
+    // table in the same partition would vanish from the new snapshot
+    // and lose its bytes to the next expiry sweep. Refuse loudly;
+    // bucket partitions are single-table by construction
+    // (ingestBucketed), so this only fires on hand-built layouts.
+    existingParts.foreach { part =>
+      val others = lineageDoc(snap, part).toSeq.flatMap(d =>
+        (d \ "tables").extract[Seq[String]]).filterNot(_ == table)
+      require(others.isEmpty,
+        s"partition '$part' co-locates tables $others with '$table'; " +
+          "mergeRows rewrites single-table bucket partitions only")
+    }
     val staging = p("tmp", s"merge-$newSnap-${enc(table)}")
     deleteRecursively(staging)
     val merged =
@@ -847,10 +880,15 @@ class IceLite(val root: String) extends TableIO {
       sys.error(s"table '$table' has no bucket spec"))
     import org.apache.spark.sql.functions.{col, lit}
     val parts = snapshotParts(snap)
+    val eq = col(spec.column).isin(values: _*)
+    // partitions that were never bucket-routed (a snapshot predating
+    // the spec guard, or mixed layouts): pruning would silently miss
+    // their rows — fall back to the lossless full-scan filter
+    if (parts.exists(!_.startsWith("bucket=")))
+      return readDirs(spark, snap, table, parts).filter(eq)
     val wanted = values
       .map(v => s"bucket=${IceLite.bucketOf(v, spec.buckets)}").toSet
     val kept = parts.filter(wanted)
-    val eq = col(spec.column).isin(values: _*)
     if (kept.isEmpty) readDirs(spark, snap, table, parts).filter(lit(false))
     else readDirs(spark, snap, table, kept).filter(eq)
   }
@@ -860,10 +898,60 @@ class IceLite(val root: String) extends TableIO {
   /** The recorded Spark schema (StructType json) of one partition's
     * table files — the per-era ledger [[readTableEvolved]] reconciles.
     * None for records written before schema capture (round 7). */
+  /** hash → schema JSON; interned files are immutable, and without the
+    * cache an evolved read over 10^5 partitions would re-read the same
+    * few era files once per partition. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def partSchemaJson(snap: Long, part: String,
       table: String): Option[String] =
     lineageDoc(snap, part).flatMap(d =>
       (d \ "schemas" \ table).extractOpt[String])
+      .map { v =>
+        // interned ref (16-hex) vs legacy inline JSON
+        if (v.startsWith("{")) v
+        else schemaCache.computeIfAbsent(v,
+          h => Files.readString(p("schemas", s"$h.json")))
+      }
+
+  /** Content-addressed schema interning: the full StructType JSON is
+    * written ONCE under `schemas/<sha1-16>.json` and lineage records
+    * carry the 16-hex ref — at 10^5+ partitions an inlined multi-KB
+    * schema string per record would multiply manifest bytes for a
+    * handful of distinct eras (Iceberg's schema-id move). Never
+    * GC'd: the set is O(eras), not O(partitions). Legacy records that
+    * inlined the JSON still resolve in [[partSchemaJson]]. */
+  private def internSchema(json: String): String = {
+    val hash = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.take(16)
+    val f = p("schemas", s"$hash.json")
+    if (!Files.exists(f)) atomicWrite(f, json)
+    hash
+  }
+
+  /** The per-table schema ledger of a lineage record, as written
+    * (interned refs or legacy inline JSON) — for carrying verbatim
+    * into a successor record (compaction, delete). */
+  private def schemasOf(doc: JValue): Map[String, String] =
+    (doc \ "schemas") match {
+      case JObject(fs) => fs.collect { case (t, JString(j)) => t -> j }.toMap
+      case _ => Map.empty[String, String]
+    }
+
+  /** Can a partition's committed column ranges overlap every
+    * (column, lo, hi) range? Columns without stats never prune
+    * (lossless) — the shared predicate of [[readTablePruned]] and
+    * [[deleteWhere]]. */
+  private def statsOverlap(stats: Map[String, (Double, Double)],
+      preds: Seq[(String, Double, Double)]): Boolean =
+    preds.forall { case (column, lo, hi) =>
+      stats.get(column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
 
   /** Read `table` across SCHEMA ERAS (Iceberg schema evolution): a
     * snapshot whose partitions were committed under different schemas —
@@ -888,8 +976,26 @@ class IceLite(val root: String) extends TableIO {
     val parts = snapshotParts(snap)
     require(parts.nonEmpty,
       s"snapshot $snap of '$table' has no partitions; nothing to read")
-    val byEra = parts.groupBy(partSchemaJson(snap, _, table)).toSeq
-    if (byEra.size == 1) readDirs(spark, snap, table, parts)
+    // era key NORMALIZED to (name, type) in field order: nullability /
+    // metadata differences between logically identical schemas (a
+    // toDF plan records non-null longs, a read-back plan nullable
+    // ones) must not fragment the table into spurious eras — each
+    // extra era costs a read group forever, since the ledger carries
+    // verbatim through compaction
+    val keyCache = scala.collection.mutable.HashMap.empty[String, String]
+    def eraKey(j: String): String = keyCache.getOrElseUpdate(j, {
+      import org.apache.spark.sql.types._
+      StructType(DataType.fromJson(j).asInstanceOf[StructType].fields
+        .map(f => StructField(f.name, f.dataType))).json
+    }) // memoized: one parse per distinct schema, not per partition
+    val byEra = parts.groupBy(partSchemaJson(snap, _, table).map(eraKey)).toSeq
+    // single RECORDED era: plain read, zero overhead. A single
+    // UNrecorded era (all pre-capture records) must still read under
+    // mergeSchema — those files may span schemas the ledger never saw.
+    if (byEra.size == 1 && byEra.head._1.nonEmpty)
+      readDirs(spark, snap, table, parts)
+    else if (byEra.size == 1)
+      readDirs(spark, snap, table, parts, Map("mergeSchema" -> "true"))
     else {
       val groups: Seq[(StructType, DataFrame)] = byEra
         .sortBy { case (era, _) => (era.isEmpty, era.getOrElse("")) }
@@ -1197,15 +1303,10 @@ class IceLite(val root: String) extends TableIO {
             footers.collect { case (t, _, s) if s != newSnap => t -> s }.toMap
           // compaction never changes the logical schema: carry the
           // source record's per-table schema ledger forward verbatim
-          val schemas = (doc \ "schemas") match {
-            case JObject(fs) =>
-              fs.collect { case (t, JString(j)) => t -> j }.toMap
-            case _ => Map.empty[String, String]
-          }
           atomicWrite(lineageDir(newSnap).resolve(s"${enc(part)}.json"),
             JsonMethods.compact(JsonMethods.render(lineageJson(
               newSnap, part, (doc \ "rows").extract[Long], stats, dataSnap,
-              "compact", None, schemas))))
+              "compact", None, schemasOf(doc)))))
         }
       })
       ()
@@ -1274,15 +1375,8 @@ class IceLite(val root: String) extends TableIO {
           val doc = lineageDoc(snap, part).getOrElse(
             sys.error(s"snapshot $snap part '$part' has no lineage record"))
           val tables = (doc \ "tables").extract[Seq[String]]
-          val mayMatch = tables.contains(table) && {
-            val stats = partStats(snap, part, table)
-            prunePreds.forall { case (c, lo, hi) =>
-              stats.get(c) match {
-                case Some((mn, mx)) => mx >= lo && mn <= hi
-                case None => true
-              }
-            }
-          }
+          val mayMatch = tables.contains(table) &&
+            statsOverlap(partStats(snap, part, table), prunePreds)
           // pruned-out partition: NO new record — commitSnapshot
           // inherits the parent's manifest doc by reference
           if (mayMatch) {
@@ -1308,15 +1402,10 @@ class IceLite(val root: String) extends TableIO {
             val stats = footers.map { case (t, tf, _) => t -> tf }.toMap
             val dataSnap = footers
               .collect { case (t, _, s0) if s0 != newSnap => t -> s0 }.toMap
-            val schemas = (doc \ "schemas") match {
-              case JObject(fs) =>
-                fs.collect { case (t, JString(j)) => t -> j }.toMap
-              case _ => Map.empty[String, String]
-            }
             atomicWrite(lineageDir(newSnap).resolve(s"${enc(part)}.json"),
               JsonMethods.compact(JsonMethods.render(lineageJson(
                 newSnap, part, stats.valuesIterator.map(_.rows).sum, stats,
-                dataSnap, "delete", None, schemas))))
+                dataSnap, "delete", None, schemasOf(doc)))))
           }
         }
       }

@@ -983,6 +983,112 @@ class IceLiteSpec extends AnyFunSuite {
       s"merge rewrote $rewritten, expected only $expect")
   }
 
+  test("evolved read of an all-legacy table (no schema records) merges " +
+    "footers instead of trusting one") {
+    import spark.implicits._
+    import org.json4s.jackson.JsonMethods
+    import org.json4s._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    ice.commitPartition(1L, "a", 2L,
+      Map("t" -> Seq((1L, "x"), (2L, "y")).toDF("id", "s")))
+    ice.commitPartition(1L, "b", 1L,
+      Map("t" -> Seq((3L, "z", "mit")).toDF("id", "s", "lic")))
+    // simulate pre-capture records: strip the schema ledger before the
+    // manifest folds the docs
+    Seq("a", "b").foreach { part =>
+      val f = ice.lineageDir(1L).resolve(s"$part.json")
+      val doc = JsonMethods.parse(Files.readString(f)) match {
+        case JObject(fs) => JObject(fs.filterNot(_._1 == "schemas"))
+        case other => other
+      }
+      Files.writeString(f, JsonMethods.compact(JsonMethods.render(doc)))
+    }
+    ice.commitSnapshot(1L, Seq("a", "b"))
+    val ev = ice.readTableEvolved(spark, 1L, "t")
+    assert(ev.columns.contains("lic"),
+      "single-legacy-era read dropped a column footer inference missed")
+    assert(ev.filter(col("lic").isNotNull).count() === 1)
+    assert(ev.count() === 3)
+  }
+
+  test("setBucketSpec refuses a table that already holds non-bucket data; " +
+    "point reads over mixed layouts fall back to full scan") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    ice.commitPartition(1L, "org1", 1L,
+      Map("files" -> Seq(("sha1", 1L)).toDF("k", "n")))
+    ice.commitSnapshot(1L, Seq("org1"))
+    intercept[IllegalArgumentException] {
+      ice.setBucketSpec("files", "k", 8)
+    }
+    // an unrelated table in the same root is still free to bucket
+    ice.setBucketSpec("other", "k", 8)
+    // mixed layout built by hand (spec first, then a manual non-bucket
+    // partition in a later snapshot): point lookup must not lose rows
+    val root2 = freshRoot()
+    val ice2 = new IceLite(root2)
+    ice2.setBucketSpec("t", "k", 4)
+    ice2.commitSnapshot(1L, ice2.ingestBucketed(spark, 1L, "t",
+      (0 until 20).map(i => (s"k$i", i)).toDF("k", "v")))
+    ice2.commitPartition(2L, "manual", 1L,
+      Map("t" -> Seq(("stray", 999)).toDF("k", "v")))
+    ice2.snapshotParts(1L).foreach(p => ice2.carryForwardPartition(2L, p, 1L))
+    ice2.commitSnapshot(2L, ice2.snapshotParts(1L) :+ "manual")
+    val hit = ice2.readTablePoint(spark, 2L, "t", "stray")
+    assert(hit.select("v").collect().map(_.getInt(0)).toSeq === Seq(999),
+      "mixed-layout point read silently missed an unrouted row")
+    // and mergeRows refuses the mixed layout loudly
+    intercept[IllegalArgumentException] {
+      ice2.mergeRows(spark, "t", Seq(("k1", 100)).toDF("k", "v"))
+    }
+    ice2.discardInProgress(3L) // drop the refused merge's op marker
+  }
+
+  test("mergeRows refuses a bucket partition that co-locates other tables " +
+    "(their bytes would be lost to expiry)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    ice.setBucketSpec("t", "k", 2)
+    val k0 = s"bucket=${IceLite.bucketOf("a", 2)}"
+    ice.commitPartition(1L, k0, 1L, Map(
+      "t" -> Seq(("a", 1)).toDF("k", "v"),
+      "side" -> Seq((1, 2)).toDF("x", "y")))
+    ice.commitSnapshot(1L, Seq(k0))
+    intercept[IllegalArgumentException] {
+      ice.mergeRows(spark, "t", Seq(("a", 9)).toDF("k", "v"))
+    }
+    ice.discardInProgress(2L)
+  }
+
+  test("schema ledger is interned: records carry a 16-hex ref, the JSON " +
+    "lives once under schemas/, and resolution survives the manifest") {
+    import spark.implicits._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val root = freshRoot()
+    val ice = new IceLite(root)
+    ice.commitPartition(1L, "p1", 1L, Map("t" -> Seq((1L, "a")).toDF("id", "s")))
+    ice.commitPartition(1L, "p2", 1L, Map("t" -> Seq((2L, "b")).toDF("id", "s")))
+    val ref = (JsonMethods.parse(Files.readString(
+      ice.lineageDir(1L).resolve("p1.json"))) \ "schemas" \ "t")
+      .extract[String]
+    assert(ref.matches("[0-9a-f]{16}"), s"expected interned ref, got $ref")
+    assert(Files.exists(java.nio.file.Paths.get(root, "schemas", s"$ref.json")))
+    // identical schemas share ONE interned file
+    val ref2 = (JsonMethods.parse(Files.readString(
+      ice.lineageDir(1L).resolve("p2.json"))) \ "schemas" \ "t")
+      .extract[String]
+    assert(ref2 === ref)
+    ice.commitSnapshot(1L, Seq("p1", "p2"))
+    val resolved = ice.partSchemaJson(1L, "p1", "t")
+    assert(resolved.exists(_.contains("\"id\"")),
+      s"ref did not resolve through the manifest: $resolved")
+  }
+
   test("time travel by timestamp resolves to the newest snapshot published " +
     "at or before the instant") {
     import spark.implicits._
