@@ -156,15 +156,45 @@ object Dedup {
       s"shiftright(sig, $off) % ${1L << wid}"
     }.mkString("array(", ", ", ")")
     val sigs = simhashDf(df, textCol, "sig").select(col(idCol).as("id"), col("sig"))
+    // explicit co-partitioning on the join key, sized by the session's
+    // shuffle-partition conf: the banded self-join is OUTPUT-quadratic
+    // inside hot buckets while its input BYTES are tiny, so AQE (which
+    // coalesces by bytes) would otherwise collapse the exchange to 1-2
+    // tasks and serialize the whole pair generation (measured: 2 tasks
+    // x ~1s at sf0.1). A user-specified partition count is respected by
+    // AQE; the value comes from spark.sql.shuffle.partitions, so it
+    // scales with the deployment, not with this box.
+    val np = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(expr(bandExprs)).as(Seq("band", "bv")))
+      .repartition(np, col("band"), col("bv"))
     val a = banded.select(col("band"), col("bv"), col("id").as("id_a"), col("sig").as("sa"))
     val b = banded.select(col("band"), col("bv"), col("id").as("id_b"), col("sig").as("sb"))
+    // FIRST-MATCH-BAND dedup, evaluated inside the join's codegen stage:
+    // a qualifying pair shares up to `bands` band values (hamming 0
+    // shares all of them) and would otherwise be emitted once per
+    // shared band and deduplicated by a .distinct() over the whole
+    // candidate stream (measured 3.1M pre-distinct rows -> ~1M pairs at
+    // sf0.1). Keeping a pair only in its FIRST matching band — band b
+    // qualifies iff no earlier band b' has equal values, a scalar check
+    // on the carried signatures — emits every pair EXACTLY once, so the
+    // terminal distinct (and its full shuffle of the candidate stream)
+    // is unnecessary: the equi-join yields one row per (pair, matching
+    // band) by construction.
+    val firstMatch = offsets.zip(widths).zipWithIndex.map { case ((_, _), bi) =>
+      val priors = (0 until bi).map { bp =>
+        val (po, pw) = (offsets(bp), widths(bp))
+        s"(shiftright(sa, $po) % ${1L << pw}) != (shiftright(sb, $po) % ${1L << pw})"
+      }
+      if (priors.isEmpty) s"(band = $bi)"
+      else s"(band = $bi AND ${priors.mkString(" AND ")})"
+    }.mkString("(", " OR ", ")")
     a.join(b, Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
+      .filter(expr(firstMatch))
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming").distinct()
+      .select("id_a", "id_b", "hamming")
   }
 
   /** 64-bit SimHash near-dup pairs — the corpus-scale variant (the
@@ -195,15 +225,31 @@ object Dedup {
     graft.expr.GraftFunctions.register(df.sparkSession)
     val sigs = df.select(col(idCol).as("id"),
       call_function("simhash64", col(textCol)).as("sig"))
+    // same co-partitioning + first-match-band shape as [[simhashPairs]]
+    // (see the comments there): exactly-once pair emission replaces the
+    // terminal distinct, and the explicit conf-sized partitioning keeps
+    // AQE from collapsing the byte-small, compute-quadratic self-join.
+    val np = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(expr(bandExprs)).as(Seq("band", "bv")))
+      .repartition(np, col("band"), col("bv"))
     val a = banded.select(col("band"), col("bv"), col("id").as("id_a"), col("sig").as("sa"))
     val b = banded.select(col("band"), col("bv"), col("id").as("id_b"), col("sig").as("sb"))
+    val firstMatch = offsets.zip(widths).zipWithIndex.map { case ((_, _), bi) =>
+      val priors = (0 until bi).map { bp =>
+        val (po, pw) = (offsets(bp), widths(bp))
+        val pm = if (pw == 64) -1L else (1L << pw) - 1
+        s"(shiftrightunsigned(sa, $po) & $pm) != (shiftrightunsigned(sb, $po) & $pm)"
+      }
+      if (priors.isEmpty) s"(band = $bi)"
+      else s"(band = $bi AND ${priors.mkString(" AND ")})"
+    }.mkString("(", " OR ", ")")
     a.join(b, Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
+      .filter(expr(firstMatch))
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming").distinct()
+      .select("id_a", "id_b", "hamming")
   }
 
   /** Embedding-cosine near-duplicates: pairs above a cosine threshold,
@@ -238,14 +284,21 @@ object Dedup {
       // TRUE — a pair of failed-embedder zero vectors would silently
       // count as near-duplicates. Excluded from pairing entirely.
       .filter(col("nrm") > 0)
+    // explicit conf-sized co-partitioning on the probe join key: the
+    // (table, bucket) self-join is byte-small but its per-bucket output
+    // is quadratic, so AQE's byte-based coalescing would serialize it
+    // onto 1-2 tasks (same blind spot as the simhash banding joins)
+    val np = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val bucketed = base
       .withColumn("tbl", explode(expr(s"sequence(0, ${tables - 1})")))
       .withColumn("bucket", graft.sim.Ann.srpBucket("v", planes, "tbl"))
       .select("tbl", "bucket", "id")
+      .repartition(np, col("tbl"), col("bucket"))
     val probes = bucketed
       .withColumn("bucket",
         explode(graft.sim.Ann.multiprobeFlips(col("bucket"), planes)))
       .select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .repartition(np, col("tbl"), col("bucket"))
     val cand = probes
       .join(bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b")),
         Seq("tbl", "bucket"))

@@ -56,27 +56,60 @@ object CheckpointedValidation {
         s"snapshot $snap holds in-progress state from operation '$op': " +
           "resume or discard that operation first (IceLite.discardInProgress)"))
       val done = ice.completedParts(snap)
-      var processed = 0
-      parts.filterNot(done).foreach { part =>
-        crashAfter.filter(_ <= processed).foreach(_ => throw new SimulatedCrash)
+      // "part" is the hive partition dir; drop it from the data files
+      // and let readTable restore it (no duplicate column). The lazy
+      // count runs concurrently with the three table writes. Verdicts
+      // and metrics are BOUNDED tables (one row per rule / per
+      // profiled column, regardless of data size) — coalesce(1) so a
+      // commit writes one file each instead of shuffle-partition-many
+      // near-empty ones; violations scale with the data and keep
+      // their parallelism.
+      def commitOne(part: String): Unit = {
         val sub = cached.filter(orgCol === part)
         val verdicts = Verdicts.compute(spark, sub, rules)
         val violations = Violations.extract(sub, rules)
         val metrics = Profile.columns(sub,
           Seq("repo", "path", "commit", "lang", "content"), exact = false)
-        // "part" is the hive partition dir; drop it from the data files
-        // and let readTable restore it (no duplicate column). The lazy
-        // count runs concurrently with the three table writes. Verdicts
-        // and metrics are BOUNDED tables (one row per rule / per
-        // profiled column, regardless of data size) — coalesce(1) so a
-        // commit writes one file each instead of shuffle-partition-many
-        // near-empty ones; violations scale with the data and keep
-        // their parallelism.
         ice.commitPartitionLazy(snap, part, () => sub.count(),
           Map("verdicts" -> verdicts.drop("part").coalesce(1),
             "violations" -> violations,
             "metrics" -> metrics.coalesce(1)))
-        processed += 1
+      }
+      val todo = parts.filterNot(done)
+      crashAfter match {
+        case Some(n) =>
+          // the crash-injection path stays strictly sequential: "crash
+          // after N committed partitions" must be deterministic
+          var processed = 0
+          todo.foreach { part =>
+            if (n <= processed) throw new SimulatedCrash
+            commitOne(part)
+            processed += 1
+          }
+        case None =>
+          // partitions are independent until commitSnapshot — run a few
+          // commits CONCURRENTLY (guide §2.6: the next partition's jobs
+          // back-fill executors idling in the current one's tail; each
+          // commit is itself several small jobs, so a bounded pool, not
+          // one thread per partition). Lineage records land per
+          // partition exactly as before; a crash mid-pool leaves a
+          // resumable prefix-free set, which completedParts handles.
+          import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.max(1, math.min(4, todo.size)))
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          try {
+            // settle every future before surfacing the first failure, so
+            // no commit races the caller's cleanup
+            val settled = Await.result(
+              Future.sequence(todo.map(part =>
+                Future(blocking(commitOne(part)))
+                  .transform(scala.util.Success(_)))),
+              Duration.Inf)
+            settled.foreach(_.get)
+          } finally { pool.shutdown(); () }
       }
       ice.commitSnapshot(snap, parts)
       snap

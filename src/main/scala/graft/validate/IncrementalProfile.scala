@@ -47,6 +47,40 @@ object IncrementalProfile {
     part.agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
+  /** Every partition's [[partitionProfile]] row in ONE Spark job — the
+    * bulk-ingest face (VERDICT r7 #1: the per-partition agg loop is
+    * O(partitions) driver-sequential jobs; every aggregate here is
+    * mergeable SQL, so a single `groupBy(partCol)` pass lands all of
+    * them). Output: one row per `partCol` value, `partCol` first (so
+    * a `partitionBy(partCol)` write drops it and each partition's file
+    * carries exactly the [[partitionProfile]] schema). */
+  def profilesByPartition(df: DataFrame, partCol: String,
+      nullCols: Seq[String], rangeCols: Seq[String],
+      distinctCols: Seq[String]): DataFrame = {
+    rangeCols.foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[NumericType],
+        s"range column '$c' is not numeric (min/max of strings does not " +
+          "merge through parquet footers consistently)")
+    }
+    val aggs: Seq[Column] =
+      nullCols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c")) ++
+        rangeCols.flatMap(c => Seq(
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+        distinctCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c"))
+    df.groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Every partition's [[lengthHistogram]] in ONE Spark job: one
+    * `groupBy(partCol, bucket)` pass; `partCol` first for the same
+    * `partitionBy` reason as [[profilesByPartition]]. */
+  def histogramsByPartition(df: DataFrame, partCol: String, value: Column,
+      bucketWidth: Int): DataFrame =
+    df.select(col(partCol), floor(value / bucketWidth).cast("long").as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy(col(partCol), col("bucket")).agg(count(lit(1)).as("n"))
+
   /** Merge per-partition profile rows back into one whole-table row:
     * counts SUM, ranges MIN/MAX, sketches `hll_union_agg` →
     * `hll_sketch_estimate` as `distinct_<c>` (approximate — see class
