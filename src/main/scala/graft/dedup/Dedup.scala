@@ -303,7 +303,10 @@ object Dedup {
       .join(bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b")),
         Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+      // pin the dedup exchange too: the distinct's input is candidate
+      // ids (byte-tiny) but its upstream is the quadratic bucket join
+      .repartition(np, col("id_a"), col("id_b")).distinct()
     cand
       .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
         Seq("id_a"))

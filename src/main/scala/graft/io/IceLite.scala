@@ -699,7 +699,8 @@ class IceLite(val root: String) extends TableIO {
     // write-distribution): one file per bucket instead of one per
     // (task, bucket), and the write parallelizes across shuffle
     // partitions even from a single input split — see ingestPartitionedBy
-    val w0 = routed.repartition(routed(IceLite.BucketCol))
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val w0 = routed.repartition(np, routed(IceLite.BucketCol))
       .write.mode("overwrite").partitionBy(IceLite.BucketCol)
       .options(writeOptions)
     // bloom bytes are proportional to expected NDV — the parquet-mr
@@ -789,7 +790,9 @@ class IceLite(val root: String) extends TableIO {
     // (task, value) pair — O(parts) files, not O(tasks × parts), and
     // the write itself parallelizes across the shuffle partitions even
     // when the source is a single input split
-    df.repartition(df(partCol)).write.mode("overwrite").partitionBy(partCol)
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(np, df(partCol)) // explicit N: a bare repartition(col)
+      .write.mode("overwrite").partitionBy(partCol) // is AQE-coalescible
       .parquet(staging.toString)
     landStaging(spark, snap, table, staging, schemaJson, "ingest",
       dirName => dec(dirName.substring(dirName.indexOf('=') + 1)))
@@ -838,7 +841,8 @@ class IceLite(val root: String) extends TableIO {
     staged.values.foreach(deleteRecursively)
     Await.result(Future.traverse(tables.toSeq) { case (name, df) =>
       Future(blocking(withProps {
-        df.repartition(df(partCol)) // one file per partition value — see
+        val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        df.repartition(np, df(partCol)) // one file per partition value — see
           .write.mode("overwrite").partitionBy(partCol) // ingestPartitionedBy
           .parquet(staged(name).toString)
       }))
@@ -948,8 +952,10 @@ class IceLite(val root: String) extends TableIO {
             IceLite.bucketColumn(survivors(spec.column), spec.buckets))
           .unionByName(ub)
       }
-    merged.repartition(merged(IceLite.BucketCol)) // one file per bucket —
-      .write.mode("overwrite").partitionBy(IceLite.BucketCol) // see ingestBucketed
+    merged.repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        merged(IceLite.BucketCol)) // one file per bucket — see ingestBucketed
+      .write.mode("overwrite").partitionBy(IceLite.BucketCol)
       .parquet(staging.toString)
     landBucketStaging(spark, newSnap, table, staging, schemaJson, "merge")
     commitSnapshot(newSnap,
