@@ -562,7 +562,7 @@ object SparkEntry {
       // 8 state partitions, not the batch default of 32 (each is a
       // per-micro-batch state-store commit)
       val qname = "v_stream_window_sink"
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
         val stream = graft.streaming.StreamValidate.windowedEventAgg(
           s.readStream.schema(schema).option("maxFilesPerTrigger", "3").parquet(dir),
           "1 hour", "1 hour", "10 minutes")
@@ -619,7 +619,7 @@ object SparkEntry {
       val schema = s.read.parquet(dir).schema
       val qname = "v_stream_dedup_sink"
       // ~500 digest keys: size the state store to the keyspace
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "2").parquet(dir)
         val deduped = graft.streaming.StreamValidate
@@ -674,7 +674,7 @@ object SparkEntry {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination(); q
       }
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
         drain() // phase 1: originals only — state = their digests
         val dups = docs.filter(col("doc_id") % 5 === 0)
           .withColumn("doc_id", col("doc_id") + 1000000)
@@ -750,7 +750,7 @@ object SparkEntry {
       }
       val schema = s.read.parquet(dir).schema
       val qname = "v_stream_late_sink"
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
         val stream = graft.streaming.StreamValidate.windowedEventAgg(
           s.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1").parquet(dir),

@@ -94,6 +94,17 @@ object QueryProfile {
                 .foreach { case (id, nm, nt, run, wall) =>
                   println(f"   stage $id%4d wall ${wall / 1e3}%7.3fs run ${run / 1e3}%7.3fs tasks $nt%3d  ${nm.take(70)}")
                 }
+              // chronological gap report: time between a job's end and
+              // the next job's start = driver/planning/engine work
+              if (sys.env.get("SPARK_GRAFT_PROFILE_GAPS").contains("1")) {
+                var lastEnd = 0L
+                js.foreach { case (id, st, en, d) =>
+                  val gap = if (lastEnd == 0) 0.0 else (st - lastEnd) / 1e3
+                  if (gap > 0.05)
+                    println(f"   GAP  ${gap}%7.3fs before job $id%4d (${d.take(60)})")
+                  lastEnd = math.max(lastEnd, en)
+                }
+              }
             }
           }
       }
